@@ -1,0 +1,206 @@
+"""Flagship composed pipelines (SURVEY.md §2 "Flagship query").
+
+``q_sessionize`` / ``q_flagship`` re-express the reference's semantic
+heart — grouping a hit log into sessions and computing per-session
+metrics. The reference does this between pandas and post-load SQL on the
+synced hit table [REF-UNVERIFIED: SURVEY.md §2.E "THE core GA concept"];
+here it is a single shuffle: events are hash-partitioned by ``user_id``
+once, and the lag-window, the gap flag, the cumulative session id, the
+first/last-touch window and the final per-session aggregation all reuse
+that partitioning (Catalyst plans one Exchange — asserted in
+tests/test_plans.py).
+
+Scale note (100 TB): sessionization shuffles the full event log on
+``user_id``. That is the minimum possible data movement for gap
+sessionization (state must be co-located per user). Skewed users (bots)
+are handled by AQE skew-join/partition splitting; the window itself
+streams per partition (no per-user materialization).
+
+Gap rule pinned per SURVEY.md §7 hard-part (3): a new session starts when
+``ts - lag(ts) > INTERVAL 30 MINUTES`` — strictly greater, encoded
+identically in the DataFrame plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import DEC, register, sql_dsum
+
+GAP_MINUTES = 30
+
+# Shared CTE prefix: sessionized events (identical window SQL runs in
+# DuckDB — verified in SURVEY.md §5 with 946 sessions at sf0.001).
+_SESSIONIZED_CTE = f"""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {GAP_MINUTES} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT *,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM flagged
+)
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """Assign a per-user ordinal ``session_id`` to each event.
+
+    New session when the gap to the previous event of the same user is
+    strictly greater than ``gap_minutes``. One shuffle on ``user_id``;
+    both windows share the (user_id; ts, event_id) sort.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Exact µs gap (casting to long would truncate to seconds and disagree
+    # with the oracle's INTERVAL comparison on sub-second boundaries).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = (
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(gap_us > gap_minutes * 60 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(cum).cast("long")
+    )
+
+
+_SESSIONIZE_ORACLE = (
+    _SESSIONIZED_CTE
+    + """
+SELECT event_id, ts, user_id, event_type, value, session_id
+FROM sess
+"""
+)
+
+
+@register("q_sessionize", oracle=_SESSIONIZE_ORACLE)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization: per-user ordinal session id on the event log."""
+    e = load(spark, sf_dir, "events")
+    return sessionize(e).select(
+        "event_id", "ts", "user_id", "event_type", "value", "session_id"
+    )
+
+
+def session_metrics(events: DataFrame) -> DataFrame:
+    """Per-session aggregate: the ``sessions`` derived fixture of FIXTURES.md.
+
+    Composes q_sessionize + q_groupby_agg + q_first_last_touch. The
+    first/last-touch windows and the groupBy reuse the sessionize
+    partitioning (user_id is a prefix of the grouping key) — no second
+    shuffle of the event log.
+    """
+    s = sessionize(events)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = s.withColumn("first_event_type", F.first("event_type").over(w)).withColumn(
+        "last_event_type", F.last("event_type").over(wfull)
+    )
+    purchase = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+        F.lit(0.0)
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(purchase.cast(DEC)).cast("double").alias("purchase_value"),
+        F.first("first_event_type").alias("first_event_type"),
+        F.first("last_event_type").alias("last_event_type"),
+    )
+
+
+_FLAGSHIP_ORACLE = (
+    _SESSIONIZED_CTE
+    + f"""
+, touched AS (
+    SELECT *,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS first_event_type,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_event_type
+    FROM sess
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", "purchase_value")},
+       MIN(first_event_type) AS first_event_type,
+       MIN(last_event_type) AS last_event_type
+FROM touched
+GROUP BY user_id, session_id
+"""
+)
+
+
+@register("q_flagship", oracle=_FLAGSHIP_ORACLE)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events, then per-session metrics (length/count/value/touch)."""
+    return session_metrics(load(spark, sf_dir, "events"))
+
+
+_FLAGSHIP2_ORACLE = f"""
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("q_flagship2", oracle=_FLAGSHIP2_ORACLE)
+def q_flagship2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join (TPC-H-Q5-like): fact × 4 dims, filter, rollup revenue.
+
+    The dimension tables are broadcast (region/nation/customer are tiny at
+    every scale factor; AQE would also auto-convert) so the only shuffle
+    is the rollup aggregation of the fact table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "n_lines", "revenue")
+    )

@@ -1,0 +1,109 @@
+"""Operator registry: the single source of truth for the driver contract.
+
+Every operator from SURVEY.md §2 registers here exactly once, pairing
+
+- a **builder**: ``(SparkSession, sf_dir) -> DataFrame`` — the idiomatic
+  Spark implementation, and
+- an **oracle**: the equivalent ANSI SQL DuckDB runs on the same parquet
+  (``None`` for genuinely non-SQL-expressible ops → the driver records a
+  weaker rows-only check).
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over this
+registry, and the pytest differential harness iterates it, so local tests
+and the driver's correctness gate exercise the identical surface.
+
+Cross-engine determinism conventions (SURVEY.md §7 "hard parts"):
+
+- **Doubles are never summed as doubles.** Float addition is not
+  associative; Spark's partial/final aggregation and DuckDB's segment
+  trees would disagree in the last ulps. Convention: cast to
+  ``DECIMAL(18,4)`` (exact, associative — and scale 4 admits *no* exact
+  round-half ties for binary doubles, so both engines round identically),
+  sum exactly, cast the result back to DOUBLE. Helpers: :func:`dsum` /
+  :func:`sql_dsum`.
+- Alias every computed column identically on both sides; the driver sorts
+  columns by name before hashing.
+- Window/rank integer outputs are cast to BIGINT on both sides (Spark
+  ``row_number`` is int, DuckDB's is BIGINT).
+- Every ``ORDER BY`` used for ranking/top-k carries a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+# Exact-sum decimal type: 14 integer digits covers every fixture metric
+# (max ~1e5 * 6e5 rows ≈ 6e10 per group) with room to 1e13; scale 4 has no
+# representable round-half ties (proof in module docstring).
+DEC = "decimal(18,4)"
+
+
+@dataclass(frozen=True)
+class Query:
+    key: str
+    builder: Builder
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(key: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``key``."""
+
+    def deco(fn: Builder) -> Builder:
+        if key in REGISTRY:
+            raise ValueError(f"duplicate query key {key!r}")
+        REGISTRY[key] = Query(key, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _populate() -> None:
+    from . import ops as _ops  # noqa: F401  (populates REGISTRY on import)
+
+
+def queries() -> dict[str, Builder]:
+    _populate()
+    return {k: q.builder for k, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _populate()
+    return {k: q.oracle for k, q in REGISTRY.items() if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine exact-aggregation helpers
+# ---------------------------------------------------------------------------
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM of a double column: exact decimal, back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Deterministic AVG: exact decimal sum cast to double, / count (IEEE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
