@@ -1,0 +1,282 @@
+"""§2.D — aggregation operators.
+
+The reference computes daily/page metric totals and unique-client counts
+in pandas after extraction [REF-UNVERIFIED: SURVEY.md §2.D]; here every
+aggregate is Spark's partial+final hash aggregation (map-side combine is
+automatic — at 100 TB the shuffle carries per-group partials, not rows).
+
+Double determinism follows the registry convention: exact DECIMAL sums
+cast back to DOUBLE; AVG is exact-sum / count; stddev is an explicit
+IEEE-identical formula over exact decimal moments. ``q_approx_distinct``
+has no SQL oracle (HLL sketches differ across engines) — rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import DEC, davg, dsum, register, sql_davg, sql_dsum
+
+_GROUPBY_AGG_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity", "sum_qty")},
+       {sql_dsum("l_extendedprice", "sum_base_price")},
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+       {sql_davg("l_quantity", "avg_qty")},
+       {sql_davg("l_discount", "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_groupby_agg", oracle=_GROUPBY_AGG_ORACLE)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate (TPC-H-Q1-like): multi-agg groupBy on the fact table."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_COUNT_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("q_count_distinct", oracle=_COUNT_DISTINCT_ORACLE)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per group (expands + re-aggregates; see
+    q_approx_distinct for the 100 TB-friendly sketch version)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("q_approx_distinct", oracle=None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the scale path for distinct counts:
+    constant memory per group, no expansion shuffle. No SQL oracle (HLL
+    implementations differ across engines) → rows-only check; the pytest
+    suite bounds its error against the exact count instead."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx")
+    )
+
+
+_DISTINCT_ROWS_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("q_distinct_rows", oracle=_DISTINCT_ROWS_ORACLE)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT on selected columns (exact dedup of re-extracted rows)."""
+    e = load(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").distinct()
+
+
+_ROLLUP_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("q_rollup", oracle=_ROLLUP_ORACLE)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals status → priority → grand total."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_cube", oracle=_CUBE_ORACLE)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every grouping combination (cross-tab reports)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_lines", "sum_qty"
+        )
+    )
+
+
+_GROUPING_SETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_price")}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("q_grouping_sets", oracle=_GROUPING_SETS_ORACLE)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (SURVEY.md §3.3) —
+    same Catalyst Expand plan as rollup/cube."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id
+"""
+
+
+@register("q_pivot", oracle=_PIVOT_ORACLE)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → count columns (explicit value list pins column
+    order and skips the extra distinct-values job — SURVEY.md §7 (4))."""
+    e = load(spark, sf_dir, "events")
+    df = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    # pivot-count yields NULL for absent combos; the CASE-WHEN oracle
+    # yields 0 — align.
+    return df.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+_AGG_FILTERED_ORACLE = f"""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases,
+       {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END",
+                 "purchase_value")},
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+@register("q_agg_filtered", oracle=_AGG_FILTERED_ORACLE)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (conversion counting): count/sum under CASE."""
+    e = load(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(is_purchase, 1).otherwise(0)).cast("long").alias("n_purchases"),
+        F.sum(
+            F.when(is_purchase, F.col("value")).otherwise(F.lit(0.0)).cast(DEC)
+        )
+        .cast("double")
+        .alias("purchase_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# stddev from exact decimal moments: both engines then evaluate the SAME
+# IEEE double expression sqrt((sq - s*s/n) / (n-1)) — bit-identical.
+_AGG_STATS_ORACLE = """
+WITH m AS (
+    SELECT event_type,
+           COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+                AS DOUBLE) AS sq,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           ROUND(MEDIAN(value), 4) AS median_value
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n, min_value, max_value, median_value,
+       ROUND(SQRT((sq - s * s / n) / (n - 1)), 6) AS stddev_value
+FROM m
+"""
+
+
+@register("q_agg_stats", oracle=_AGG_STATS_ORACLE)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: min/max/median/stddev of the metric."""
+    e = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast(DEC)
+    m = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("sq"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+    )
+    stddev = F.round(
+        F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+        6,
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "min_value",
+        "max_value",
+        "median_value",
+        stddev.alias("stddev_value"),
+    )

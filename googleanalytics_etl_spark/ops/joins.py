@@ -1,0 +1,179 @@
+"""§2.C — join operators.
+
+The reference enriches hits with lookup metadata via in-memory dict/pandas
+merges and dedups re-extracted hits against already-loaded ids — an
+anti-join [REF-UNVERIFIED: SURVEY.md §2.C]. Here every variant is a
+Catalyst join with an explicit distribution strategy:
+
+- dimension joins broadcast (``q_join_broadcast`` pins it; AQE converts
+  the others at runtime when the build side is small),
+- the fact-fact range join keeps an equi-key so it planable as a hash
+  join with a residual range filter (never a BNL cross product at scale),
+- the as-of join is a single window pass (no self-join blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_JOIN_INNER_ORACLE = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("q_join_inner", oracle=_JOIN_INNER_ORACLE)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join: facts × dimension on key."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+_JOIN_LEFT_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+@register("q_join_left", oracle=_JOIN_LEFT_ORACLE)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: keep dimension rows with no matching facts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_JOIN_BROADCAST_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_brand
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+@register("q_join_broadcast", oracle=_JOIN_BROADCAST_ORACLE)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: small dim ships to every task, zero shuffle
+    of the fact table. Plan shape asserted in tests/test_plans.py."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "p_name", "p_brand"
+    )
+
+
+_JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("q_join_semi", oracle=_JOIN_SEMI_ORACLE)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers having at least one order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_JOIN_ANTI_ORACLE = """
+WITH loaded AS (
+    SELECT event_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE NOT EXISTS (SELECT 1 FROM loaded WHERE loaded.event_id = events.event_id)
+"""
+
+
+@register("q_join_anti", oracle=_JOIN_ANTI_ORACLE)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS) — the reference's incremental dedup:
+    a re-extract keeps only hits whose id is absent from the
+    already-loaded set before appending (SURVEY.md §2.C q_join_anti)."""
+    e = load(spark, sf_dir, "events")
+    loaded = e.where(
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
+    ).select("event_id")
+    return e.join(loaded, "event_id", "left_anti").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+_JOIN_RANGE_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+"""
+
+
+@register("q_join_range", oracle=_JOIN_RANGE_ORACLE)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: ship date within 90 days of the order date.
+
+    Keeps the equi-key in the condition so Catalyst plans a hash/sort-merge
+    join with the BETWEEN as a residual filter — a pure theta join would be
+    a broadcast-nested-loop and die at 100 TB. For equi-key-free range
+    joins at scale, bucket the time axis first (see SURVEY.md §4).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAY"))
+    )
+    return li.join(o, cond).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"
+    )
+
+
+_JOIN_ASOF_ORACLE = """
+SELECT event_id, user_id, ts, last_view_ts
+FROM (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           MAX(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_ts
+    FROM events
+)
+WHERE event_type = 'purchase'
+"""
+
+
+@register("q_join_asof", oracle=_JOIN_ASOF_ORACLE)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the latest strictly
+    earlier 'view' of the same user — last-touch attribution.
+
+    Implemented as ONE window pass over the union of both sides (a running
+    MAX of view timestamps), not a self-join: O(n log n) per user partition
+    and a single shuffle, where the naive join+filter+rank plan would
+    shuffle twice and blow up on skewed users.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("last_view_ts", last_view)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_view_ts")
+    )

@@ -1,0 +1,52 @@
+"""§2.A — scans.
+
+The reference's "scan" is the GA Reporting API extract: it manually
+prunes columns (the request names only configured dimensions/metrics) and
+pushes the date-range predicate into the request body [REF-UNVERIFIED:
+SURVEY.md §2.A]. Our scans are declarative Parquet reads where Catalyst
+does both automatically — tests/test_plans.py asserts ``PushedFilters``
+and a pruned ``ReadSchema`` on the physical plan, the §4 parity claim.
+
+The non-oracle-able sources of §2.A (JSON/CSV ingest, the paged REST
+source, the JDBC/upsert sinks) live in ``googleanalytics_etl_spark.
+sources`` with their own tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_SCAN_PARQUET_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("q_scan_parquet", oracle=_SCAN_PARQUET_ORACLE)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table columnar scan (the hit-log extract analogue)."""
+    return load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+_SCAN_PRUNED_ORACLE = """
+SELECT l_orderkey, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_quantity > 25
+"""
+
+
+@register("q_scan_pruned", oracle=_SCAN_PRUNED_ORACLE)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected + filtered scan: column pruning and predicate pushdown
+    reach the Parquet reader (row-group stats skip at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") > 25)
+    ).select("l_orderkey", "l_extendedprice")

@@ -1,0 +1,120 @@
+"""§2.F — global sort / limit / top-k / set operations.
+
+The reference concatenates date-chunked extractions (union), diffs
+re-extracts against loaded data (except) and orders report output
+[REF-UNVERIFIED: SURVEY.md §2.F]. Scale notes: global ORDER BY + LIMIT
+plans as TakeOrderedAndProject (per-partition top-N, then driver merge —
+no global sort); grouped top-k is a single window shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_ORDERBY_LIMIT_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q_orderby_limit", oracle=_ORDERBY_LIMIT_ORACLE)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N (TakeOrderedAndProject; unique tiebreaker pinned)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice, rn
+FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+    FROM part
+)
+WHERE rn <= 3
+"""
+
+
+@register("q_topk_per_group", oracle=_TOPK_PER_GROUP_ORACLE)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by price per brand (rank-filter; one shuffle)."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+_UNION_ALL_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+UNION ALL
+SELECT event_id, user_id, event_type, value FROM events
+WHERE value > 200
+"""
+
+
+@register("q_union_all", oracle=_UNION_ALL_ORACLE)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two (overlapping) extraction chunks — duplicate-
+    preserving concat, the chunked-extraction append."""
+    e = load(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    a = e.where(F.col("ts") < F.lit("2024-01-10").cast("timestamp_ntz")).select(cols)
+    b = e.where(F.col("value") > 200).select(cols)
+    return a.unionByName(b)
+
+
+_EXCEPT_ORACLE = """
+SELECT user_id, event_type FROM events
+WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+EXCEPT ALL
+SELECT user_id, event_type FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@register("q_except", oracle=_EXCEPT_ORACLE)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (re-extract change detection)."""
+    e = load(spark, sf_dir, "events")
+    a = e.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")).select(
+        "user_id", "event_type"
+    )
+    b = e.where(F.col("event_type") == "purchase").select("user_id", "event_type")
+    return a.exceptAll(b)
+
+
+_INTERSECT_ORACLE = """
+SELECT user_id, event_type FROM events
+WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+INTERSECT ALL
+SELECT user_id, event_type FROM events
+WHERE value > 50
+"""
+
+
+@register("q_intersect", oracle=_INTERSECT_ORACLE)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset overlap of two extracts."""
+    e = load(spark, sf_dir, "events")
+    a = e.where(F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")).select(
+        "user_id", "event_type"
+    )
+    b = e.where(F.col("value") > 50).select("user_id", "event_type")
+    return a.intersectAll(b)
