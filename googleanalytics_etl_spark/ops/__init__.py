@@ -28,6 +28,7 @@ _OPTIONAL = (
     "streaming",
     "udfs",
     "extensions",
+    "multimodal",
 )
 
 import importlib as _importlib

@@ -1,0 +1,737 @@
+"""§2.J — LLM-data-pipeline extension operators (the north star).
+
+Not in the reference (BASELINE.json:6 mandates them): deduplication
+(exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine),
+similarity search (brute-force + IVF-style partition pruning), and text
+analysis (language-ID, quality scoring, token counting, fingerprinting)
+over the ``documents`` / ``embeddings`` fixtures.
+
+Scale design, per operator family:
+
+- **Exact dedup** — hash-groupBy on a normalized-text digest; the only
+  shuffle carries (digest, doc_id), never the text payload.
+- **Near-dup** — candidate generation is always *blocked* (LSH bands,
+  SimHash band equality, rare-shingle inverted index, label blocking)
+  so the pair space is sparse; exact verification runs only on
+  candidates. Brute-force O(n²) never appears at scale.
+- **Similarity search** — brute-force cosine is the correctness
+  baseline; the IVF variant prunes to the nearest coarse partitions
+  (here: label centroids) before scanning — the 100 TB path.
+- Everything is Catalyst lambda/array expressions (JVM-side); no Python
+  in any hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# shared array/similarity helpers (Catalyst lambda expressions)
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float arrays, in double precision."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    n2 = F.aggregate(
+        b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return dot / (F.sqrt(n1) * F.sqrt(n2))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Documents shorter than ``n`` words shingle to the whole text.
+    """
+    words = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array(text))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication family
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+WITH incoming AS (
+    SELECT * FROM documents
+    UNION ALL
+    SELECT * FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+)
+SELECT doc_id, lang, source, n_chars
+FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY sha256(LOWER(TRIM(text)))
+                              ORDER BY doc_id) AS rn
+    FROM incoming
+)
+WHERE rn = 1
+"""
+
+
+@register("x_dedup_exact", oracle=_DEDUP_EXACT_ORACLE)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: normalize → sha256 digest → keep min doc_id.
+
+    A duplicated tail is unioned in first (the fixtures have no exact
+    duplicates below sf0.1 — FIXTURES.md), modeling a re-extract overlap.
+    Only (digest, row) shuffles; survivors are picked deterministically.
+    """
+    d = load(spark, sf_dir, "documents")
+    incoming = d.unionByName(d.orderBy("doc_id").limit(20))
+    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    w = Window.partitionBy(digest).orderBy("doc_id")
+    return (
+        incoming.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+N_MINHASH = 16
+LSH_BANDS = 4
+LSH_ROWS = N_MINHASH // LSH_BANDS
+
+
+@register("x_dedup_near", oracle=None)
+def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash + LSH banding (pure Catalyst).
+
+    Pipeline: word-3-gram shingles → 16 MinHash signatures
+    (``xxhash64(seed, shingle)`` minimized per doc — all JVM-side lambda
+    expressions) → 4 bands of 4 rows; docs sharing any band bucket become
+    candidate pairs → exact shingle-Jaccard verifies candidates at ≥ 0.5.
+
+    At 100 TB the band join is the only shuffle and its key space is the
+    band buckets — the O(n²) pair space is never materialized. xxhash64
+    has no DuckDB twin → rows-only check; tests/test_extensions.py
+    property-checks that injected exact duplicates always surface.
+    """
+    d = load(spark, sf_dir, "documents")
+    # inject a duplicated tail so near-dup pairs exist at every sf
+    dup = (
+        d.orderBy("doc_id")
+        .limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    docs = d.unionByName(dup).select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    )
+
+    sigs = [
+        F.array_min(
+            F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"sig{i}")
+        for i in range(N_MINHASH)
+    ]
+    signed = docs.select("doc_id", "shingles", *sigs)
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"sig{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    buckets = signed.select(
+        "doc_id", "shingles", F.posexplode(bands).alias("band", "bucket")
+    )
+
+    a = buckets.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = buckets.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("x_dedup_simhash", oracle=None)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via 64-bit SimHash with 16-bit band blocking.
+
+    Per-word xxhash64 → per-bit ±1 votes aggregated per doc (64 codegen'd
+    conditional sums — no 64× row explosion) → fingerprint assembled as a
+    BIGINT → candidates = pairs sharing any of four 16-bit bands (standard
+    simhash blocking: hamming ≤ 3 guarantees a shared band) → keep pairs
+    with hamming distance ≤ 3 via ``bit_count``. Rows-only check (xxhash64
+    is Spark-internal).
+    """
+    d = load(spark, sf_dir, "documents")
+    dup = (
+        d.orderBy("doc_id")
+        .limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    words = d.unionByName(dup).select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    h = F.xxhash64("word")
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR=OR
+    fingered = votes.select("doc_id", fp.alias("simhash"))
+
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)
+        ]
+    )
+    banded = fingered.select(
+        "doc_id", "simhash", F.posexplode(band_arr).alias("band", "key")
+    )
+    a = banded.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a")
+    )
+    b = banded.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b")
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+               list_transform(range(len(str_split(text, ' ')) - 2),
+                   i -> str_split(text, ' ')[i + 1] || ' ' ||
+                        str_split(text, ' ')[i + 2] || ' ' ||
+                        str_split(text, ' ')[i + 3])
+               ELSE [text] END) AS shingles
+    FROM documents
+), exploded AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), rare AS (
+    SELECT shingle FROM exploded GROUP BY shingle HAVING COUNT(*) <= 10
+), pairs AS (
+    SELECT DISTINCT e1.doc_id AS doc_a, e2.doc_id AS doc_b
+    FROM exploded e1
+    JOIN rare USING (shingle)
+    JOIN exploded e2 USING (shingle)
+    WHERE e1.doc_id < e2.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6)
+           AS jaccard
+FROM pairs
+JOIN sh s1 ON s1.doc_id = doc_a
+JOIN sh s2 ON s2.doc_id = doc_b
+WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.3
+"""
+
+
+@register("x_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup with rare-shingle blocking (full oracle).
+
+    Candidates = doc pairs sharing a *rare* shingle (inverted index with
+    document frequency ≤ 10 — common shingles never generate pairs, which
+    is what keeps the join sparse at scale); exact Jaccard ≥ 0.3 verifies.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 10)
+        .select("shingle")
+    )
+    e1 = exploded.join(rare, "shingle").withColumnRenamed("doc_id", "doc_a")
+    e2 = exploded.withColumnRenamed("doc_id", "doc_b")
+    pairs = (
+        e1.join(e2, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    s2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .where(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_EMBED_DEDUP_ORACLE = """
+WITH corpus AS (
+    SELECT * FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding, label
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM corpus a JOIN corpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+"""
+
+
+@register("x_embed_cosine_dedup", oracle=_EMBED_DEDUP_ORACLE)
+def x_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking.
+
+    Pairs are generated only within a blocking key (the coarse ``label``
+    partition — at scale: an LSH/IVF bucket id), so the pair space is
+    n²/buckets, not n². Cosine ≥ 0.9 after round-6 (ties engineered
+    away). The fixture vectors are near-orthogonal random (max organic
+    cosine ≈ 0.48), so a duplicated tail is unioned in — the operator
+    must find exactly the planted near-dups.
+    """
+    base = load(spark, sf_dir, "embeddings")
+    em = base.unionByName(
+        base.orderBy("vec_id")
+        .limit(10)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .select("vec_id", "embedding", "label")
+    )
+    a = em.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = em.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sim = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", sim)
+        .where(F.col("cos_sim") >= 0.9)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_SIM_KNN_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS query_emb
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, sim
+FROM (
+    SELECT vec_id, label,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        query_emb), 6) AS sim,
+           ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                     query_emb), 6)
+                        DESC, vec_id) AS rn
+    FROM embeddings, q
+    WHERE vec_id <> 0
+)
+WHERE rn <= 10
+"""
+
+
+@register("x_sim_knn", oracle=_SIM_KNN_ORACLE)
+def x_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact-recall baseline.
+
+    The 1-row query vector is broadcast (never collected to a driver
+    loop); scoring is a single scan + TakeOrdered — embarrassingly
+    parallel, and the pattern that stays correct at any scale. The
+    sub-linear path is x_sim_knn_ivf.
+    """
+    em = load(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_emb")
+    )
+    scored = (
+        em.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("query_emb")), 6).alias("sim"),
+        )
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("vec_id", "label", "sim")
+    )
+
+
+@register("x_sim_knn_ivf", oracle=None)
+def x_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization → probe nearest partitions only.
+
+    Coarse centroids = per-label mean vectors (posexplode + avg — at
+    scale these come from k-means or any clustering; the plan shape is
+    identical). The query probes the 3 nearest centroids and scans only
+    those partitions — sub-linear scan cost, the 100 TB path. Rows-only
+    check; tests/test_extensions.py asserts recall ≥ 0.5 vs x_sim_knn
+    (top-10 overlap), the standard ANN correctness criterion.
+    """
+    em = load(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_emb")
+    )
+
+    # coarse centroids: mean per (label, dim); rebuilt as array per label
+    dims = em.select("label", F.posexplode("embedding").alias("dim", "val"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p["c"].cast("float")).alias("centroid"),
+        )
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            F.round(cosine(F.col("centroid"), F.col("query_emb")), 6).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("label"))
+        .limit(3)
+        .select("label")
+    )
+
+    scored = (
+        em.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "label")  # partition pruning: 3 of 10 cells
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("query_emb")), 6).alias("sim"),
+        )
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("vec_id", "label", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+       n_chars AS n_chars_fixture,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / len(str_split(text, ' ')), 6) AS avg_word_len
+FROM documents
+"""
+
+
+@register("x_text_stats", oracle=_TEXT_STATS_ORACLE)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (chars/words/avg word length); the
+    fixture's precomputed n_chars doubles as a built-in cross-check."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_fixture"),
+        n_words.cast("long").alias("n_words"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_words,
+            6,
+        ).alias("avg_word_len"),
+    )
+
+
+_TOKENIZE_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+            AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(
+            regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+            AS BIGINT) AS n_unique_tokens
+FROM documents
+"""
+
+
+@register("x_tokenize", oracle=_TOKENIZE_ORACLE)
+def x_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letters | digits | symbol) —
+    the sizing primitive for training-data pipelines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "le", "shi", "bu", "wo"],
+}
+
+
+def _lang_scores(words: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in wl])))
+        for lang, wl in STOPWORDS.items()
+    }
+
+
+_LANG_ID_ORACLE = """
+WITH w AS (
+    SELECT doc_id, lang AS lang_fixture,
+           list_distinct(str_split(text, ' ')) AS words
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang_fixture,
+           CAST(len(list_intersect(words, ['the','a','of','and','to'])) AS INT) AS s_en,
+           CAST(len(list_intersect(words, ['der','die','das','und','nicht'])) AS INT) AS s_de,
+           CAST(len(list_intersect(words, ['el','la','de','y','que'])) AS INT) AS s_es,
+           CAST(len(list_intersect(words, ['le','la','et','les','des'])) AS INT) AS s_fr,
+           CAST(len(list_intersect(words, ['de','le','shi','bu','wo'])) AS INT) AS s_zh
+    FROM w
+)
+SELECT doc_id, lang_fixture,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM scored
+"""
+
+
+@register("x_lang_id", oracle=_LANG_ID_ORACLE)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (n-gram-heuristic family): score each
+    language by stopword hits, argmax with a pinned tie order."""
+    d = load(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split("text", " "))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_fixture"),
+        *[c.alias(f"s_{lang}") for lang, c in _lang_scores(words).items()],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (s["en"] >= s["de"])
+            & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"])
+            & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "lang_fixture", pred.alias("lang_pred"))
+
+
+_QUALITY_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                ['the','a','of','and','to'])) AS DOUBLE)
+               / len(list_distinct(str_split(text, ' '))) AS stop_ratio,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS DOUBLE)
+               / LENGTH(text) AS punct_ratio
+    FROM documents
+)
+SELECT doc_id, n_words, ROUND(stop_ratio, 6) AS stop_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(LEAST(n_words / 200.0, 1.0) * 0.5 + stop_ratio * 0.5, 6) AS quality
+FROM f
+"""
+
+
+@register("x_quality_score", oracle=_QUALITY_ORACLE)
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length + stopword-density blend (punct
+    ratio included as a feature) — the pretraining-filter primitive."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    uniq = F.array_distinct(words)
+    n_words = F.size(words).cast("long")
+    stop_ratio = _lang_scores(uniq)["en"].cast("double") / F.size(uniq)
+    punct_ratio = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))
+    ).cast("double") / F.length("text")
+    quality = F.round(
+        F.least(n_words / 200.0, F.lit(1.0)) * 0.5 + stop_ratio * 0.5, 6
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(LOWER(TRIM(text))) AS content_md5,
+       md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))
+           AS bow_fingerprint
+FROM documents
+"""
+
+
+@register("x_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content digest + order-insensitive
+    bag-of-words digest (word-order-insensitive duplicate detection)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("bow_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# routing / joins over the document corpus
+# ---------------------------------------------------------------------------
+
+_LANG_ROUTE_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(n_chars)
+           AS avg_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("x_lang_route", oracle=_LANG_ROUTE_ORACLE)
+def x_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) partitioned processing: the routing aggregate a
+    multimodal/multilingual pipeline fans out on (each group is an
+    independently writable partition — see sinks.write_partitioned)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double")
+            / F.count("n_chars")
+        ).alias("avg_chars"),
+    )
+
+
+_DOC_JOIN_ORACLE = """
+SELECT lang, label,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY lang, label
+"""
+
+
+@register("x_doc_join", oracle=_DOC_JOIN_ORACLE)
+def x_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ⋈ embeddings (doc_id = vec_id) with per-(lang, label)
+    rollup — the text↔vector co-access pattern."""
+    d = load(spark, sf_dir, "documents")
+    em = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(em, d.doc_id == em.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -1,0 +1,306 @@
+"""§2.H — streaming semantics (Structured Streaming path).
+
+The reference's incremental sync loop IS a stream: new hits arrive, late
+hits trickle in up to ~24-48h behind, the tool re-extracts a trailing
+window and dedups before append [REF-UNVERIFIED: SURVEY.md §2.H]. This
+module makes that explicit.
+
+Verification strategy (SURVEY.md §5.4): windowed aggregations
+(``window`` / ``session_window``) have identical batch and streaming
+semantics, so the *registered* queries run them in batch mode where the
+DuckDB oracle can hash-check them; tests/test_streaming.py runs the same
+ops through a real ``readStream`` → ``foreachBatch`` pipeline and asserts
+batch-equivalence. The two ops whose semantics only exist in streaming —
+watermark late-data dropping and the high-water-mark sync loop — run a
+real micro-batch query inside the builder (file source staged in
+day-ordered chunks → deterministic batch order → deterministic output).
+
+Scale: a file/Kafka-backed version of exactly these plans is the 100 TB
+deployment path; state store size is bounded by watermarks, and the sync
+sink is an idempotent anti-join append (Delta MERGE in production).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import DEC, register, sql_dsum
+
+SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+
+
+_TUMBLING_ORACLE = f"""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum("value", "total_value")}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("s_tumbling", oracle=_TUMBLING_ORACLE)
+def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (``F.window`` — identical
+    semantics batch/streaming; epoch-aligned buckets)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+            - k * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n
+FROM events,
+     LATERAL (SELECT unnest(range(4)) AS k)
+GROUP BY 1
+"""
+
+
+@register("s_sliding", oracle=_SLIDING_ORACLE)
+def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour every 15 min): each event lands in 4
+    overlapping windows. Oracle emulates via a 4-way bucket expansion."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+        )
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT *,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "session_value")}
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@register("s_session", oracle=_SESSION_ORACLE)
+def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap session window via ``F.session_window`` (the built-in stateful
+    streaming operator; session_end = last event + gap). Shares its
+    oracle semantics with q_sessionize — two independent implementations
+    of the engine's core concept, cross-checked."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias(
+                "session_start"
+            ),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_SDEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+@register("s_dedup", oracle=_SDEDUP_ORACLE)
+def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup on event_id (batch twin of
+    ``withWatermark().dropDuplicates()``): a re-extracted overlapping
+    tail is unioned in, dedup restores exactly the original log."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tail = e.orderBy(F.col("event_id").desc()).limit(50)
+    return e.unionByName(tail).dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# real Structured Streaming: staged file source in deterministic order
+# ---------------------------------------------------------------------------
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
+    """Stage the event log as ``n_chunks`` time-ordered parquet files.
+
+    Files are written sequentially (ascending mtime) so the file stream
+    source processes them in event-time order — micro-batch boundaries
+    become deterministic, which makes watermark behavior reproducible.
+    """
+    sf_name = Path(sf_dir).name
+    stage = SCRATCH / "stream_stage" / sf_name
+    done = stage / "_STAGED"
+    if done.exists():
+        return str(stage)
+    shutil.rmtree(stage, ignore_errors=True)
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bounds = e.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / n_chunks
+    for i in range(n_chunks):
+        start = lo + i * span
+        end = hi if i == n_chunks - 1 else lo + (i + 1) * span
+        chunk = e.where(
+            (F.col("ts") >= F.lit(start)) & (F.col("ts") <= F.lit(end))
+            if i == n_chunks - 1
+            else (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(stage))
+    done.touch()
+    return str(stage)
+
+
+def _events_stream(spark: SparkSession, stage: str) -> DataFrame:
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
+    ckpt = SCRATCH / "ckpt" / uuid.uuid4().hex
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register("s_watermark", oracle=None)
+def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real watermarked streaming aggregation (append mode).
+
+    Events stream in 5 time-ordered micro-batches; a 1-hour watermark
+    bounds state. Append mode emits only windows the watermark has
+    closed, so the result is the hourly counts for all windows that
+    ended ≥1h before the final max event time — exactly the reference's
+    trailing re-extract horizon, made explicit. Rows-only check (emission
+    depends on micro-batch watermark advancement, not pure SQL).
+    """
+    stage = _stage_events(spark, sf_dir)
+    agg = (
+        _events_stream(spark, stage)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+        )
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg, name, "append")
+    return spark.table(name)
+
+
+_INCR_SYNC_ORACLE = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events
+"""
+
+
+@register("s_incremental_sync", oracle=_INCR_SYNC_ORACLE)
+def s_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference main loop, as a streaming pipeline: a target table
+    is seeded with history (high-water mark = 2024-01-15); the stream
+    replays the full log in 5 micro-batches; each batch anti-joins the
+    target on event_id (drop already-loaded) and appends — idempotent,
+    exactly-once-by-key. The final target must equal the event log
+    exactly once — which is the (full-hash) oracle.
+    """
+    stage = _stage_events(spark, sf_dir)
+    run_dir = SCRATCH / "sync" / uuid.uuid4().hex
+    target = run_dir / "target"
+    ckpt = run_dir / "ckpt"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    seed = (
+        load(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col("ts") < F.to_timestamp(F.lit("2024-01-15 00:00:00")))
+        .select(cols)
+    )
+    seed.write.mode("overwrite").parquet(str(target))
+
+    def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        loaded = batch_df.sparkSession.read.parquet(str(target)).select("event_id")
+        fresh = batch_df.select(cols).join(loaded, "event_id", "left_anti")
+        fresh.write.mode("append").parquet(str(target))
+
+    q = (
+        _events_stream(spark, stage)
+        .writeStream.foreachBatch(sync_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    synced = spark.read.parquet(str(target)).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    return synced.select(cols)

@@ -1,0 +1,126 @@
+"""§2.I — UDF / UDAF / UDTF surface.
+
+The reference applies arbitrary pandas column transforms after flattening
+the API response [REF-UNVERIFIED: SURVEY.md §2.I]. Policy (§7): builtins
+> pandas_udf > row-at-a-time UDF. The three registered ops deliberately
+compute SQL-expressible semantics so even the Python path is
+hash-checked against DuckDB — the interesting part is the execution
+plumbing (Arrow batches, grouped-map schema contract), not the math.
+
+Scale note: ``q_udf_scalar`` is the ~100× slow path (per-row pickle
+round-trip) and exists for parity; production transforms use the
+Arrow-vectorized forms or plain Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+from ..registry import register
+
+_UDF_SCALAR_ORACLE = """
+SELECT event_id,
+       LOWER(event_type) || ':' || CAST(user_id % 100 AS VARCHAR) AS norm_key
+FROM events
+"""
+
+
+@register("q_udf_scalar", oracle=_UDF_SCALAR_ORACLE)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (parity surface; see module docstring)."""
+
+    @F.udf(T.StringType())
+    def normalize(event_type: str, user_id: int) -> str:
+        return f"{event_type.lower()}:{user_id % 100}"
+
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", normalize("event_type", "user_id").alias("norm_key")
+    )
+
+
+_UDF_PANDAS_ORACLE = """
+SELECT event_id, ROUND(LN(1.0 + value) * 2.0, 8) AS score
+FROM events
+"""
+
+
+@register("q_udf_pandas", oracle=_UDF_PANDAS_ORACLE)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF (Series→Series, ~10-100× the scalar
+    UDF): whole Arrow batches cross the JVM↔Python boundary."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def score(v: pd.Series) -> pd.Series:
+        return np.round(np.log(1.0 + v) * 2.0, 8)
+
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", score("value").alias("score"))
+
+
+_UDAF_PANDAS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+@register("q_udaf_pandas", oracle=_UDAF_PANDAS_ORACLE)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map "UDAF": per-user pandas DataFrame in / one-row out
+    (``applyInPandas``). Aggregates chosen exact-in-any-order (integer
+    sums, counts, max) so the result hash-matches SQL regardless of the
+    arbitrary row order the shuffle delivers per group."""
+
+    def user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf["props"].str.extract(r'"k":\s*(-?\d+)')[0].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "k_sum": [int(k.sum())],
+                "n_types": [pdf["event_type"].nunique()],
+                "max_value": [pdf["value"].max()],
+            }
+        )
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        user_stats,
+        schema=(
+            "user_id bigint, n_events bigint, k_sum bigint, "
+            "n_types bigint, max_value double"
+        ),
+    )
+
+
+@register("q_udtf_explode", oracle=None)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row→many-rows via ``mapInPandas`` (UDTF-style response-row
+    flattening): each document yields one row per distinct word with its
+    in-doc frequency. Rows-only check (per-partition batch iteration is
+    the point; the equivalent SQL is q_fn_map/explode territory)."""
+
+    def explode_words(batches):
+        for pdf in batches:
+            words = pdf["text"].str.split(" ")
+            out = pdf[["doc_id"]].join(words.rename("word")).explode("word")
+            counts = (
+                out.groupby(["doc_id", "word"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            yield counts
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").mapInPandas(
+        explode_words, schema="doc_id bigint, word string, n bigint"
+    )
