@@ -1,0 +1,84 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is forced end-to-end with the ``noop`` sink (full computation,
+no result materialization on the driver — ``count()`` would let Catalyst
+prune the very projections being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from googleanalytics_etl_spark import get_spark
+from googleanalytics_etl_spark.registry import queries
+
+# Headline set: the flagship pipelines plus the heaviest representative
+# of each operator category (scan, agg, joins, windows, pivot, streaming
+# twin, dedup family, similarity, text analysis).
+HEADLINE = [
+    "q_scan_pruned",
+    "q_groupby_agg",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_sessionize",
+    "q_flagship",
+    "q_flagship2",
+    "q_window_rank",
+    "q_pivot",
+    "s_tumbling",
+    "x_dedup_exact",
+    "x_dedup_near",
+    "x_sim_knn",
+    "x_tokenize",
+]
+
+
+def run_query(spark, builder, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("gae-spark-bench")
+    q = queries()
+
+    # JVM/codegen warmup on the smallest fixture so measured times are
+    # steady-state execution, not first-call compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if Path(warm_dir).exists():
+        for key in ("q_groupby_agg", "q_flagship"):
+            run_query(spark, q[key], warm_dir)
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        times[key] = round(run_query(spark, q[key], sf_dir), 3)
+
+    sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

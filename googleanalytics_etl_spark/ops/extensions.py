@@ -50,12 +50,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(n1) * F.sqrt(n2))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *words array* column.
 
-    Documents shorter than ``n`` words shingle to the whole text.
+    Takes a pre-split array (callers materialize ``split(text, ' ')`` in
+    a prior projection) — inlining the split here would re-evaluate it
+    for every lambda element, turning shingling O(words²) per document.
+    Documents shorter than ``n`` words shingle to the joined text.
     """
-    words = F.split(text, " ")
     idx = F.sequence(F.lit(0), F.size(words) - n)
     grams = F.transform(
         idx,
@@ -64,7 +66,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(
-        F.when(F.size(words) >= n, grams).otherwise(F.array(text))
+        F.when(F.size(words) >= n, grams).otherwise(F.array(F.array_join(words, " ")))
     )
 
 
@@ -99,10 +101,18 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     incoming = d.unionByName(d.orderBy("doc_id").limit(20))
-    digest = F.sha2(F.lower(F.trim(F.col("text"))), 256)
-    w = Window.partitionBy(digest).orderBy("doc_id")
+    # digest before the shuffle and drop the text payload — the dedup
+    # exchange carries 32-byte digests, not documents (the at-scale win)
+    hashed = incoming.select(
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
     return (
-        incoming.withColumn("rn", F.row_number().over(w))
+        hashed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
@@ -134,17 +144,34 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("doc_id", F.col("doc_id") + 1_000_000)
     )
-    docs = d.unionByName(dup).select(
-        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    docs = (
+        d.unionByName(dup)
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", word_shingles(F.col("words")).alias("shingles"))
     )
 
+    # Kirsch-Mitzenmacher: 2 string hashes per shingle, 16 derived
+    # signatures h1 + i*h2 — not 16 full string hashes. Hashes are
+    # folded to 31 bits so the combination never overflows ANSI longs.
+    _m = F.lit(2**31)
+    hashed = docs.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            "shingles",
+            lambda s: F.struct(
+                F.pmod(F.xxhash64(s), _m).alias("h1"),
+                F.pmod(F.xxhash64(F.lit(1), s), _m).alias("h2"),
+            ),
+        ).alias("hs"),
+    )
     sigs = [
         F.array_min(
-            F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
+            F.transform("hs", lambda p, i=i: p["h1"] + F.lit(i) * p["h2"])
         ).alias(f"sig{i}")
         for i in range(N_MINHASH)
     ]
-    signed = docs.select("doc_id", "shingles", *sigs)
+    signed = hashed.select("doc_id", "shingles", *sigs)
     bands = F.array(
         *[
             F.xxhash64(
@@ -153,33 +180,29 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
+    # Band join carries only (band, bucket, doc_id) — the shingle arrays
+    # (the heavy payload) never enter this shuffle; they are joined back
+    # onto the (few) surviving candidate pairs for exact verification.
     buckets = signed.select(
-        "doc_id", "shingles", F.posexplode(bands).alias("band", "bucket")
+        "doc_id", F.posexplode(bands).alias("band", "bucket")
     )
-
-    a = buckets.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = buckets.select(
-        F.col("band"),
-        F.col("bucket"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    a = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    s1 = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    s2 = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        pairs.withColumn("jaccard", F.round(jaccard, 6))
+        pairs.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .withColumn("jaccard", F.round(jaccard, 6))
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -293,7 +316,9 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what keeps the join sparse at scale); exact Jaccard ≥ 0.3 verifies.
     """
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+    sh = d.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", word_shingles(F.col("words")).alias("shingles")
+    )
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     rare = (
         exploded.groupBy("shingle")

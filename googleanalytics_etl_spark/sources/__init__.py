@@ -1,0 +1,23 @@
+"""Sources & sinks (SURVEY.md §2.A non-oracle rows).
+
+- :mod:`.paged` — the faithful analogue of the reference's paged,
+  date-chunked Google Analytics Reporting API pull, as a Spark 4 Python
+  DataSource (one input partition per date chunk).
+- :mod:`.ingest` — JSON/CSV ingestion with declared schemas.
+- :mod:`.sinks` — JDBC append, idempotent (anti-join) upsert append,
+  partitioned parquet write.
+"""
+
+from .ingest import read_csv, read_json
+from .paged import PagedEventsDataSource, read_paged
+from .sinks import append_jdbc, upsert_append, write_partitioned
+
+__all__ = [
+    "PagedEventsDataSource",
+    "read_paged",
+    "read_csv",
+    "read_json",
+    "append_jdbc",
+    "upsert_append",
+    "write_partitioned",
+]

@@ -1,0 +1,61 @@
+"""Sinks (SURVEY.md §2.A): JDBC append, idempotent upsert, partitioned
+parquet.
+
+The reference appends typed rows to a SQL table via SQLAlchemy
+``to_sql(append)`` after dropping already-loaded hit ids
+[REF-UNVERIFIED]. The Spark forms:
+
+- :func:`append_jdbc` — ``df.write.jdbc(mode='append')``; needs a JDBC
+  driver jar on the classpath (none in this container → the call is
+  import-gated and unit-tested for its error contract only).
+- :func:`upsert_append` — insert-if-absent on a key: anti-join against
+  the current target, then append. This is the batch form the streaming
+  sync loop (ops/streaming.s_incremental_sync) reuses; on a lakehouse
+  table it becomes ``MERGE INTO`` (Delta/Iceberg jars are also not in
+  this container — documented upgrade path, same plan shape).
+- :func:`write_partitioned` — hive-style partitioned layout, the scan
+  side of partition pruning at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def append_jdbc(df: DataFrame, url: str, table: str, **options: str) -> None:
+    """Append rows to a JDBC table (SQLAlchemy ``to_sql`` analogue)."""
+    writer = df.write.mode("append")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.jdbc(url, table)
+    except Exception as e:  # no JDBC driver in this environment
+        raise RuntimeError(
+            "JDBC append failed — a driver jar (e.g. postgresql) must be on "
+            "spark.jars; none ships in this container"
+        ) from e
+
+
+def upsert_append(
+    spark: SparkSession, incoming: DataFrame, target_path: str, key: str
+) -> int:
+    """Idempotent insert-if-absent on ``key`` into a parquet target.
+
+    Returns the number of appended rows. Safe to re-run with overlapping
+    extracts — the anti-join makes the append exactly-once per key.
+    """
+    try:
+        loaded = spark.read.parquet(target_path).select(key)
+    except Exception:  # first load: target does not exist yet
+        incoming.write.mode("overwrite").parquet(target_path)
+        return incoming.count()
+    fresh = incoming.join(loaded, key, "left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(target_path)
+    return n
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Partitioned parquet write (partition-pruned scans downstream)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

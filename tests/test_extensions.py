@@ -1,0 +1,108 @@
+"""Property tests for the §2.J extension operators (SURVEY.md §5.5).
+
+The rows-only-checked operators (MinHash, SimHash, IVF, HLL) get their
+correctness pinned here: planted duplicates must surface, ANN recall must
+clear a floor, sketches must land within their error bound, and the
+sessionization invariants must hold on the real fixture.
+"""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+from googleanalytics_etl_spark.io import load
+from googleanalytics_etl_spark.registry import queries
+
+
+def test_minhash_finds_planted_duplicates(spark):
+    rows = queries()["x_dedup_near"](spark, SF_SMALL).collect()
+    planted = {(r.doc_a, r.doc_b): r.jaccard for r in rows if r.doc_b >= 1_000_000}
+    # all 10 planted exact duplicates (doc_id d duplicated as d+1e6)
+    for d in range(10):
+        assert (d, d + 1_000_000) in planted, f"planted dup {d} not found"
+        assert planted[(d, d + 1_000_000)] == 1.0
+
+
+def test_simhash_finds_planted_duplicates(spark):
+    rows = queries()["x_dedup_simhash"](spark, SF_SMALL).collect()
+    planted = {(r.doc_a, r.doc_b): r.hamming for r in rows if r.doc_b >= 1_000_000}
+    for d in range(10):
+        assert planted.get((d, d + 1_000_000)) == 0, f"planted dup {d} missing"
+
+
+def test_embed_dedup_finds_planted_vectors(spark):
+    rows = queries()["x_embed_cosine_dedup"](spark, SF_SMALL).collect()
+    pairs = {(r.vec_a, r.vec_b): r.cos_sim for r in rows}
+    for v in range(10):
+        assert pairs.get((v, v + 1_000_000)) == 1.0, f"planted vector {v} missing"
+
+
+def test_ivf_recall_against_brute_force(spark):
+    brute = {r.vec_id for r in queries()["x_sim_knn"](spark, SF_SMALL).collect()}
+    ivf = {r.vec_id for r in queries()["x_sim_knn_ivf"](spark, SF_SMALL).collect()}
+    assert len(brute) == 10 and len(ivf) == 10
+    # 3-of-10 probed partitions over near-uniform random vectors: recall
+    # floor is modest by design; the property is "sane overlap, not junk"
+    assert len(brute & ivf) >= 3, f"IVF recall too low: {brute & ivf}"
+
+
+def test_approx_distinct_error_bound(spark):
+    exact = {
+        r.event_type: r.n_users
+        for r in queries()["q_count_distinct"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in queries()["q_approx_distinct"](spark, SF_SMALL).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.1 * n), (
+            f"{et}: approx {approx[et]} vs exact {n}"
+        )
+
+
+def test_sessionize_invariants(spark):
+    """Every event in exactly one session; intra-session gap ≤ 30 min;
+    consecutive sessions separated by > 30 min (SURVEY.md §5.5)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    e = load(spark, SF_SMALL, "events")
+    s = queries()["q_sessionize"](spark, SF_SMALL)
+    assert s.count() == e.count()
+    assert s.select("event_id").distinct().count() == e.count()
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+    ).over(w)
+    flagged = s.withColumn("gap_us", gap).withColumn(
+        "new_sess",
+        (F.col("session_id") != F.lag("session_id").over(w)).cast("int"),
+    )
+    bad_intra = flagged.where(
+        (F.col("new_sess") == 0) & (F.col("gap_us") > 30 * 60 * 1_000_000)
+    ).count()
+    bad_inter = flagged.where(
+        (F.col("new_sess") == 1) & (F.col("gap_us") <= 30 * 60 * 1_000_000)
+    ).count()
+    assert bad_intra == 0, f"{bad_intra} intra-session gaps exceed 30 min"
+    assert bad_inter == 0, f"{bad_inter} session breaks under 30 min"
+
+
+def test_session_window_agrees_with_sessionize(spark):
+    """The two independent session implementations (window-cumsum vs
+    built-in session_window) must produce identical session sets."""
+    from pyspark.sql import functions as F
+
+    a = (
+        queries()["q_flagship"](spark, SF_SMALL)
+        .select("user_id", "session_start", F.col("n_events"))
+        .collect()
+    )
+    b = (
+        queries()["s_session"](spark, SF_SMALL)
+        .select("user_id", "session_start", F.col("n_events"))
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,90 @@
+"""Plan-shape tests (SURVEY.md §5 layer 3): guard the §4 scale claims.
+
+Correctness says the operator computes the right rows; these say it
+computes them with the *plan we want at 100 TB* — filters pushed to the
+parquet scan, columns pruned, small dims broadcast, sessionization
+shuffling the event log exactly once.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from conftest import SF_SMALL
+
+from googleanalytics_etl_spark.registry import queries
+
+
+def fmt_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def simple_plan(df) -> str:
+    # simple mode keeps "Exchange hashpartitioning(...)" on one line,
+    # which makes shuffle counting reliable (formatted mode splits them)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = queries()["q_scan_pruned"](spark, SF_SMALL)
+    plan = fmt_plan(df)
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("\n")[0], (
+        "l_quantity predicate should reach the parquet reader"
+    )
+    # column pruning: the scan must not read the full 16-column schema
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema, "unused column not pruned"
+
+
+def test_broadcast_join_plan(spark):
+    plan = fmt_plan(queries()["q_join_broadcast"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_star_join_broadcasts(spark):
+    plan = fmt_plan(queries()["q_flagship2"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "dimension joins should broadcast"
+    )
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = simple_plan(queries()["q_sessionize"](spark, SF_SMALL))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, (
+        f"sessionization must shuffle the event log exactly once, "
+        f"saw {n_exchange} hash exchanges"
+    )
+
+
+def test_flagship_single_event_shuffle(spark):
+    # lag-window, session-id cumsum, first/last-touch windows and the
+    # final per-session agg must all reuse the user_id partitioning.
+    plan = simple_plan(queries()["q_flagship"](spark, SF_SMALL))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, (
+        f"flagship pipeline should reuse one user_id shuffle, "
+        f"saw {n_exchange}"
+    )
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = fmt_plan(queries()["q_orderby_limit"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, (
+        "global top-N must not plan a full sort"
+    )
+
+
+def test_knn_broadcasts_query_vector(spark):
+    plan = fmt_plan(queries()["x_sim_knn"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

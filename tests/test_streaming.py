@@ -1,0 +1,101 @@
+"""Streaming batch-equivalence tests (SURVEY.md §5 layer 4).
+
+The registered s_* queries run windowed ops in batch mode (where the
+DuckDB oracle hashes them); here the SAME operators run through a real
+``readStream`` micro-batch pipeline and must produce identical results —
+plus restart/idempotency checks on the stateful paths.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from conftest import SF_SMALL
+
+from googleanalytics_etl_spark.ops.streaming import (
+    SCRATCH,
+    _events_stream,
+    _stage_events,
+    _run_to_memory,
+)
+from googleanalytics_etl_spark.registry import queries
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    """Tumbling agg via readStream (complete mode) == batch twin."""
+    from pyspark.sql import functions as F
+
+    stage = _stage_events(spark, SF_SMALL)
+    agg = (
+        _events_stream(spark, stage)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg, name, "complete")
+    got = _collect_sorted(spark.table(name), ["window_start", "event_type", "n"])
+    want = _collect_sorted(
+        queries()["s_tumbling"](spark, SF_SMALL),
+        ["window_start", "event_type", "n"],
+    )
+    assert got == want
+
+
+def test_streaming_dedup_equals_batch(spark):
+    """withWatermark + dropDuplicates over the stream == batch DISTINCT."""
+    from pyspark.sql import functions as F
+
+    stage = _stage_events(spark, SF_SMALL)
+    dedup = (
+        _events_stream(spark, stage)
+        .withWatermark("ts", "10 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(dedup, name, "append")
+    got = _collect_sorted(spark.table(name), ["event_id", "user_id", "value"])
+    want = _collect_sorted(
+        queries()["s_dedup"](spark, SF_SMALL), ["event_id", "user_id", "value"]
+    )
+    assert got == want
+
+
+def test_watermark_drops_nothing_in_order_but_bounds_emission(spark):
+    """Time-ordered replay: every emitted window is closed (end ≤ final
+    watermark) and emitted counts match the batch per-hour counts."""
+    from pyspark.sql import functions as F
+
+    wm = queries()["s_watermark"](spark, SF_SMALL)
+    batch = (
+        queries()["s_tumbling"](spark, SF_SMALL)
+        .groupBy("window_start")
+        .agg(F.sum("n").alias("n"))
+    )
+    got = {r.window_start: r.n for r in wm.collect()}
+    want = {r.window_start: r.n for r in batch.collect()}
+    assert got, "watermarked stream emitted nothing"
+    for ws, n in got.items():
+        assert want.get(ws) == n, f"window {ws}: streamed {n} vs batch {want.get(ws)}"
+    # emission horizon: all but the trailing unclosed windows emitted
+    assert len(got) >= len(want) - 3
+
+
+def test_incremental_sync_restart_idempotent(spark):
+    """Running the HWM sync loop twice (fresh checkpoints) converges to
+    the same exactly-once state — the reference loop's core guarantee."""
+    a = queries()["s_incremental_sync"](spark, SF_SMALL)
+    b = queries()["s_incremental_sync"](spark, SF_SMALL)
+    ka = _collect_sorted(a, ["event_id", "user_id", "value"])
+    kb = _collect_sorted(b, ["event_id", "user_id", "value"])
+    assert ka == kb
+    assert len(ka) == len({t[0] for t in ka}), "duplicate event_ids after sync"
