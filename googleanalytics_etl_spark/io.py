@@ -48,6 +48,8 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Scale posture: runtime re-planning, skew splitting, coalescing.
     "spark.sql.adaptive.enabled": "true",
+    # Python DataSource predicate pushdown (sources/paged.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

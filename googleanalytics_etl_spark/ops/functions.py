@@ -237,3 +237,22 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return e.select("event_id", F.explode(m).alias("key", "val"))
+
+
+_FN_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INTEGER) AS k,
+       CAST(props->>'$.k' AS INTEGER) * 2 AS k2
+FROM events
+"""
+
+
+@register("q_fn_variant", oracle=_FN_VARIANT_ORACLE)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads: ``parse_json``
+    once, then typed ``variant_get`` extraction — the shredded-at-scale
+    alternative to per-field ``get_json_object`` string re-parsing."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.select("event_id", k.alias("k"), (k * 2).alias("k2"))

@@ -304,3 +304,41 @@ def s_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("ts").cast("timestamp_ntz")
     )
     return synced.select(cols)
+
+
+@register("s_stateful_user", oracle=None)
+def s_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming (``applyInPandasWithState``): a
+    per-user state machine carrying a running event count across
+    micro-batches, emitting the cumulative count each time the user
+    appears in a batch. Rows-only check (emissions are a function of
+    micro-batch boundaries); tests assert the final emission per user
+    equals the batch groupBy count — the state survived the stream.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage = _stage_events(spark, sf_dir)
+
+    def track(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_so_far": [n]})
+
+    emissions = (
+        _events_stream(spark, stage)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id bigint, n_so_far bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(emissions, name, "update")
+    return spark.table(name)

@@ -124,3 +124,35 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         explode_words, schema="doc_id bigint, word string, n bigint"
     )
+
+
+_UDTF_PAIRS_ORACLE = """
+SELECT event_id, 'k' AS key, CAST(props->>'$.k' AS INTEGER) AS val,
+       CAST(props->>'$.k' AS INTEGER) * CAST(props->>'$.k' AS INTEGER) AS val_sq
+FROM events
+"""
+
+
+@register("q_udtf_pairs", oracle=_UDTF_PAIRS_ORACLE)
+def q_udtf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Spark 4 Python UDTF (``@udtf`` + LATERAL join): one payload
+    row → one row per JSON key. The oracle is specialized to the
+    fixture's single-key payload shape (as q_fn_map)."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val int, val_sq int")
+    class ExplodeProps:
+        def eval(self, props: str):
+            if props:
+                for k, v in json.loads(props).items():
+                    yield k, int(v), int(v) * int(v)
+
+    spark.udtf.register("gae_explode_props", ExplodeProps)
+    view = f"__udtf_events_{abs(hash(sf_dir)) % 10**8}"
+    load(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT event_id, t.key, t.val, t.val_sq "
+        f"FROM {view}, LATERAL gae_explode_props(props) t"
+    )

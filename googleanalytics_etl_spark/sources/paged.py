@@ -60,6 +60,50 @@ class PagedEventsReader(DataSourceReader):
         self.path = options["path"]
         self.n_chunks = int(options.get("chunks", 8))
         self.page_size = int(options.get("page_size", 10_000))
+        self.accepted: list = []
+
+    def pushFilters(self, filters):
+        """Predicate pushdown (Spark 4.1 Python DataSource API) — the
+        reference's ``dateRanges``/view-filter request fields: supported
+        comparisons are applied 'server-side' in :meth:`read`; the rest
+        are yielded back for Spark to evaluate."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.accepted.append(f)
+            else:
+                yield f  # unsupported → Spark re-applies
+
+    def _apply_filters(self, table):
+        import pyarrow.compute as pc
+
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: pc.equal,
+            GreaterThan: pc.greater,
+            GreaterThanOrEqual: pc.greater_equal,
+            LessThan: pc.less,
+            LessThanOrEqual: pc.less_equal,
+        }
+        for f in self.accepted:
+            col = f.attribute[0]
+            table = table.filter(ops[type(f)](table[col], f.value))
+        return table
 
     def partitions(self):
         import pyarrow.parquet as pq
@@ -103,6 +147,7 @@ class PagedEventsReader(DataSourceReader):
         page = page.set_column(
             page.schema.get_field_index("ts"), "ts", pc.cast(page["ts"], "int64")
         )
+        page = self._apply_filters(page)
         for batch in page.to_batches(max_chunksize=self.page_size):
             yield batch
 

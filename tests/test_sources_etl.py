@@ -118,3 +118,33 @@ def test_sync_pipeline_incremental(spark):
     # derived hit ids are unique and the HWM advanced
     assert pipe.target().select("hit_id").distinct().count() == e.count()
     assert pipe.high_water_mark() == e.agg(F.max("ts")).first()[0]
+
+
+def test_paged_source_filter_pushdown(spark):
+    """Spark pushes supported comparisons into the source; results match
+    the equivalent batch filter, and the reader honors them server-side."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.sources.paged import PagedEventsReader
+
+    batch = load(spark, SF_SMALL, "events").where("user_id = 3")
+    paged = read_paged(spark, SF_SMALL, chunks=4).where("user_id = 3")
+    assert paged.count() == batch.count()
+    assert paged.agg(F.sum("event_id")).first()[0] == (
+        batch.agg(F.sum("event_id")).first()[0]
+    )
+
+    # reader-level contract: supported filters accepted, others yielded
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    r = PagedEventsReader({"path": f"{SF_SMALL}/events.parquet"})
+    class Unsupported:  # stands in for e.g. StringContains
+        attribute = ("event_type",)
+    leftover = list(r.pushFilters([EqualTo(("user_id",), 3), Unsupported()]))
+    assert len(r.accepted) == 1 and isinstance(r.accepted[0], EqualTo)
+    assert len(leftover) == 1 and isinstance(leftover[0], Unsupported)
+    part = r.partitions()[0]
+    rows = sum(b.num_rows for b in r.read(part))
+    full = PagedEventsReader({"path": f"{SF_SMALL}/events.parquet"})
+    rows_full = sum(b.num_rows for b in full.read(full.partitions()[0]))
+    assert 0 < rows < rows_full, "server-side filter did not reduce the page"

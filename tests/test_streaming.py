@@ -99,3 +99,29 @@ def test_incremental_sync_restart_idempotent(spark):
     kb = _collect_sorted(b, ["event_id", "user_id", "value"])
     assert ka == kb
     assert len(ka) == len({t[0] for t in ka}), "duplicate event_ids after sync"
+
+
+def test_stateful_user_counts_converge(spark):
+    """applyInPandasWithState: the last emission per user must equal the
+    batch per-user event count — state carried across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.io import load
+
+    em = queries()["s_stateful_user"](spark, SF_SMALL)
+    final = {
+        r.user_id: r.n_so_far
+        for r in em.groupBy("user_id")
+        .agg(F.max("n_so_far").alias("n_so_far"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == want
+    # >1 emission for at least one user proves multi-batch statefulness
+    assert em.count() > len(want)
