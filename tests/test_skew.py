@@ -1,0 +1,39 @@
+"""Equivalence tests for explicit skew mitigation (skew.py)."""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+from googleanalytics_etl_spark.io import load
+from googleanalytics_etl_spark.skew import salted_distinct_count, salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    li = load(spark, SF_SMALL, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    p = load(spark, SF_SMALL, "part")
+    plain = li.join(p, "p_partkey").groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_join(li, p, "p_partkey", salt_n=8).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_distinct_count_exact(spark):
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF_SMALL, "events")
+    plain = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct")
+    )
+    salted = salted_distinct_count(e, "event_type", "user_id", salt_n=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
