@@ -148,3 +148,25 @@ def test_paged_source_filter_pushdown(spark):
     full = PagedEventsReader({"path": f"{SF_SMALL}/events.parquet"})
     rows_full = sum(b.num_rows for b in full.read(full.partitions()[0]))
     assert 0 < rows < rows_full, "server-side filter did not reduce the page"
+
+
+def test_materialize_reports(spark):
+    """EP3 derived tables: correct contents, pruned layouts."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.reports import materialize_reports
+
+    e = load(spark, SF_SMALL, "events")
+    paths = materialize_reports(spark, e, str(SCRATCH / "reports"))
+
+    sessions = spark.read.parquet(paths["sessions"])
+    from googleanalytics_etl_spark.registry import queries
+
+    want = queries()["q_flagship"](spark, SF_SMALL).count()
+    assert sessions.count() == want  # == 946 at sf0.001 (FIXTURES.md)
+    assert sessions.where("session_start > session_end").count() == 0
+
+    daily = spark.read.parquet(paths["daily_metrics"])
+    total = daily.agg(F.sum("n")).first()[0]
+    assert total == e.count()
+    assert (Path(paths["daily_metrics"]) / "day_str=2024-01-01").exists()

@@ -1,0 +1,57 @@
+"""Emulate the external driver: vanilla SparkSession + __spark_entry__ contract."""
+import sys, json
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb
+
+# Vanilla session — deliberately NOT the engine's builder: no nanosAsLong,
+# no UTC tz. The entry module must make queries work anyway.
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as mod
+
+df = mod.entry(spark)
+rows = df.collect()
+print("entry(): rows =", len(rows), "schema =", [f.name for f in df.schema.fields])
+print("sample:", rows[0])
+
+q = mod.queries(); o = mod.oracle_sql()
+print("queries:", sorted(q.keys()))
+print("oracled:", sorted(o.keys()))
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+
+# driver-style compare at sf0.01 for every oracled key
+def norm(cols, rows):
+    import math
+    from decimal import Decimal
+    from datetime import datetime, date
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    def nc(v):
+        if isinstance(v, Decimal): return float(v)
+        if isinstance(v, datetime): return v.replace(tzinfo=None).isoformat()
+        if isinstance(v, date): return v.isoformat()
+        if isinstance(v, float) and math.isnan(v): return "NaN"
+        return v
+    out = sorted([tuple(nc(r[i]) for i in idx) for r in rows],
+                 key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in idx], out
+
+ok = True
+for k in sorted(q.keys()):
+    sdf = q[k](spark, "/root/testdata/sf0.01")
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    if k in o:
+        cur = con.execute(o[k]); dcols = [d[0] for d in cur.description]; drows = cur.fetchall()
+        sc, sn = norm(scols, srows); dc, dn = norm(dcols, drows)
+        match = sc == dc and sn == dn
+        ok &= match
+        print(f"{k}: spark={len(srows)} duck={len(drows)} cols_match={sc==dc} hash_match={match}")
+    else:
+        print(f"{k}: rows-only, {len(srows)} rows")
+print("ALL MATCH" if ok else "MISMATCH FOUND")
