@@ -177,3 +177,29 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_view_ts")
     )
+
+
+_SUBQUERY_CORR_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+           AS cust_orders
+FROM orders o
+"""
+
+
+@register("q_subquery_correlated", oracle=_SUBQUERY_CORR_ORACLE)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point — Catalyst
+    decorrelates it to an aggregate + join (RewriteCorrelatedScalarSubquery,
+    SURVEY.md §4), so the executed plan is shuffle-equivalent to the
+    manual groupBy+join a user would hand-write."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__corr_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               (SELECT COUNT(*) FROM __corr_orders o2
+                WHERE o2.o_custkey = o.o_custkey) AS cust_orders
+        FROM __corr_orders o
+        """
+    )

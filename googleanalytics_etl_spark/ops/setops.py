@@ -118,3 +118,28 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.where(F.col("value") > 50).select("user_id", "event_type")
     return a.intersectAll(b)
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'disc' AS metric, l_discount AS val
+FROM lineitem
+"""
+
+
+@register("q_unpivot", oracle=_UNPIVOT_ORACLE)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): metric columns to (metric, val) rows via
+    ``stack`` — the inverse of q_pivot, pure Expand (no shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
+        "'disc', l_discount) AS (metric, val)",
+    )
