@@ -125,3 +125,38 @@ def test_stateful_user_counts_converge(spark):
     assert final == want
     # >1 emission for at least one user proves multi-batch statefulness
     assert em.count() > len(want)
+
+
+def test_streaming_session_window_closed_sessions_match_batch(spark):
+    """Real streaming session_window (watermark + append): every emitted
+    (closed) session must appear identically in the batch twin."""
+    from pyspark.sql import functions as F
+
+    stage = _stage_events(spark, SF_SMALL)
+    agg = (
+        _events_stream(spark, stage)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg, name, "append")
+    streamed = _collect_sorted(
+        spark.table(name), ["user_id", "session_start", "n_events"]
+    )
+    batch = set(
+        _collect_sorted(
+            queries()["s_session"](spark, SF_SMALL),
+            ["user_id", "session_start", "n_events"],
+        )
+    )
+    assert streamed, "no sessions emitted"
+    missing = [s for s in streamed if s not in batch]
+    assert not missing, f"streamed sessions absent from batch: {missing[:3]}"
