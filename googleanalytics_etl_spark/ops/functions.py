@@ -256,3 +256,49 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
     return e.select("event_id", k.alias("k"), (k * 2).alias("k2"))
+
+
+# A deterministic synthetic page URL per event (the fixture has no URL
+# column; the reference's pagePath + UTM parsing is exercised on it).
+_URL_EXPR = (
+    "concat('https://shop.example.com/', event_type, '/p', "
+    "CAST(user_id AS {str_t}), '?utm_source=src', "
+    "CAST(user_id % 5 AS {str_t}), '&utm_medium=cpc&k=', "
+    "CAST(event_id % 97 AS {str_t}))"
+)
+
+_FN_URL_ORACLE = f"""
+WITH u AS (
+    SELECT event_id,
+           {_URL_EXPR.format(str_t="VARCHAR")} AS url
+    FROM events
+)
+SELECT event_id, url,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]utm_source=([^&]*)', 1) AS utm_source,
+       regexp_extract(url, '[?&]utm_medium=([^&]*)', 1) AS utm_medium,
+       CAST(regexp_extract(url, '[?&]k=([^&]*)', 1) AS INTEGER) AS k_param
+FROM u
+"""
+
+
+@register("q_fn_url", oracle=_FN_URL_ORACLE)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family — THE reference transform: pagePath and UTM-parameter
+    extraction from page URLs [REF-UNVERIFIED: SURVEY.md §2.G "pagePath
+    & UTM parsing"]. Identical regexp semantics on both engines (Spark
+    ``parse_url`` has no DuckDB twin, so the portable form is regexes;
+    parse_url remains available for Spark-only pipelines)."""
+    e = load(spark, sf_dir, "events")
+    url = F.expr(_URL_EXPR.format(str_t="STRING"))
+    out = e.select("event_id", url.alias("url"))
+    return out.select(
+        "event_id",
+        "url",
+        F.regexp_extract("url", "^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", "^https?://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", "[?&]utm_source=([^&]*)", 1).alias("utm_source"),
+        F.regexp_extract("url", "[?&]utm_medium=([^&]*)", 1).alias("utm_medium"),
+        F.regexp_extract("url", "[?&]k=([^&]*)", 1).cast("int").alias("k_param"),
+    )
