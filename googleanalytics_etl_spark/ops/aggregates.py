@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..registry import DEC, davg, dsum, register, sql_davg, sql_dsum
+from ..registry import DEC, favg, fsum, register, sql_davg, sql_dsum
 
 _GROUPBY_AGG_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
@@ -39,13 +39,14 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
     )
+    # fsum/favg: the metrics are ≤4-decimal exact (registry.py fast path)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_base_price"),
-        dsum(disc_price, "sum_disc_price"),
-        davg("l_quantity", "avg_qty"),
-        davg("l_discount", "avg_disc"),
+        fsum("l_quantity", "sum_qty"),
+        fsum("l_extendedprice", "sum_base_price"),
+        fsum(disc_price, "sum_disc_price"),
+        favg("l_quantity", "avg_qty"),
+        favg("l_discount", "avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -112,7 +113,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", "total_price"),
+            fsum("o_totalprice", "total_price"),
         )
         .select(
             "o_orderstatus",
@@ -146,7 +147,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count(F.lit(1)).alias("n_lines"),
-            dsum("l_quantity", "sum_qty"),
+            fsum("l_quantity", "sum_qty"),
         )
         .select(
             "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_lines", "sum_qty"
@@ -224,13 +225,10 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered aggregation (conversion counting): count/sum under CASE."""
     e = load(spark, sf_dir, "events")
     is_purchase = F.col("event_type") == "purchase"
+    purchase = F.when(is_purchase, F.col("value")).otherwise(F.lit(0.0))
     return e.groupBy("user_id").agg(
         F.sum(F.when(is_purchase, 1).otherwise(0)).cast("long").alias("n_purchases"),
-        F.sum(
-            F.when(is_purchase, F.col("value")).otherwise(F.lit(0.0)).cast(DEC)
-        )
-        .cast("double")
-        .alias("purchase_value"),
+        fsum(purchase, "purchase_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

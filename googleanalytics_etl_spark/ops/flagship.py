@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..registry import DEC, register, sql_dsum
+from ..registry import fsum, register, sql_dsum
 
 GAP_MINUTES = 30
 
@@ -118,7 +118,7 @@ def session_metrics(events: DataFrame) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(purchase.cast(DEC)).cast("double").alias("purchase_value"),
+        fsum(purchase, "purchase_value"),  # value is 2-decimal exact
         F.first("first_event_type").alias("first_event_type"),
         F.first("last_event_type").alias("last_event_type"),
     )
@@ -193,14 +193,14 @@ def q_flagship2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         joined.rollup("r_name", "n_name")
         .agg(
             F.grouping("r_name").cast("int").alias("g_region"),
             F.grouping("n_name").cast("int").alias("g_nation"),
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(revenue).cast("double").alias("revenue"),
+            fsum(revenue, "revenue"),  # 2-dec × 2-dec = 4-dec exact
         )
         .select("r_name", "n_name", "g_region", "g_nation", "n_lines", "revenue")
     )

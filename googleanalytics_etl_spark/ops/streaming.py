@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..registry import DEC, register, sql_dsum
+from ..registry import fsum, register, sql_dsum
 
 SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
 
@@ -55,7 +55,7 @@ def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+            fsum("value", "total_value"),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
@@ -131,7 +131,7 @@ def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+            fsum("value", "session_value"),
         )
         .select(
             "user_id",

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..registry import DEC, register
+from ..registry import fscaled, register
 
 _WINDOW_RANK_ORACLE = """
 SELECT event_id, event_type, value,
@@ -105,7 +105,9 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        # long-scaled exact running sum (registry.py fast path): immune
+        # to frame-evaluation order, 2× cheaper than decimal frames
+        (F.sum(fscaled("value")).over(w) / 10_000.0).alias("running_value"),
         F.count(F.lit(1)).over(w).cast("long").alias("running_n"),
     )
 
@@ -136,10 +138,9 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast(DEC))
-        .over(w)
-        .cast("double")
-        .alias("trailing_7d_total"),
+        (F.sum(fscaled("o_totalprice")).over(w) / 10_000.0).alias(
+            "trailing_7d_total"
+        ),
     )
 
 
@@ -188,7 +189,7 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-value quartiles (segmentation): agg then ntile(4)."""
     e = load(spark, sf_dir, "events")
     totals = e.groupBy("user_id").agg(
-        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value")
+        (F.sum(fscaled("value")) / 10_000.0).alias("total_value")
     )
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
     return totals.select(
