@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..registry import DEC, favg, fsum, register, sql_davg, sql_dsum
+from ..registry import DEC, favg, fscaled, fsum, register, sql_davg, sql_dsum
 
 _GROUPBY_AGG_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
@@ -141,13 +141,18 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: every grouping combination (cross-tab reports)."""
     li = load(spark, sf_dir, "lineitem")
+    # pre-aggregate before Expand (see q_flagship2): cube re-aggregates
+    # |flag×status| partials, not the fact table
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum(fscaled("l_quantity")).alias("ps")
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        base.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.count(F.lit(1)).alias("n_lines"),
-            fsum("l_quantity", "sum_qty"),
+            F.sum("pn").alias("n_lines"),
+            (F.sum("ps") / 10_000.0).alias("sum_qty"),
         )
         .select(
             "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_lines", "sum_qty"

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..registry import fsum, register, sql_dsum
+from ..registry import fscaled, fsum, register, sql_dsum
 
 GAP_MINUTES = 30
 
@@ -193,14 +193,22 @@ def q_flagship2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    # Pre-aggregate per (region, nation) BEFORE the rollup: the Expand
+    # operator then triples ~|nations| partial rows instead of the full
+    # fact table — at 100 TB the rollup re-aggregates KBs of partials.
+    # Exactness holds because the scaled-long sums are associative
+    # (2-dec × 2-dec revenue = 4-dec exact; registry.py fast path).
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum(fscaled(revenue)).alias("ps")
+    )
     return (
-        joined.rollup("r_name", "n_name")
+        base.rollup("r_name", "n_name")
         .agg(
             F.grouping("r_name").cast("int").alias("g_region"),
             F.grouping("n_name").cast("int").alias("g_nation"),
-            F.count(F.lit(1)).alias("n_lines"),
-            fsum(revenue, "revenue"),  # 2-dec × 2-dec = 4-dec exact
+            F.sum("pn").alias("n_lines"),
+            (F.sum("ps") / 10_000.0).alias("revenue"),
         )
         .select("r_name", "n_name", "g_region", "g_nation", "n_lines", "revenue")
     )
