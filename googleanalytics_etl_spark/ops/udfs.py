@@ -34,7 +34,7 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (parity surface; see module docstring)."""
 
     @F.udf(T.StringType())
-    def normalize(event_type: str, user_id: int) -> str:
+    def normalize(event_type, user_id):
         return f"{event_type.lower()}:{user_id % 100}"
 
     e = load(spark, sf_dir, "events")
