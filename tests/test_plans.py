@@ -88,3 +88,44 @@ def test_topk_uses_take_ordered(spark):
 def test_knn_broadcasts_query_vector(spark):
     plan = fmt_plan(queries()["x_sim_knn"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# Ops whose plans legitimately contain Python evaluation (the declared
+# UDF/UDTF/stateful surface) or a broadcast nested-loop (the broadcast
+# query-vector cross joins).
+_PYTHON_OK = {
+    "q_udf_scalar",
+    "q_udf_pandas",
+    "q_udaf_pandas",
+    "q_udtf_explode",
+    "q_udtf_pairs",
+    "x_multimodal",
+    "x_media_frames",
+    "s_stateful_user",
+}
+_BNLJ_OK = {"x_sim_knn", "x_sim_knn_ivf"}
+# real streaming ops execute inside the builder; plan-linting the
+# returned memory/parquet table is meaningless
+_SKIP = {"s_watermark", "s_incremental_sync", "s_stateful_user"}
+
+
+def test_plan_lint_no_accidental_python_or_cartesian(spark):
+    """Every operator's physical plan is free of accidental slow paths:
+    no Python evaluation outside the declared UDF surface, no cartesian
+    product or undeclared nested-loop join anywhere."""
+    from googleanalytics_etl_spark.registry import REGISTRY
+
+    offenders = []
+    for key in sorted(queries()):
+        if key in _SKIP:
+            continue
+        plan = simple_plan(queries()[key](spark, SF_SMALL))
+        if key not in _PYTHON_OK and (
+            "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+        ):
+            offenders.append((key, "python-eval"))
+        if "CartesianProduct" in plan:
+            offenders.append((key, "cartesian"))
+        if key not in _BNLJ_OK and "BroadcastNestedLoopJoin" in plan:
+            offenders.append((key, "bnlj"))
+    assert not offenders, f"slow-path plans: {offenders}"
