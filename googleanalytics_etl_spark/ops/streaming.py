@@ -229,16 +229,32 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-@register("s_watermark", oracle=None)
+_WATERMARK_ORACLE = """
+WITH b AS (
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS window_start,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+), h AS (
+    SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS horizon FROM events
+)
+SELECT window_start, n FROM b, h
+WHERE window_start + INTERVAL 1 HOUR <= horizon
+"""
+
+
+@register("s_watermark", oracle=_WATERMARK_ORACLE)
 def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real watermarked streaming aggregation (append mode).
 
     Events stream in 5 time-ordered micro-batches; a 1-hour watermark
-    bounds state. Append mode emits only windows the watermark has
-    closed, so the result is the hourly counts for all windows that
-    ended ≥1h before the final max event time — exactly the reference's
-    trailing re-extract horizon, made explicit. Rows-only check (emission
-    depends on micro-batch watermark advancement, not pure SQL).
+    bounds state. Append mode emits exactly the windows the final
+    watermark closed: hourly windows whose end ≤ max(ts) − 1h — the
+    reference's trailing re-extract horizon, made explicit. Because the
+    staged micro-batch order is deterministic (time-span chunks, one
+    file per trigger), that emission set is itself SQL-expressible and
+    this streaming query carries a FULL hash oracle (verified equal at
+    sf0.001 and sf0.01).
     """
     stage = _stage_events(spark, sf_dir)
     agg = (
