@@ -102,12 +102,18 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_udtf_explode", oracle=None)
+_UDTF_EXPLODE_ORACLE = """
+SELECT doc_id, word, COUNT(*) AS n
+FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+GROUP BY doc_id, word
+"""
+
+
+@register("q_udtf_explode", oracle=_UDTF_EXPLODE_ORACLE)
 def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row→many-rows via ``mapInPandas`` (UDTF-style response-row
     flattening): each document yields one row per distinct word with its
-    in-doc frequency. Rows-only check (per-partition batch iteration is
-    the point; the equivalent SQL is q_fn_map/explode territory)."""
+    in-doc frequency — hash-checked against the explode+group SQL."""
 
     def explode_words(batches):
         for pdf in batches:
