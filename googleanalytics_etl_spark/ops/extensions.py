@@ -760,3 +760,57 @@ def x_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_VALIDATE_ORACLE = """
+SELECT 'doc_n_chars_mismatch' AS rule,
+       CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations,
+       COUNT(*) AS total
+FROM documents
+UNION ALL
+SELECT 'doc_bad_lang',
+       CAST(SUM(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM documents
+UNION ALL
+SELECT 'event_negative_value',
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM events
+UNION ALL
+SELECT 'event_dup_id',
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+       COUNT(*)
+FROM events
+"""
+
+
+@register("x_validate", oracle=_VALIDATE_ORACLE)
+def x_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch data-quality gate (validate.check): declared invariants
+    evaluated one-scan-per-table, a row per rule — what a training-data
+    pipeline runs before promoting an ingested batch."""
+    from ..validate import check
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "events")
+    doc_rules = check(
+        d,
+        {
+            "doc_n_chars_mismatch": "n_chars <> length(text)",
+            "doc_bad_lang": "lang NOT IN ('de','en','es','fr','zh')",
+        },
+    )
+    ev_rules = check(e, {"event_negative_value": "value < 0"})
+    dup = (
+        e.agg(
+            (F.count(F.lit(1)) - F.countDistinct("event_id"))
+            .cast("long")
+            .alias("violations"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(F.lit("event_dup_id").alias("rule"), "violations", "total")
+    )
+    return doc_rules.unionByName(ev_rules).unionByName(dup)

@@ -37,3 +37,13 @@ def test_salted_distinct_count_exact(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_check_unique_finds_planted_duplicate(spark):
+    from googleanalytics_etl_spark.validate import check_unique
+
+    e = load(spark, SF_SMALL, "events").select("event_id")
+    assert check_unique(e, "event_id").count() == 0
+    dup = e.unionByName(e.limit(3))
+    rows = {r.event_id: r.n for r in check_unique(dup, "event_id").collect()}
+    assert len(rows) == 3 and all(n == 2 for n in rows.values())
