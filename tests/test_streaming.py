@@ -160,3 +160,68 @@ def test_streaming_session_window_closed_sessions_match_batch(spark):
     assert streamed, "no sessions emitted"
     missing = [s for s in streamed if s not in batch]
     assert not missing, f"streamed sessions absent from batch: {missing[:3]}"
+
+
+def test_checkpoint_resume_picks_up_only_new_files(spark):
+    """Fault-tolerance contract: restarting the sync stream from its
+    checkpoint processes only files added since the stop — offsets
+    persist, the target stays exactly-once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.io import load
+
+    base = SCRATCH / "ckpt_resume"
+    shutil.rmtree(base, ignore_errors=True)
+    stage, target, ckpt = base / "stage", base / "target", base / "ckpt"
+
+    e = (
+        load(spark, SF_SMALL, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    total = e.count()
+    first = e.where(F.col("user_id") % 3 != 0)
+    second = e.where(F.col("user_id") % 3 == 0)
+    first.coalesce(1).write.mode("append").parquet(str(stage))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stage))
+        )
+
+        def sink(batch_df, _epoch):
+            try:
+                loaded = batch_df.sparkSession.read.parquet(str(target)).select(
+                    "event_id"
+                )
+                fresh = batch_df.join(loaded, "event_id", "left_anti")
+            except Exception:
+                fresh = batch_df
+            fresh.write.mode("append").parquet(str(target))
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(str(target)).count()
+    assert n1 == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(str(stage))
+    run_once()  # SAME checkpoint: must process only the new file
+    final = spark.read.parquet(str(target))
+    assert final.count() == total
+    assert final.select("event_id").distinct().count() == total
