@@ -93,3 +93,42 @@ def test_entry_smoke(spark):
 
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+# Spark dtype → compatible DuckDB column_type(s). The driver compares
+# schemas; a value-hash match with a type mismatch would still fail.
+_TYPE_COMPAT = {
+    "bigint": {"BIGINT", "HUGEINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "decimal(12,2)": {"DECIMAL(12,2)"},
+    "array<float>": {"FLOAT[]"},
+    "array<string>": {"VARCHAR[]"},
+}
+
+
+@pytest.mark.parametrize("key", ORACLED)
+def test_schema_types_compatible(spark, duck_small, key):
+    sdf = queries()[key](spark, SF_SMALL)
+    s_types = dict(sdf.dtypes)
+    d_types = {
+        r[0]: r[1]
+        for r in duck_small.execute(f"DESCRIBE {oracle_sql()[key]}").fetchall()
+    }
+    assert set(s_types) == set(d_types), (
+        f"{key}: column sets differ {sorted(s_types)} vs {sorted(d_types)}"
+    )
+    bad = []
+    for col, st in s_types.items():
+        allowed = _TYPE_COMPAT.get(st)
+        if allowed is None or d_types[col] not in allowed:
+            bad.append((col, st, d_types[col]))
+    assert not bad, f"{key}: type mismatches {bad}"
