@@ -71,11 +71,16 @@ class SyncPipeline:
     # -- the sync loop (EP1' steps 1-5) ----------------------------------
 
     def high_water_mark(self):
-        """Read max(watermark_col) from the target (None if no target)."""
-        try:
-            t = self.spark.read.parquet(self.target_path)
-        except Exception:
+        """Read max(watermark_col) from the target (None if no target).
+
+        Uses an explicit existence check — a read error on an existing
+        target must raise, not silently restart the sync from zero.
+        """
+        from .sources.sinks import _target_exists
+
+        if not _target_exists(self.spark, self.target_path):
             return None
+        t = self.spark.read.parquet(self.target_path)
         row = t.agg(F.max(self.config["watermark_col"]).alias("hwm")).first()
         return row["hwm"]
 

@@ -15,27 +15,17 @@ One module per SURVEY.md §2 category:
 - ``flagship``    — composed flagship pipelines
 """
 
-from . import flagship  # noqa: F401
-
-_OPTIONAL = (
-    "scans",
-    "projection",
-    "joins",
-    "aggregates",
-    "windows",
-    "setops",
-    "functions",
-    "streaming",
-    "udfs",
-    "extensions",
-    "multimodal",
+from . import (  # noqa: F401
+    aggregates,
+    extensions,
+    flagship,
+    functions,
+    joins,
+    multimodal,
+    projection,
+    scans,
+    setops,
+    streaming,
+    udfs,
+    windows,
 )
-
-import importlib as _importlib
-
-for _m in _OPTIONAL:
-    try:
-        _importlib.import_module(f".{_m}", __name__)
-    except ModuleNotFoundError as e:  # module not written yet (build plan §7)
-        if e.name and not e.name.endswith(_m):
-            raise

@@ -44,11 +44,13 @@ def media_table(documents: DataFrame) -> DataFrame:
     schema and plan shape are what matter: BINARY payload, STRING type
     tag, BIGINT size, all prunable without touching the payload.)
     """
+    media = F.encode(F.col("text"), "UTF-8")
     return documents.select(
         "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("media"),
+        media.alias("media"),
         F.lit("text/plain").alias("media_type"),
-        F.length(F.col("text")).cast("long").alias("n_bytes"),
+        # length() on BINARY counts bytes (≠ chars for non-ASCII text)
+        F.length(media).cast("long").alias("n_bytes"),
         F.struct(
             F.col("lang").alias("lang"), F.col("source").alias("source")
         ).alias("meta"),
@@ -58,7 +60,7 @@ def media_table(documents: DataFrame) -> DataFrame:
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        'text/plain' AS media_type,
-       CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        ascii(text) AS first_byte,
        CAST(NULL AS INTEGER) AS decoded_width
 FROM documents

@@ -174,8 +174,18 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
     source processes them in event-time order — micro-batch boundaries
     become deterministic, which makes watermark behavior reproducible.
     """
-    sf_name = Path(sf_dir).name
-    stage = SCRATCH / "stream_stage" / sf_name
+    # Cache key covers the resolved source path AND its (size, mtime):
+    # a different dataset with the same basename, or an in-place
+    # regeneration, must invalidate the staged copy.
+    import hashlib
+    import os
+
+    src = Path(sf_dir) / "events.parquet"
+    st = os.stat(src)
+    fingerprint = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{n_chunks}".encode()
+    ).hexdigest()[:16]
+    stage = SCRATCH / "stream_stage" / f"{Path(sf_dir).name}_{fingerprint}"
     done = stage / "_STAGED"
     if done.exists():
         return str(stage)

@@ -81,12 +81,14 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary row order the shuffle delivers per group."""
 
     def user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        k = pdf["props"].str.extract(r'"k":\s*(-?\d+)')[0].astype("int64")
+        # NULL/keyless payloads are skipped (dropna) to mirror SQL SUM's
+        # null semantics instead of crashing the executor
+        k = pdf["props"].str.extract(r'"k":\s*(-?\d+)')[0].dropna().astype("int64")
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "k_sum": [int(k.sum())],
+                "k_sum": [int(k.sum()) if len(k) else None],
                 "n_types": [pdf["event_type"].nunique()],
                 "max_value": [pdf["value"].max()],
             }

@@ -33,7 +33,18 @@ def salted_join(
     hot key over ``salt_n`` reducers. Memory cost: small side ×
     ``salt_n`` — use only when the small side is modest but above the
     broadcast threshold.
+
+    Only join types where unmatched *small*-side rows are never emitted
+    are supported: a right/full outer join would emit each unmatched
+    replicated row ``salt_n`` times.
     """
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would duplicate unmatched rows in right/full "
+            "outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(

@@ -7,9 +7,13 @@ loops a page token inside each chunk [REF-UNVERIFIED: SURVEY.md §2.A
 Data Source** (Spark 4 ``pyspark.sql.datasource``) whose planner emits
 **one input partition per date chunk** — so the "API" is pulled by all
 executors in parallel, each chunk internally iterating fixed-size pages
-exactly like a pageToken loop. Column pruning is honored at the source
-(the page fetch materializes only requested columns), mirroring the
-reference's request-only-configured-dimensions behavior.
+exactly like a pageToken loop. Date-range work is pruned twice: the
+planner derives chunk bounds from footer statistics only, and each
+partition reads only the row groups overlapping its chunk. Predicate
+pushdown (``pushFilters``) applies supported comparisons at the source,
+mirroring the reference's request-body filters. (Column pruning is not
+yet part of Spark's Python DataSource reader API — the fixed six-column
+schema is returned as declared.)
 
 No network exists in this environment, so the "REST endpoint" is played
 by the events parquet file read through pyarrow (TESTDATA is the fake
@@ -119,11 +123,17 @@ class PagedEventsReader(DataSourceReader):
         )
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(ts_idx).statistics
+            if st is None or st.min is None or st.max is None:
+                continue  # stats-less row group: fall back below
             mn, mx = st.min, st.max
             mn = int(mn.value if hasattr(mn, "value") else mn)
             mx = int(mx.value if hasattr(mx, "value") else mx)
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
+        if lo is None or hi is None:
+            # no usable ts statistics (stats disabled / empty file):
+            # degrade to one full-range chunk rather than crash planning
+            return [DateChunk(-(2**62), 2**62)]
         span = (hi - lo) // self.n_chunks + 1
         return [
             DateChunk(lo + i * span, lo + (i + 1) * span)
@@ -137,7 +147,30 @@ class PagedEventsReader(DataSourceReader):
         # The 'server side': date-range filter applied at the source
         # (the reference's dateRanges request field), then the pageToken
         # loop — fixed-size record batches, one yield per 'page'.
-        table = pq.read_table(self.path)
+        # Row groups outside this partition's ts range are skipped from
+        # footer stats — each chunk reads ~1/n_chunks of the file, not
+        # all of it.
+        meta = pq.read_metadata(self.path)
+        ts_idx = next(
+            i
+            for i in range(len(meta.schema))
+            if meta.schema.column(i).name == "ts"
+        )
+        groups = []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ts_idx).statistics
+            if st is None or st.min is None or st.max is None:
+                groups.append(rg)  # unknown range: must read
+                continue
+            mn, mx = st.min, st.max
+            mn = int(mn.value if hasattr(mn, "value") else mn)
+            mx = int(mx.value if hasattr(mx, "value") else mx)
+            if mx >= partition.start_ns and mn < partition.end_ns:
+                groups.append(rg)
+        if not groups:
+            return
+        f = pq.ParquetFile(self.path)
+        table = f.read_row_groups(groups)
         ts = pc.cast(table["ts"], "int64")
         mask = pc.and_(
             pc.greater_equal(ts, partition.start_ns),

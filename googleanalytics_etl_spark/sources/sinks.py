@@ -36,23 +36,43 @@ def append_jdbc(df: DataFrame, url: str, table: str, **options: str) -> None:
         ) from e
 
 
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check via Hadoop FS (works for any supported scheme).
+
+    Deliberately NOT try/except around the read: a transient read error
+    on an existing target must propagate, never be mistaken for
+    "first load" — that confusion would overwrite accumulated history.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def upsert_append(
     spark: SparkSession, incoming: DataFrame, target_path: str, key: str
 ) -> int:
     """Idempotent insert-if-absent on ``key`` into a parquet target.
 
     Returns the number of appended rows. Safe to re-run with overlapping
-    extracts — the anti-join makes the append exactly-once per key.
+    extracts — the anti-join makes the append exactly-once per key. A
+    read failure on an existing target raises (it is never treated as an
+    empty target).
     """
-    try:
-        loaded = spark.read.parquet(target_path).select(key)
-    except Exception:  # first load: target does not exist yet
+    if not _target_exists(spark, target_path):
         incoming.write.mode("overwrite").parquet(target_path)
         return incoming.count()
-    fresh = incoming.join(loaded, key, "left_anti")
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(target_path)
+    loaded = spark.read.parquet(target_path).select(key)
+    # persist: the count and the append must observe the SAME rows even
+    # if `incoming` contains nondeterministic steps
+    fresh = incoming.join(loaded, key, "left_anti").persist()
+    try:
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(target_path)
+    finally:
+        fresh.unpersist()
     return n
 
 

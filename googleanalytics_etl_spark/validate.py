@@ -22,14 +22,24 @@ def check(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     — one scan regardless of rule count, fully declarative (the one-row
     aggregate is unpivoted with ``stack``, nothing touches the driver).
     """
+    if not rules:
+        raise ValueError("check() requires at least one rule")
+    for name in rules:
+        if "`" in name or "'" in name:
+            raise ValueError(f"rule name {name!r} may not contain quotes")
+    # internal aliases avoid collisions with user rule names; backticks
+    # make arbitrary rule names (spaces, hyphens, keywords) safe
     aggs = [
-        F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(name)
-        for name, pred in rules.items()
+        F.sum(F.when(F.expr(pred), 1).otherwise(0))
+        .cast("long")
+        .alias(f"__r_{i}")
+        for i, pred in enumerate(rules.values())
     ]
-    agg_df = df.agg(*aggs, F.count(F.lit(1)).alias("total"))
-    pairs = ", ".join(f"'{name}', {name}" for name in rules)
+    agg_df = df.agg(*aggs, F.count(F.lit(1)).alias("__total"))
+    pairs = ", ".join(f"'{name}', `__r_{i}`" for i, name in enumerate(rules))
     return agg_df.selectExpr(
-        f"stack({len(rules)}, {pairs}) AS (rule, violations)", "total"
+        f"stack({len(rules)}, {pairs}) AS (rule, violations)",
+        "`__total` AS total",
     )
 
 
