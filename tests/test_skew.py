@@ -47,3 +47,37 @@ def test_check_unique_finds_planted_duplicate(spark):
     dup = e.unionByName(e.limit(3))
     rows = {r.event_id: r.n for r in check_unique(dup, "event_id").collect()}
     assert len(rows) == 3 and all(n == 2 for n in rows.values())
+
+
+def test_sessionize_survives_hot_user(spark):
+    """Pathological skew: one bot user owns half the event log. The
+    sessionization window must stay correct (streaming per-partition
+    evaluation, no per-user materialization blowup)."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.ops.flagship import sessionize
+
+    n = 200_000
+    e = (
+        spark.range(n)
+        .withColumn(
+            "user_id",
+            F.when(F.col("id") % 2 == 0, 7).otherwise(
+                F.pmod(F.xxhash64("id"), F.lit(1000)) + 100
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * 90_000_000
+            ).cast("timestamp_ntz"),
+        )
+        .select(F.col("id").alias("event_id"), "user_id", "ts")
+    )
+    s = sessionize(e)
+    assert s.count() == n
+    hot = s.where("user_id = 7")
+    # hot user: events every 180s -> gaps never exceed 30 min -> exactly
+    # one session spanning all of them
+    assert hot.agg({"session_id": "max"}).first()[0] == 1
+    assert hot.count() == n // 2
