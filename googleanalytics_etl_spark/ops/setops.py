@@ -143,3 +143,40 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'qty', l_quantity, 'price', l_extendedprice, "
         "'disc', l_discount) AS (metric, val)",
     )
+
+
+_DATE_SPINE_ORACLE = """
+WITH b AS (
+    SELECT CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS lo,
+           CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS hi
+    FROM events
+), s AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b
+), d AS (
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+)
+SELECT s.day AS day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM s LEFT JOIN d USING (day)
+"""
+
+
+@register("q_date_spine", oracle=_DATE_SPINE_ORACLE)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine: zero-filled daily counts (report tables must show
+    empty days — the classic reporting gap-fill). The spine is generated
+    with ``sequence`` from the observed bounds (one tiny aggregate, then
+    a broadcast-sized explode), left-joined to the daily aggregate."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    bounds = e.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = e.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
+    )
