@@ -283,3 +283,24 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_value",
         stddev.alias("stddev_value"),
     )
+
+
+_COLLECT_SORTED_ORACLE = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+@register("q_collect_sorted", oracle=_COLLECT_SORTED_ORACLE)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: distinct values collected per group, sorted
+    for cross-engine determinism (collect_set order is undefined —
+    array_sort pins it)."""
+    e = load(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return e.groupBy("user_id").agg(
+        types.alias("event_types"),
+        F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+    )

@@ -197,3 +197,28 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+_PERCENT_RANK_ORACLE = """
+SELECT event_id, event_type, value,
+       ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 8) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value)
+"""
+
+
+@register("q_percent_rank", oracle=_PERCENT_RANK_ORACLE)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position windows: percent_rank / cume_dist per group
+    (both engines compute (rank-1)/(n-1) and rank_hi/n as integer-ratio
+    doubles — identical; round 8 is belt-and-braces)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
