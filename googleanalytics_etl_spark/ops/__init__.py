@@ -12,6 +12,8 @@ One module per SURVEY.md §2 category:
 - ``streaming``   — §2.H streaming semantics (batch-checkable twins)
 - ``udfs``        — §2.I UDF/UDAF surface
 - ``extensions``  — §2.J dedup / similarity / text-analysis north star
+- ``pipeline``    — training-data pipeline ops (sampling, chunking,
+  packing, PII scrub, corpus sharding)
 - ``flagship``    — composed flagship pipelines
 """
 
@@ -22,6 +24,7 @@ from . import (  # noqa: F401
     functions,
     joins,
     multimodal,
+    pipeline,
     projection,
     scans,
     setops,

@@ -203,3 +203,42 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __corr_orders o
         """
     )
+
+
+_SUBQUERY_EXISTS_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+                    AND o.o_totalprice < 50000)
+"""
+
+
+@register("q_subquery_exists", oracle=_SUBQUERY_EXISTS_ORACLE)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point.
+
+    Catalyst rewrites the pair to a left-semi plus a left-anti join
+    (RewritePredicateSubquery) — exactly the `q_join_semi`/`q_join_anti`
+    physical shapes, proving the SQL surface and the DataFrame surface
+    converge on the same plans.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__ex_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__ex_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM __ex_customer c
+        WHERE EXISTS (SELECT 1 FROM __ex_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM __ex_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 50000)
+        """
+    )

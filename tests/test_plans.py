@@ -129,3 +129,28 @@ def test_plan_lint_no_accidental_python_or_cartesian(spark):
         if key not in _BNLJ_OK and "BroadcastNestedLoopJoin" in plan:
             offenders.append((key, "bnlj"))
     assert not offenders, f"slow-path plans: {offenders}"
+
+
+def test_pipeline_narrow_ops_have_no_shuffle(spark):
+    """Sampling, chunking, and scrubbing are per-row — any Exchange in
+    their plans would be an at-scale regression (they must run at scan
+    speed on 100 TB)."""
+    from googleanalytics_etl_spark.ops.pipeline import (
+        x_chunk_docs,
+        x_pii_scrub,
+        x_sample_hash,
+    )
+
+    for op in (x_sample_hash, x_chunk_docs, x_pii_scrub):
+        plan = simple_plan(op(spark, SF_SMALL))
+        assert "Exchange" not in plan, f"{op.__name__} shuffles: {plan}"
+
+
+def test_corpus_shard_single_shuffle_no_global_sort(spark):
+    """Sharding must shuffle once (on shard) and never globally sort —
+    a rangepartitioning Exchange would mean a serial bottleneck."""
+    from googleanalytics_etl_spark.ops.pipeline import x_corpus_shard
+
+    plan = simple_plan(x_corpus_shard(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
