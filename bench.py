@@ -40,6 +40,9 @@ HEADLINE = [
     "x_dedup_near",
     "x_sim_knn",
     "x_tokenize",
+    "x_chunk_docs",
+    "x_pii_scrub",
+    "x_corpus_shard",
 ]
 
 

@@ -447,12 +447,10 @@ def x_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("query_emb")), 6).alias("sim"),
         )
     )
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
-        .select("vec_id", "label", "sim")
-    )
+    # top-k via orderBy+limit → TakeOrderedAndProject: per-partition
+    # heaps merged on the driver, NOT a global-order window (which would
+    # funnel every scored row through one partition at scale)
+    return scored.orderBy(F.col("sim").desc(), "vec_id").limit(10)
 
 
 @register("x_sim_knn_ivf", oracle=None)
@@ -504,12 +502,8 @@ def x_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("query_emb")), 6).alias("sim"),
         )
     )
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
-        .select("vec_id", "label", "sim")
-    )
+    # same TakeOrdered top-k as x_sim_knn (no global-order window)
+    return scored.orderBy(F.col("sim").desc(), "vec_id").limit(10)
 
 
 # ---------------------------------------------------------------------------

@@ -50,3 +50,55 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_quantity") > 25)
     ).select("l_orderkey", "l_extendedprice")
+
+
+# -- semi-structured ingest, oracled via lossless roundtrip ----------------
+#
+# The fixtures ship only parquet, so the CSV/JSON scan keys stage a copy
+# of a small dimension table in the target format under .scratch/ (tiny,
+# deterministic, overwritten per run) and read it back schema-declared
+# (never inferSchema — at 100 TB inference is a full extra pass). The
+# roundtrip is lossless for these pure int/string tables, so the DuckDB
+# parquet view is a *full hash oracle* for the format readers.
+
+from pathlib import Path  # noqa: E402
+
+_SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+
+_NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+_SCAN_CSV_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("q_scan_csv", oracle=_SCAN_CSV_ORACLE)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared CSV ingest (header + quoted strings), staged from
+    the parquet fixture and read back losslessly."""
+    stage = str(_SCRATCH / f"csv_nation_{Path(sf_dir).name}")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(stage)
+    return (
+        spark.read.schema(_NATION_SCHEMA)
+        .option("header", "true")
+        .csv(stage)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+_SCAN_JSON_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("q_scan_json", oracle=_SCAN_JSON_ORACLE)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON-lines ingest (the API-response flattening
+    analogue), staged from the parquet fixture, read back losslessly."""
+    stage = str(_SCRATCH / f"json_region_{Path(sf_dir).name}")
+    load(spark, sf_dir, "region").write.mode("overwrite").json(stage)
+    return (
+        spark.read.schema("r_regionkey int, r_name string")
+        .json(stage)
+        .select("r_regionkey", "r_name")
+    )

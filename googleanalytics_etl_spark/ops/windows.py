@@ -186,7 +186,15 @@ FROM totals
 
 @register("q_ntile", oracle=_NTILE_ORACLE)
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-value quartiles (segmentation): agg then ntile(4)."""
+    """User-value quartiles (segmentation): agg then ntile(4).
+
+    Exact NTILE over a total order is inherently a global window; it is
+    acceptable here because it runs over the *aggregated* per-user
+    relation (|users| ≪ |events|), not the event log. If even the user
+    relation outgrows one partition, the scale path is quartile
+    thresholds via approx_percentile + a broadcast range join — same
+    shape as x_sim_knn_ivf's pruning, different accuracy contract.
+    """
     e = load(spark, sf_dir, "events")
     totals = e.groupBy("user_id").agg(
         (F.sum(fscaled("value")) / 10_000.0).alias("total_value")

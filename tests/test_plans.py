@@ -88,6 +88,10 @@ def test_topk_uses_take_ordered(spark):
 def test_knn_broadcasts_query_vector(spark):
     plan = fmt_plan(queries()["x_sim_knn"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # top-k must be TakeOrdered (parallel per-partition heaps), never a
+    # global-order window funneling all scored rows into one partition
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
 
 
 # Ops whose plans legitimately contain Python evaluation (the declared
