@@ -304,3 +304,35 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         types.alias("event_types"),
         F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
     )
+
+
+_MINMAX_BY_ORACLE = """
+SELECT o_custkey,
+       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       max_by(o_orderkey, o_totalprice) AS priciest_order,
+       min_by(o_orderpriority, o_orderkey) AS first_priority
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("q_agg_minmax_by", oracle=_MINMAX_BY_ORACLE)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation: the row attribute AT the group extreme
+    (min_by / max_by) — "which order was the cheapest", without a
+    self-join back onto the group minimum.
+
+    One hash aggregate (partial+final, like any agg) versus the naive
+    groupBy-min + equi-join-back plan, which costs a second shuffle and
+    breaks on ties. Determinism note: min_by picks an arbitrary row on
+    ordering ties; `o_totalprice` is tie-free per customer in the
+    fixtures at every SF (verified), and `o_orderkey` is globally
+    unique, so both engines must agree. For tie-prone production
+    orderings, compose a unique sort key first.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+    )

@@ -302,3 +302,33 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", "[?&]utm_medium=([^&]*)", 1).alias("utm_medium"),
         F.regexp_extract("url", "[?&]k=([^&]*)", 1).cast("int").alias("k_param"),
     )
+
+
+_FN_BITWISE_ORACLE = """
+SELECT event_id,
+       CAST(flags & 240 AS BIGINT) AS masked,
+       CAST(flags | 15 AS BIGINT) AS set_low,
+       CAST(xor(flags, 170) AS BIGINT) AS toggled,
+       CAST(bit_count(flags) AS INT) AS popcnt,
+       CAST(flags << 2 AS BIGINT) AS shl,
+       CAST(flags >> 3 AS BIGINT) AS shr
+FROM (SELECT event_id, event_id % 256 AS flags FROM events)
+"""
+
+
+@register("q_fn_bitwise", oracle=_FN_BITWISE_ORACLE)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (flag fields, feature masks): AND/OR/XOR,
+    popcount, shifts — all codegen'd JVM expressions."""
+    e = load(spark, sf_dir, "events")
+    flags = (F.col("event_id") % 256).alias("flags")
+    f = F.col("flags")
+    return e.select("event_id", flags).select(
+        "event_id",
+        f.bitwiseAND(F.lit(240)).cast("long").alias("masked"),
+        f.bitwiseOR(F.lit(15)).cast("long").alias("set_low"),
+        f.bitwiseXOR(F.lit(170)).cast("long").alias("toggled"),
+        F.bit_count(f).cast("int").alias("popcnt"),
+        F.shiftleft(f, 2).cast("long").alias("shl"),
+        F.shiftright(f, 3).cast("long").alias("shr"),
+    )
