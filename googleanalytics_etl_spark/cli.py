@@ -1,0 +1,104 @@
+"""Console entry point — the reference's CLI surface (SURVEY.md §3.1).
+
+The reference ships a console script: load a YAML config, construct the
+ETL object, run ``.sync()`` (EP1), ``--restart``-style full reload
+(EP2), or post-load report building (EP3) [REF-UNVERIFIED]. This module
+is that surface on Spark:
+
+    python -m googleanalytics_etl_spark.cli sync     --config c.yaml \\
+        --source-dir /root/testdata/sf0.001 --target /tmp/out
+    python -m googleanalytics_etl_spark.cli backfill --config c.yaml ...
+    python -m googleanalytics_etl_spark.cli reports  \\
+        --source-dir ... --out /tmp/reports
+
+Config files may be YAML (if pyyaml is importable) or JSON — the schema
+is :data:`etl.EXAMPLE_CONFIG`. Omitting ``--config`` uses that example
+config (the fixture event log with reference-style derivations).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .etl import EXAMPLE_CONFIG, SyncPipeline
+from .io import load
+from .reports import materialize_reports
+from .session import get_spark
+
+
+def load_config(path: str | None) -> dict:
+    """Read a YAML or JSON config; default to the example config."""
+    if path is None:
+        return EXAMPLE_CONFIG
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml
+        except ImportError as e:  # pragma: no cover - yaml is installed here
+            raise SystemExit(
+                "pyyaml not available; provide a .json config instead"
+            ) from e
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="googleanalytics-etl-spark",
+        description="Config-driven incremental sync engine (Spark).",
+    )
+    p.add_argument("--config", help="YAML/JSON config (etl.EXAMPLE_CONFIG schema)")
+    p.add_argument(
+        "--source-dir",
+        default="/root/testdata/sf0.001",
+        help="directory of source parquet tables",
+    )
+    p.add_argument("--cpus", type=int, default=None, help="local parallelism")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("sync", help="incremental sync (EP1: HWM tail + dedup append)")
+    s.add_argument("--target", required=True, help="target parquet path")
+    s.add_argument(
+        "--overlap",
+        default="1 hour",
+        help="trailing re-extract window for late data (e.g. '1 hour')",
+    )
+
+    b = sub.add_parser("backfill", help="full reload (EP2: overwrite target)")
+    b.add_argument("--target", required=True)
+
+    r = sub.add_parser("reports", help="derived report tables (EP3)")
+    r.add_argument("--out", required=True, help="output directory for report tables")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    config = load_config(args.config)
+    spark = get_spark("gae-spark-cli", cpus=args.cpus)
+
+    if args.command == "reports":
+        paths = materialize_reports(
+            spark, load(spark, args.source_dir, "events"), args.out
+        )
+        print(json.dumps({"command": "reports", "tables": paths}))
+        return 0
+
+    source = load(spark, args.source_dir, config["source_table"])
+    pipe = SyncPipeline(spark, config, args.target)
+    if args.command == "sync":
+        n = pipe.sync(source, reextract_overlap=args.overlap)
+        print(json.dumps({"command": "sync", "appended": n, "target": args.target}))
+    else:
+        n = pipe.backfill(source)
+        print(
+            json.dumps({"command": "backfill", "rows": n, "target": args.target})
+        )
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

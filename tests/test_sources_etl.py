@@ -170,3 +170,31 @@ def test_materialize_reports(spark):
     total = daily.agg(F.sum("n")).first()[0]
     assert total == e.count()
     assert (Path(paths["daily_metrics"]) / "day_str=2024-01-01").exists()
+
+
+def test_cli_sync_backfill_reports(spark, tmp_path):
+    """The console entry point drives EP1/EP2/EP3 end-to-end: backfill,
+    idempotent re-sync (appends 0), and report materialization — with a
+    YAML config exercising the reference's config-file path."""
+    import yaml
+
+    from googleanalytics_etl_spark.cli import main
+    from googleanalytics_etl_spark.etl import EXAMPLE_CONFIG
+
+    cfg = tmp_path / "sync.yaml"
+    cfg.write_text(yaml.safe_dump(EXAMPLE_CONFIG))
+    target = str(tmp_path / "hits")
+    base = ["--config", str(cfg), "--source-dir", SF_SMALL]
+
+    assert main(base + ["backfill", "--target", target]) == 0
+    n_rows = spark.read.parquet(target).count()
+    assert n_rows > 0
+
+    # second sync over the same source must be a no-op append
+    assert main(base + ["sync", "--target", target]) == 0
+    assert spark.read.parquet(target).count() == n_rows
+
+    out = str(tmp_path / "reports")
+    assert main(base + ["reports", "--out", out]) == 0
+    assert spark.read.parquet(f"{out}/sessions").count() > 0
+    assert spark.read.parquet(f"{out}/daily_metrics").count() > 0
