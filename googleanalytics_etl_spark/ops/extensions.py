@@ -808,3 +808,32 @@ def x_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("event_dup_id").alias("rule"), "violations", "total")
     )
     return doc_rules.unionByName(ev_rules).unionByName(dup)
+
+
+@register("x_dedup_near_survivors", oracle=None)
+def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup, survivor form: keep one document per near-dup
+    cluster (SURVEY.md §2.J "keep one per cluster").
+
+    Policy: a doc is dropped iff it has a verified near-dup with a
+    smaller doc_id — the standard one-pass LSH dedup rule (min-id
+    survivor per pairwise-connected neighborhood; full transitive
+    closure would need iterative connected components, which a corpus
+    dedup job runs as a handful of converging join rounds — unnecessary
+    here where clusters are pairs). Anti-join keeps only doc ids flowing
+    through the shuffle. Rows-only check (xxhash64 minhash has no DuckDB
+    twin); the planted-duplicate property test pins the semantics.
+    """
+    d = load(spark, sf_dir, "documents")
+    dup = (
+        d.orderBy("doc_id")
+        .limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    incoming = d.unionByName(dup)
+    pairs = x_dedup_near(spark, sf_dir)  # verified (doc_a < doc_b) pairs
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        incoming.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -106,3 +106,24 @@ def test_session_window_agrees_with_sessionize(spark):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_near_dup_survivors_drop_planted_duplicates(spark):
+    from googleanalytics_etl_spark.ops.extensions import (
+        x_dedup_near,
+        x_dedup_near_survivors,
+    )
+
+    survivors = {r["doc_id"] for r in x_dedup_near_survivors(spark, SF_SMALL).collect()}
+    originals = {
+        r["doc_id"]
+        for r in load(spark, SF_SMALL, "documents").select("doc_id").collect()
+    }
+    planted = {min(originals) + i + 1_000_000 for i in range(10)}
+    # every planted duplicate (higher id than its original) is dropped
+    assert survivors.isdisjoint(planted)
+    # nothing outside the incoming id space survives, and each pair's
+    # min-id side is retained
+    pairs = x_dedup_near(spark, SF_SMALL).collect()
+    dropped = {p["doc_b"] for p in pairs}
+    assert survivors == (originals | planted) - dropped
