@@ -110,11 +110,19 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
     )
-    w = Window.partitionBy("digest").orderBy("doc_id")
+    # hash aggregate, not a row_number window: min_by supports partial
+    # (map-side) aggregation, so the shuffle carries one candidate per
+    # (digest, map partition) instead of every row, and no sort runs.
+    # doc_id is unique → min_by is deterministic.
     return (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
+        hashed.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(F.struct("lang", "source", "n_chars"), F.col("doc_id")).alias(
+                "attrs"
+            ),
+        )
+        .select("doc_id", "attrs.lang", "attrs.source", "attrs.n_chars")
     )
 
 
