@@ -43,6 +43,7 @@ HEADLINE = [
     "x_chunk_docs",
     "x_pii_scrub",
     "x_corpus_shard",
+    "x_corpus_prep",
 ]
 
 

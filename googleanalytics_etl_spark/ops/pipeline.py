@@ -338,3 +338,111 @@ def x_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# composed corpus-prep flagship
+# ---------------------------------------------------------------------------
+
+_PREP_QUALITY_MIN = 0.12  # keeps ~75% of fixture docs (median quality ~0.17)
+
+_CORPUS_PREP_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, source, text,
+           ROUND(LEAST(CAST(len(str_split(text, ' ')) AS BIGINT) / 200.0, 1.0)
+                     * 0.5
+                 + CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                            ['the','a','of','and','to'])) AS DOUBLE)
+                     / len(list_distinct(str_split(text, ' '))) * 0.5,
+                 6) AS quality
+    FROM documents
+),
+kept AS (
+    SELECT * FROM scored WHERE quality >= {_PREP_QUALITY_MIN}
+),
+dedup AS (
+    SELECT doc_id, source, text
+    FROM (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY md5(LOWER(TRIM(text)))
+                                    ORDER BY doc_id) AS rn
+          FROM kept)
+    WHERE rn = 1
+),
+chunks AS (
+    SELECT source,
+           length(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                         {_CHUNK_SIZE})) AS chunk_len
+    FROM dedup,
+         LATERAL (SELECT unnest(range(CAST(ceil(length(text)
+                      / {_CHUNK_STRIDE}.0) AS BIGINT))) AS i)
+)
+SELECT source,
+       CAST((SELECT COUNT(*) FROM dedup d WHERE d.source = chunks.source)
+            AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_len) AS BIGINT) AS chunk_chars
+FROM chunks
+GROUP BY source
+"""
+
+
+@register("x_corpus_prep", oracle=_CORPUS_PREP_ORACLE)
+def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-prep flagship: quality filter → exact dedup →
+    chunking → per-source summary — the training-data counterpart of
+    q_flagship, exercising the whole pipeline family in ONE Catalyst DAG.
+
+    Plan shape at scale: the score+filter is narrow (runs inside the
+    scan stage), dedup is one digest-keyed hash aggregate (min_by — the
+    only shuffle of the heavy path), chunking explodes the survivors
+    without shuffling, and the final rollup is a partial+final hash
+    aggregate on the tiny source key space.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    uniq = F.array_distinct(words)
+    stop_ratio = (
+        F.size(
+            F.array_intersect(uniq, F.array(*[F.lit(w) for w in
+                                              ("the", "a", "of", "and", "to")]))
+        ).cast("double")
+        / F.size(uniq)
+    )
+    quality = F.round(
+        F.least(F.size(words).cast("long") / 200.0, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.5,
+        6,
+    )
+    kept = d.select("doc_id", "source", "text", quality.alias("quality")).where(
+        F.col("quality") >= _PREP_QUALITY_MIN
+    )
+    survivors = (
+        kept.select(
+            F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("digest"),
+            "doc_id",
+            "source",
+            "text",
+        )
+        .groupBy("digest")
+        .agg(F.min_by(F.struct("doc_id", "source", "text"), F.col("doc_id")).alias("r"))
+        .select("r.source", "r.text")
+    )
+    n_chunks = F.ceil(F.length("text") / float(_CHUNK_STRIDE)).cast("int")
+    chunk_lens = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.length(
+            F.col("text").substr(i * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE))
+        ),
+    )
+    per_doc = survivors.select(
+        "source",
+        F.size(chunk_lens).cast("long").alias("doc_chunks"),
+        F.aggregate(
+            chunk_lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("doc_chunk_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_chunks").cast("long").alias("n_chunks"),
+        F.sum("doc_chunk_chars").cast("long").alias("chunk_chars"),
+    )
