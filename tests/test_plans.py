@@ -158,3 +158,24 @@ def test_corpus_shard_single_shuffle_no_global_sort(spark):
     plan = simple_plan(x_corpus_shard(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """The per-source window partitioning (hashpartitioning(source))
+    already satisfies the downstream groupBy(source, pack_id)
+    distribution, so packing must plan exactly ONE exchange."""
+    from googleanalytics_etl_spark.ops.pipeline import x_pack_sequences
+
+    plan = simple_plan(x_pack_sequences(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corpus_prep_two_shuffles(spark):
+    """Corpus-prep flagship: digest dedup aggregate + per-source rollup
+    are the only data movements; the quality filter and chunk explode
+    must stay narrow."""
+    from googleanalytics_etl_spark.ops.pipeline import x_corpus_prep
+
+    plan = simple_plan(x_corpus_prep(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "rangepartitioning" not in plan, plan
