@@ -41,25 +41,47 @@ def load_config(path: str | None) -> dict:
             raise SystemExit(
                 "pyyaml not available; provide a .json config instead"
             ) from e
-        return yaml.safe_load(text)
-    return json.loads(text)
+        config = yaml.safe_load(text)
+    else:
+        config = json.loads(text)
+    if not isinstance(config, dict):
+        raise SystemExit(f"config {path!r} is empty or not a mapping")
+    return config
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # Shared options are accepted both before AND after the subcommand.
+    # The subparser copies default to SUPPRESS so an omitted post-command
+    # option does not clobber a prefix-position value (argparse resolves
+    # subparser results last).
+    shared = argparse.ArgumentParser(add_help=False)
+    shared.add_argument(
+        "--config",
+        default=argparse.SUPPRESS,
+        help="YAML/JSON config (etl.EXAMPLE_CONFIG schema)",
+    )
+    shared.add_argument(
+        "--source-dir",
+        default=argparse.SUPPRESS,
+        help="directory of source parquet tables",
+    )
+    shared.add_argument(
+        "--cpus", type=int, default=argparse.SUPPRESS, help="local parallelism"
+    )
+
     p = argparse.ArgumentParser(
         prog="googleanalytics-etl-spark",
         description="Config-driven incremental sync engine (Spark).",
+        parents=[shared],
     )
-    p.add_argument("--config", help="YAML/JSON config (etl.EXAMPLE_CONFIG schema)")
-    p.add_argument(
-        "--source-dir",
-        default="/root/testdata/sf0.001",
-        help="directory of source parquet tables",
-    )
-    p.add_argument("--cpus", type=int, default=None, help="local parallelism")
+    p.set_defaults(config=None, source_dir="/root/testdata/sf0.001", cpus=None)
     sub = p.add_subparsers(dest="command", required=True)
 
-    s = sub.add_parser("sync", help="incremental sync (EP1: HWM tail + dedup append)")
+    s = sub.add_parser(
+        "sync",
+        help="incremental sync (EP1: HWM tail + dedup append)",
+        parents=[shared],
+    )
     s.add_argument("--target", required=True, help="target parquet path")
     s.add_argument(
         "--overlap",
@@ -67,10 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="trailing re-extract window for late data (e.g. '1 hour')",
     )
 
-    b = sub.add_parser("backfill", help="full reload (EP2: overwrite target)")
+    b = sub.add_parser(
+        "backfill", help="full reload (EP2: overwrite target)", parents=[shared]
+    )
     b.add_argument("--target", required=True)
 
-    r = sub.add_parser("reports", help="derived report tables (EP3)")
+    r = sub.add_parser(
+        "reports", help="derived report tables (EP3)", parents=[shared]
+    )
     r.add_argument("--out", required=True, help="output directory for report tables")
     return p
 
@@ -82,7 +108,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "reports":
         paths = materialize_reports(
-            spark, load(spark, args.source_dir, "events"), args.out
+            spark,
+            load(spark, args.source_dir, config.get("source_table", "events")),
+            args.out,
         )
         print(json.dumps({"command": "reports", "tables": paths}))
         return 0

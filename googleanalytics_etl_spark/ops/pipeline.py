@@ -122,6 +122,25 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_SIZE = 200
 _CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
 
+
+def chunk_array(len_col: Column) -> Column:
+    """Array of chunk substrings of ``text`` for a doc of length
+    ``len_col`` — the one shared chunking expression (stride/size
+    semantics live here only).
+
+    Empty docs chunk to an empty array: Spark's two-arg ``sequence(0,
+    -1)`` counts *down* (yielding [0, -1], not []), so the n_chunks=0
+    case must be guarded explicitly to agree with SQL ``range(0)``.
+    """
+    n_chunks = F.ceil(len_col / float(_CHUNK_STRIDE)).cast("int")
+    grams = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col("text").substr(i * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE)),
+    )
+    return F.when(n_chunks > 0, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
 _CHUNK_ORACLE = f"""
 SELECT doc_id,
        CAST(i AS INT) AS chunk_idx,
@@ -147,13 +166,9 @@ def x_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the substring executes.
     """
     d = load(spark, sf_dir, "documents")
-    n_chunks = F.ceil(F.col("n_chars") / float(_CHUNK_STRIDE)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.col("text").substr(
-            i * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE)
-        ),
-    )
+    # n_chars == length(text) exactly (FIXTURES.md) — chunk count derives
+    # from metadata without touching the payload
+    chunks = chunk_array(F.col("n_chars"))
     return d.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
     ).select(
@@ -347,7 +362,13 @@ def x_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREP_QUALITY_MIN = 0.12  # keeps ~75% of fixture docs (median quality ~0.17)
 
 _CORPUS_PREP_ORACLE = f"""
-WITH scored AS (
+WITH incoming AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, source, text
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+),
+scored AS (
     SELECT doc_id, source, text,
            ROUND(LEAST(CAST(len(str_split(text, ' ')) AS BIGINT) / 200.0, 1.0)
                      * 0.5
@@ -355,7 +376,7 @@ WITH scored AS (
                             ['the','a','of','and','to'])) AS DOUBLE)
                      / len(list_distinct(str_split(text, ' '))) * 0.5,
                  6) AS quality
-    FROM documents
+    FROM incoming
 ),
 kept AS (
     SELECT * FROM scored WHERE quality >= {_PREP_QUALITY_MIN}
@@ -397,8 +418,18 @@ def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle of the heavy path), chunking explodes the survivors
     without shuffling, and the final rollup is a partial+final hash
     aggregate on the tiny source key space.
+
+    A duplicated 20-doc tail is unioned in first (exact duplicates do
+    not exist below sf0.1 — FIXTURES.md), so the dedup stage is
+    differentially exercised with real duplicate groups at the oracle's
+    sf0.01, not just on duplicate-free input.
     """
-    d = load(spark, sf_dir, "documents")
+    base = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = base.unionByName(
+        base.orderBy("doc_id")
+        .limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
     words = F.split(F.col("text"), " ")
     uniq = F.array_distinct(words)
     stop_ratio = (
@@ -427,13 +458,7 @@ def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min_by(F.struct("doc_id", "source", "text"), F.col("doc_id")).alias("r"))
         .select("r.source", "r.text")
     )
-    n_chunks = F.ceil(F.length("text") / float(_CHUNK_STRIDE)).cast("int")
-    chunk_lens = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.length(
-            F.col("text").substr(i * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE))
-        ),
-    )
+    chunk_lens = F.transform(chunk_array(F.length("text")), F.length)
     per_doc = survivors.select(
         "source",
         F.size(chunk_lens).cast("long").alias("doc_chunks"),

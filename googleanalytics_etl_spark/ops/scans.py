@@ -70,14 +70,26 @@ _NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 _SCAN_CSV_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
 
+def _stage_once(write_fn, stage: str) -> None:
+    """Write the staging copy only if absent — repeated builder calls
+    (the driver's count pass + hash pass) must not rewrite the directory
+    under a concurrently scanning reader."""
+    if not (Path(stage) / "_SUCCESS").exists():
+        write_fn(stage)
+
+
 @register("q_scan_csv", oracle=_SCAN_CSV_ORACLE)
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-declared CSV ingest (header + quoted strings), staged from
     the parquet fixture and read back losslessly."""
     stage = str(_SCRATCH / f"csv_nation_{Path(sf_dir).name}")
-    load(spark, sf_dir, "nation").write.mode("overwrite").option(
-        "header", "true"
-    ).csv(stage)
+    _stage_once(
+        lambda p: load(spark, sf_dir, "nation")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(p),
+        stage,
+    )
     return (
         spark.read.schema(_NATION_SCHEMA)
         .option("header", "true")
@@ -96,7 +108,10 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-declared JSON-lines ingest (the API-response flattening
     analogue), staged from the parquet fixture, read back losslessly."""
     stage = str(_SCRATCH / f"json_region_{Path(sf_dir).name}")
-    load(spark, sf_dir, "region").write.mode("overwrite").json(stage)
+    _stage_once(
+        lambda p: load(spark, sf_dir, "region").write.mode("overwrite").json(p),
+        stage,
+    )
     return (
         spark.read.schema("r_regionkey int, r_name string")
         .json(stage)

@@ -110,3 +110,16 @@ def test_corpus_shard_is_a_permutation(spark):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_chunk_array_empty_text_yields_no_chunks(spark):
+    """Spark's sequence(0, -1) counts DOWN — the empty-doc case must be
+    guarded to agree with SQL range(0) = [] (code-review regression)."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.ops.pipeline import chunk_array
+
+    df = spark.createDataFrame(
+        [("", 0), ("x" * 151, 151)], "text string, n int"
+    ).select(F.size(chunk_array(F.col("n"))).alias("k"))
+    assert [r["k"] for r in df.collect()] == [0, 2]

@@ -198,3 +198,26 @@ def test_cli_sync_backfill_reports(spark, tmp_path):
     assert main(base + ["reports", "--out", out]) == 0
     assert spark.read.parquet(f"{out}/sessions").count() > 0
     assert spark.read.parquet(f"{out}/daily_metrics").count() > 0
+
+
+def test_cli_options_after_subcommand(spark, tmp_path):
+    """The documented invocation order (options after the subcommand)
+    must parse — shared options live on both parser levels."""
+    from googleanalytics_etl_spark.cli import main
+
+    target = str(tmp_path / "hits2")
+    assert (
+        main(["backfill", "--source-dir", SF_SMALL, "--target", target]) == 0
+    )
+    assert spark.read.parquet(target).count() > 0
+
+
+def test_cli_rejects_empty_config(tmp_path):
+    import pytest as _pytest
+
+    from googleanalytics_etl_spark.cli import load_config
+
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("")
+    with _pytest.raises(SystemExit):
+        load_config(str(empty))
