@@ -845,3 +845,53 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+_CDC_ORACLE = """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_filter(range(GREATEST(len(ws) - 2, 0)),
+                i -> substr(md5(list_extract(ws, CAST(i + 1 AS BIGINT)) || ' ' ||
+                                list_extract(ws, CAST(i + 2 AS BIGINT)) || ' ' ||
+                                list_extract(ws, CAST(i + 3 AS BIGINT))), 1, 2)
+                     < '10')) + 1 AS BIGINT) AS n_cdc_chunks
+FROM w
+"""
+
+
+@register("x_cdc_chunks", oracle=_CDC_ORACLE)
+def x_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking via a rolling hash (the Rabin-Karp
+    pattern): a chunk boundary falls wherever the hash of the 3-word
+    window at a position lands under a threshold (md5 prefix < '10' →
+    P(boundary) = 16/256, mean chunk ≈ 16 words).
+
+    The CDC property that matters for dedup at scale: boundaries depend
+    only on LOCAL content, so an insertion early in a document shifts
+    chunk boundaries only until the next boundary — unlike fixed-stride
+    chunking (x_chunk_docs) where every downstream chunk changes.
+    Per-row lambda expressions, zero shuffle; md5 keeps the boundary
+    choice reproducible across engines (full hash oracle).
+    """
+    d = load(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_pos = F.greatest(F.size(ws) - 2, F.lit(0))
+    # guard: two-arg sequence counts DOWN when start > stop
+    idx = F.when(n_pos > 0, F.sequence(F.lit(0), n_pos - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(ws, (i + 1).cast("int")),
+        F.element_at(ws, (i + 2).cast("int")),
+        F.element_at(ws, (i + 3).cast("int")),
+    )
+    boundaries = F.filter(
+        idx, lambda i: F.substring(F.md5(gram(i).cast("binary")), 1, 2) < "10"
+    )
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        (F.size(boundaries) + 1).cast("long").alias("n_cdc_chunks"),
+    )
