@@ -69,3 +69,42 @@ def materialize_reports(
         paths["daily_metrics"]
     )
     return paths
+
+
+def update_daily_metrics(
+    spark: SparkSession, events: DataFrame, path: str
+) -> list[str]:
+    """Incremental EP3 maintenance: recompute only the days at/after the
+    target's high-water mark and dynamically overwrite just those
+    partitions.
+
+    The at-scale pattern for derived tables: a day's metrics can change
+    while late events for it still arrive (the reference's trailing
+    re-extract window), so the last materialized day is recomputed and
+    later days appended — via ``partitionOverwriteMode=dynamic``, which
+    replaces exactly the partitions present in the written frame and
+    leaves the (unboundedly growing) history untouched. A full rebuild
+    (`materialize_reports`) reads all history; this reads only the tail.
+
+    Returns the day strings that were (re)written.
+    """
+    from .sources.sinks import _target_exists
+
+    daily = build_daily_metrics(events).withColumn(
+        "day_str", F.date_format("day", "yyyy-MM-dd")
+    )
+    if _target_exists(spark, path):
+        hwm = (
+            spark.read.parquet(path)
+            .agg(F.max("day_str").alias("hwm"))
+            .first()["hwm"]
+        )
+        if hwm is not None:
+            daily = daily.where(F.col("day_str") >= hwm)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        daily.write.mode("overwrite").partitionBy("day_str").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return [r["day_str"] for r in daily.select("day_str").distinct().collect()]

@@ -221,3 +221,32 @@ def test_cli_rejects_empty_config(tmp_path):
     empty.write_text("")
     with _pytest.raises(SystemExit):
         load_config(str(empty))
+
+
+def test_incremental_daily_metrics_equals_full_rebuild(spark, tmp_path):
+    """Dynamic-partition incremental maintenance must converge to the
+    same table as a full rebuild: build from the first half of the event
+    log, then update with the full log, compare against a one-shot
+    build."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.io import load
+    from googleanalytics_etl_spark.reports import (
+        build_daily_metrics,
+        update_daily_metrics,
+    )
+
+    events = load(spark, SF_SMALL, "events")
+    cutoff = events.agg(F.percentile_approx("ts", 0.5).alias("m")).first()["m"]
+    path = str(tmp_path / "daily")
+
+    update_daily_metrics(spark, events.where(F.col("ts") <= F.lit(cutoff)), path)
+    rewritten = update_daily_metrics(spark, events, path)
+    assert rewritten  # the HWM day plus all later days
+
+    got = spark.read.parquet(path).drop("day_str")
+    want = build_daily_metrics(events)
+    sort_cols = ["day", "event_type"]
+    assert [tuple(r) for r in got.orderBy(*sort_cols).collect()] == [
+        tuple(r) for r in want.orderBy(*sort_cols).collect()
+    ]
