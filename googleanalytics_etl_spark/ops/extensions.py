@@ -895,3 +895,93 @@ def x_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).cast("long").alias("n_words"),
         (F.size(boundaries) + 1).cast("long").alias("n_cdc_chunks"),
     )
+
+
+LSH_PLANES = 16  # random-hyperplane bits per signature
+LSH_SIGN_BANDS = 4  # 4 bands x 4 bits: candidates share any band
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (seed 42), 16 x 64."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.randn(LSH_PLANES, 64).tolist()
+
+
+@register("x_sim_knn_lsh", oracle=None)
+def x_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes): the other scale path next
+    to x_sim_knn_ivf.
+
+    16 signed projections (sign(v·h_k)) give a 16-bit signature; 4 bands
+    of 4 bits — vectors sharing ANY band bucket with the query are
+    candidates (sign-LSH: P[bit match] = 1 - angle/pi, banding amplifies
+    it). Only candidates get the exact cosine; the band join's key space
+    is (band, 4-bit bucket), so ~1/16 of each band's vectors co-locate
+    per bucket and the scan is sub-linear. Everything is Catalyst lambda
+    expressions over literal hyperplane arrays (broadcast with the
+    plan); rows-only check + recall test vs brute force.
+    """
+    em = load(spark, sf_dir, "embeddings")
+    planes = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in _hyperplanes()
+        ]
+    )
+
+    def signature_bits(emb: Column) -> Column:
+        # bit_k = 1 iff emb . plane_k >= 0
+        return F.transform(
+            planes,
+            lambda h: F.when(
+                F.aggregate(
+                    F.zip_with(emb, h, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+
+    bits_per_band = LSH_PLANES // LSH_SIGN_BANDS
+
+    def band_keys(bits: Column) -> Column:
+        # band b's key = its 4 bits packed into an int
+        return F.array(
+            *[
+                F.aggregate(
+                    F.slice(bits, b * bits_per_band + 1, bits_per_band),
+                    F.lit(0),
+                    lambda acc, bit: acc * 2 + bit,
+                )
+                for b in range(LSH_SIGN_BANDS)
+            ]
+        )
+
+    sigs = em.select(
+        "vec_id", "label", "embedding", band_keys(signature_bits(F.col("embedding"))).alias("keys")
+    )
+    buckets = sigs.select(
+        "vec_id", "label", "embedding", F.posexplode("keys").alias("band", "key")
+    )
+    q = buckets.where(F.col("vec_id") == 0).select(
+        "band", "key", F.col("embedding").alias("query_emb")
+    )
+    # candidates: any shared (band, key) with the query — then dedup and
+    # score exactly; the heavy embedding column rides only candidate rows
+    cand = (
+        buckets.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q.select("band", "key")), ["band", "key"])
+        .select("vec_id", "label", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    qv = q.select("query_emb").limit(1)
+    scored = cand.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("query_emb")), 6).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), "vec_id").limit(10)

@@ -127,3 +127,19 @@ def test_near_dup_survivors_drop_planted_duplicates(spark):
     pairs = x_dedup_near(spark, SF_SMALL).collect()
     dropped = {p["doc_b"] for p in pairs}
     assert survivors == (originals | planted) - dropped
+
+
+def test_lsh_knn_recall_and_determinism(spark):
+    """Sign-LSH ANN: deterministic (fixed hyperplanes, seed 42) and a
+    sane-overlap recall floor vs brute force. The fixture embeddings are
+    near-uniform random (no tight clusters), which is LSH's worst case —
+    top-10 'neighbors' sit at ~60deg, where a 4x4-bit banding passes only
+    ~half of them while scanning ~23% of the corpus. On clustered
+    production data (near-dups at cosine > 0.9) band-match probability
+    approaches 1; multi-probe is the standard recall lever."""
+    brute = [r.vec_id for r in queries()["x_sim_knn"](spark, SF_SMALL).collect()]
+    a = [r.vec_id for r in queries()["x_sim_knn_lsh"](spark, SF_SMALL).collect()]
+    b = [r.vec_id for r in queries()["x_sim_knn_lsh"](spark, SF_SMALL).collect()]
+    assert a == b, "LSH must be deterministic"
+    assert len(a) == 10
+    assert len(set(brute) & set(a)) >= 2, f"LSH recall collapsed: {set(brute) & set(a)}"

@@ -107,7 +107,7 @@ _PYTHON_OK = {
     "x_media_frames",
     "s_stateful_user",
 }
-_BNLJ_OK = {"x_sim_knn", "x_sim_knn_ivf"}
+_BNLJ_OK = {"x_sim_knn", "x_sim_knn_ivf", "x_sim_knn_lsh"}
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
 _SKIP = {"s_watermark", "s_incremental_sync", "s_stateful_user"}
