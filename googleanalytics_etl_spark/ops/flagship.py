@@ -212,3 +212,125 @@ def q_flagship2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r_name", "n_name", "g_region", "g_nation", "n_lines", "revenue")
     )
+
+
+_FUNNEL_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_type,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+clicked AS (
+    SELECT user_id, ts, event_type, v,
+           MIN(CASE WHEN event_type = 'click' AND v < ts THEN ts END)
+               OVER w AS c
+    FROM flagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                THEN user_id END) AS BIGINT) AS n_view,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' AND v < ts
+                                THEN user_id END) AS BIGINT) AS n_click,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND c < ts
+                                THEN user_id END) AS BIGINT) AS n_purchase
+FROM clicked
+"""
+
+
+@register("q_funnel", oracle=_FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, strictly later
+    stages): how many users reach each stage IN ORDER — the classic
+    GA conversion-funnel report.
+
+    Single window pass per user (the sessionization partitioning):
+    a running MIN of view timestamps flags order-respecting clicks, and
+    a running MIN over those flags order-respecting purchases — no
+    self-joins, no per-stage scans; one user_id shuffle for any funnel
+    depth. Strict '<' comparisons make equal-timestamp stages not count
+    (deterministic in both engines regardless of frame peers).
+    """
+    e = load(spark, sf_dir, "events")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w1)
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    clicked = flagged.withColumn(
+        "c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("v") < F.col("ts")),
+                F.col("ts"),
+            )
+        ).over(w2),
+    )
+    return clicked.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).cast("long").alias("n_view"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("v") < F.col("ts")),
+                F.col("user_id"),
+            )
+        ).cast("long").alias("n_click"),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("c") < F.col("ts")),
+                F.col("user_id"),
+            )
+        ).cast("long").alias("n_purchase"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH d AS (
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           MIN(CAST(date_trunc('day', ts) AS TIMESTAMP))
+               OVER (PARTITION BY user_id) AS cohort_day
+    FROM events
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM d
+GROUP BY cohort_day, day_offset
+"""
+
+
+@register("q_retention", oracle=_RETENTION_ORACLE)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; how many
+    are active again N days later — the GA cohort report.
+
+    The cohort day comes from an unordered per-user window MIN (no sort,
+    one user_id shuffle), then a (cohort, offset) distinct-count
+    aggregate. At 100 TB the distinct-count is the cost center; the
+    documented approximate form swaps in approx_count_distinct.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    w = Window.partitionBy("user_id")
+    d = e.select("user_id", day.alias("day")).withColumn(
+        "cohort_day", F.min("day").over(w)
+    )
+    return (
+        d.withColumn(
+            "day_offset", F.datediff("day", "cohort_day").cast("long")
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
