@@ -334,3 +334,54 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
+
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type, day, n,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+           CAST(SUM(n) OVER w AS BIGINT) AS s1,
+           CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, day, n,
+       ROUND((n - s1 / cnt)
+             / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6) AS z
+FROM m
+"""
+
+
+@register("q_anomaly_zscore", oracle=_ANOMALY_ORACLE)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly scoring: z-score of each day's event count
+    against that event type's 30-day distribution — the traffic-spike /
+    outage detector a GA-style pipeline runs over its daily rollups.
+
+    Determinism: the moments (count, Σn, Σn²) are **exact integer
+    sums** — no float accumulation order anywhere — and the final
+    mean/variance/z arithmetic is a fixed-shape IEEE expression, so both
+    engines produce bit-identical doubles (same trick as the
+    decimal-moment stddev in q_agg_stats). One shuffle for the daily
+    aggregate; the per-type window runs over ~30 partial rows per type.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type")
+    n = F.col("n")
+    cnt = F.count(F.lit(1)).over(w).cast("long")
+    s1 = F.sum("n").over(w).cast("long")
+    s2 = F.sum(n * n).over(w).cast("long")
+    z = F.round(
+        (n - s1 / cnt) / F.sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6
+    )
+    return daily.select("event_type", "day", "n", z.alias("z"))
