@@ -138,7 +138,9 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: word-3-gram shingles → 16 MinHash signatures
     (``xxhash64(seed, shingle)`` minimized per doc — all JVM-side lambda
     expressions) → 4 bands of 4 rows; docs sharing any band bucket become
-    candidate pairs → exact shingle-Jaccard verifies candidates at ≥ 0.5.
+    candidate pairs → hashed-shingle-set Jaccard verifies candidates at
+    ≥ 0.5 (31-bit hash sets, equal to string-shingle Jaccard up to
+    ~|shingles|/2³¹ collisions).
 
     At 100 TB the band join is the only shuffle and its key space is the
     band buckets — the O(n²) pair space is never materialized. xxhash64
@@ -202,8 +204,14 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    s1 = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    s2 = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # Verification compares 31-bit hashed shingle SETS, not the strings:
+    # the candidate join then carries ~8 bytes per shingle instead of a
+    # ~20-char gram, and long-array intersection beats string-array
+    # intersection. Jaccard over hash sets equals shingle Jaccard up to
+    # collisions (~|shingles|/2³¹ — immaterial and deterministic).
+    hsig = F.array_distinct(F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), _m)))
+    s1 = docs.select(F.col("doc_id").alias("doc_a"), hsig.alias("sh_a"))
+    s2 = docs.select(F.col("doc_id").alias("doc_b"), hsig.alias("sh_b"))
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
