@@ -287,7 +287,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COLLECT_SORTED_ORACLE = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
        CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
 FROM events GROUP BY user_id
 """
@@ -297,9 +297,11 @@ FROM events GROUP BY user_id
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: distinct values collected per group, sorted
     for cross-engine determinism (collect_set order is undefined —
-    array_sort pins it)."""
+    array_sort pins it), then joined to one string per group — the
+    driver's pandas canonicalizer cannot hash raw list cells, and a
+    delimited string carries the identical information."""
     e = load(spark, sf_dir, "events")
-    types = F.array_sort(F.collect_set("event_type"))
+    types = F.array_join(F.array_sort(F.collect_set("event_type")), ",")
     return e.groupBy("user_id").agg(
         types.alias("event_types"),
         F.size(F.collect_set("event_type")).cast("int").alias("n_types"),

@@ -130,23 +130,75 @@ N_MINHASH = 16
 LSH_BANDS = 4
 LSH_ROWS = N_MINHASH // LSH_BANDS
 
+# Shared CTE chain for the MinHash-LSH pipeline, mirrored exactly by the
+# Spark builder: word-3-gram shingles → md5-derived 32-bit (h1, h2) per
+# shingle → 16 Kirsch-Mitzenmacher signatures min(h1 + i·h2) → 4 bands of
+# 4 rows keyed by the joined signature string → candidate pairs → hashed
+# shingle-set Jaccard ≥ 0.5. md5 (not xxhash64) so DuckDB computes the
+# identical pipeline — this is what upgrades the family from rows-only to
+# a full cross-engine hash oracle.
+_NEAR_CTES = """
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+               list_transform(range(len(str_split(text, ' ')) - 2),
+                   i -> str_split(text, ' ')[i + 1] || ' ' ||
+                        str_split(text, ' ')[i + 2] || ' ' ||
+                        str_split(text, ' ')[i + 3])
+               ELSE [text] END) AS shingles
+    FROM corpus
+), hs AS (
+    SELECT doc_id,
+           list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h1s,
+           list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) AS h2s
+    FROM sh
+), sigs AS (
+    SELECT doc_id,
+           list_transform(range(16), i ->
+               list_min(list_transform(range(len(h1s)),
+                   j -> h1s[j + 1] + i * h2s[j + 1]))) AS sig
+    FROM hs
+), banded AS (
+    SELECT doc_id, band,
+           CAST(sig[4 * band + 1] AS VARCHAR) || ':' ||
+           CAST(sig[4 * band + 2] AS VARCHAR) || ':' ||
+           CAST(sig[4 * band + 3] AS VARCHAR) || ':' ||
+           CAST(sig[4 * band + 4] AS VARCHAR) AS bucket
+    FROM sigs, range(4) t(band)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+), hset AS (
+    SELECT doc_id, list_distinct(h1s) AS hsig FROM hs
+), verified AS (
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(s1.hsig, s2.hsig)) AS DOUBLE)
+                 / len(list_distinct(list_concat(s1.hsig, s2.hsig))), 6)
+               AS jaccard
+    FROM cand
+    JOIN hset s1 ON s1.doc_id = doc_a
+    JOIN hset s2 ON s2.doc_id = doc_b
+)
+"""
 
-@register("x_dedup_near", oracle=None)
-def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection via MinHash + LSH banding (pure Catalyst).
+_DEDUP_NEAR_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+), {_NEAR_CTES}
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
 
-    Pipeline: word-3-gram shingles → 16 MinHash signatures
-    (``xxhash64(seed, shingle)`` minimized per doc — all JVM-side lambda
-    expressions) → 4 bands of 4 rows; docs sharing any band bucket become
-    candidate pairs → hashed-shingle-set Jaccard verifies candidates at
-    ≥ 0.5 (31-bit hash sets, equal to string-shingle Jaccard up to
-    ~|shingles|/2³¹ collisions).
 
-    At 100 TB the band join is the only shuffle and its key space is the
-    band buckets — the O(n²) pair space is never materialized. xxhash64
-    has no DuckDB twin → rows-only check; tests/test_extensions.py
-    property-checks that injected exact duplicates always surface.
-    """
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ 0.5) over the
+    documents corpus with its planted duplicated tail; shared by
+    x_dedup_near and x_dedup_near_survivors."""
     d = load(spark, sf_dir, "documents")
     # inject a duplicated tail so near-dup pairs exist at every sf
     dup = (
@@ -160,32 +212,39 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", word_shingles(F.col("words")).alias("shingles"))
     )
 
-    # Kirsch-Mitzenmacher: 2 string hashes per shingle, 16 derived
-    # signatures h1 + i*h2 — not 16 full string hashes. Hashes are
-    # folded to 31 bits so the combination never overflows ANSI longs.
-    _m = F.lit(2**31)
+    # Kirsch-Mitzenmacher: one md5 per shingle yields two independent
+    # 32-bit halves (hex digits 1-8 / 9-16); the 16 derived signatures
+    # are h1 + i*h2 — never 16 full string hashes. Max value ≈ 2³² +
+    # 15·2³² = 2³⁶, far inside ANSI long range. md5 instead of xxhash64
+    # buys the cross-engine oracle at ~1.5× the hash cost.
+    md5s = F.transform("shingles", lambda s: F.md5(s.cast("binary")))
     hashed = docs.select(
         "doc_id",
-        "shingles",
         F.transform(
-            "shingles",
-            lambda s: F.struct(
-                F.pmod(F.xxhash64(s), _m).alias("h1"),
-                F.pmod(F.xxhash64(F.lit(1), s), _m).alias("h2"),
-            ),
-        ).alias("hs"),
+            md5s, lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        ).alias("h1s"),
+        F.transform(
+            md5s, lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        ).alias("h2s"),
     )
-    sigs = [
-        F.array_min(
-            F.transform("hs", lambda p, i=i: p["h1"] + F.lit(i) * p["h2"])
+    # NB: the loop variable must be captured via a factory, not a default
+    # arg — PySpark counts lambda params, and a 2-param transform lambda
+    # binds the second to the ELEMENT INDEX (and zip_with rejects 3).
+    def _sig(i: int):
+        return F.array_min(
+            F.zip_with("h1s", "h2s", lambda a, b: a + F.lit(i) * b)
         ).alias(f"sig{i}")
-        for i in range(N_MINHASH)
-    ]
-    signed = hashed.select("doc_id", "shingles", *sigs)
+
+    sigs = [_sig(i) for i in range(N_MINHASH)]
+    signed = hashed.select("doc_id", "h1s", *sigs)
     bands = F.array(
         *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"sig{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"sig{b * LSH_ROWS + r}").cast("string")
+                    for r in range(LSH_ROWS)
+                ],
             )
             for b in range(LSH_BANDS)
         ]
@@ -204,14 +263,14 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Verification compares 31-bit hashed shingle SETS, not the strings:
+    # Verification compares 32-bit hashed shingle SETS, not the strings:
     # the candidate join then carries ~8 bytes per shingle instead of a
     # ~20-char gram, and long-array intersection beats string-array
     # intersection. Jaccard over hash sets equals shingle Jaccard up to
-    # collisions (~|shingles|/2³¹ — immaterial and deterministic).
-    hsig = F.array_distinct(F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), _m)))
-    s1 = docs.select(F.col("doc_id").alias("doc_a"), hsig.alias("sh_a"))
-    s2 = docs.select(F.col("doc_id").alias("doc_b"), hsig.alias("sh_b"))
+    # collisions (~|shingles|/2³² — immaterial and deterministic).
+    hsig = hashed.select("doc_id", F.array_distinct("h1s").alias("hsig"))
+    s1 = hsig.select(F.col("doc_id").alias("doc_a"), F.col("hsig").alias("sh_a"))
+    s2 = hsig.select(F.col("doc_id").alias("doc_b"), F.col("hsig").alias("sh_b"))
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -224,16 +283,80 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_dedup_simhash", oracle=None)
-def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup via 64-bit SimHash with 16-bit band blocking.
+@register("x_dedup_near", oracle=_DEDUP_NEAR_ORACLE)
+def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash + LSH banding (pure Catalyst).
 
-    Per-word xxhash64 → per-bit ±1 votes aggregated per doc (64 codegen'd
-    conditional sums — no 64× row explosion) → fingerprint assembled as a
-    BIGINT → candidates = pairs sharing any of four 16-bit bands (standard
-    simhash blocking: hamming ≤ 3 guarantees a shared band) → keep pairs
-    with hamming distance ≤ 3 via ``bit_count``. Rows-only check (xxhash64
-    is Spark-internal).
+    Pipeline: word-3-gram shingles → 16 MinHash signatures (md5-derived
+    Kirsch-Mitzenmacher combos minimized per doc — all JVM-side lambda
+    expressions) → 4 bands of 4 rows; docs sharing any band bucket become
+    candidate pairs → hashed-shingle-set Jaccard verifies candidates at
+    ≥ 0.5 (32-bit hash sets, equal to string-shingle Jaccard up to
+    ~|shingles|/2³² collisions).
+
+    At 100 TB the band join is the only shuffle and its key space is the
+    band buckets — the O(n²) pair space is never materialized. The md5
+    hash family makes the whole pipeline DuckDB-expressible → full
+    cross-engine hash oracle; tests/test_extensions.py additionally
+    property-checks that injected exact duplicates always surface.
+    """
+    return _minhash_pairs(spark, sf_dir)
+
+
+SIMHASH_BITS = 60  # 15 hex digits of md5 — stays positive in a signed long
+SIMHASH_BAND_BITS = SIMHASH_BITS // 4
+
+
+_SIMHASH_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+), words AS (
+    SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word
+    FROM corpus
+), hashed AS (
+    SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+    FROM words
+), votes AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM hashed, range({SIMHASH_BITS}) t(j)
+    GROUP BY doc_id, j
+), fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, simhash, band,
+           (simhash >> ({SIMHASH_BAND_BITS} * band))
+               & {(1 << SIMHASH_BAND_BITS) - 1} AS bkey
+    FROM fp, range(4) t(band)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS fp_a, b.simhash AS fp_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+@register("x_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via 60-bit SimHash with 15-bit band blocking.
+
+    Per-word md5-derived 60-bit hash → per-bit ±1 votes aggregated per
+    doc (60 codegen'd conditional sums — no 60× row explosion) →
+    fingerprint assembled as a BIGINT → candidates = pairs sharing any of
+    four 15-bit bands (standard simhash blocking: hamming ≤ 3 guarantees
+    a shared band) → keep pairs with hamming distance ≤ 3 via
+    ``bit_count``. md5 (60 bits = 15 hex digits, always positive in a
+    signed long) instead of xxhash64 makes the fingerprint reproducible
+    in DuckDB → full cross-engine hash oracle.
     """
     d = load(spark, sf_dir, "documents")
     dup = (
@@ -244,17 +367,19 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.unionByName(dup).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
-    h = F.xxhash64("word")
+    h = F.conv(
+        F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
     votes = words.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ]
     )
     fp = None
-    for j in range(64):
+    for j in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -264,7 +389,9 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     band_arr = F.array(
         *[
-            F.shiftright(F.col("simhash"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * k).bitwiseAND(
+                F.lit((1 << SIMHASH_BAND_BITS) - 1)
+            )
             for k in range(4)
         ]
     )
@@ -826,7 +953,22 @@ def x_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_rules.unionByName(ev_rules).unionByName(dup)
 
 
-@register("x_dedup_near_survivors", oracle=None)
+_NEAR_SURVIVORS_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, lang, source, n_chars, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars, text
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+), {_NEAR_CTES}, dropped AS (
+    SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5
+)
+SELECT c.doc_id, c.lang, c.source, c.n_chars
+FROM corpus c LEFT JOIN dropped d ON c.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+"""
+
+
+@register("x_dedup_near_survivors", oracle=_NEAR_SURVIVORS_ORACLE)
 def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup, survivor form: keep one document per near-dup
     cluster (SURVEY.md §2.J "keep one per cluster").
@@ -837,8 +979,8 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure would need iterative connected components, which a corpus
     dedup job runs as a handful of converging join rounds — unnecessary
     here where clusters are pairs). Anti-join keeps only doc ids flowing
-    through the shuffle. Rows-only check (xxhash64 minhash has no DuckDB
-    twin); the planted-duplicate property test pins the semantics.
+    through the shuffle. Full hash oracle via the shared md5 MinHash
+    CTE chain; the planted-duplicate property test pins the semantics.
     """
     d = load(spark, sf_dir, "documents")
     dup = (
