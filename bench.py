@@ -44,6 +44,10 @@ HEADLINE = [
     "x_pii_scrub",
     "x_corpus_shard",
     "x_corpus_prep",
+    # round 2: analytics composites from the driver window (the original
+    # 19 keys above are unchanged so round-over-round compares hold)
+    "q_join_asof",
+    "q_retention",
 ]
 
 

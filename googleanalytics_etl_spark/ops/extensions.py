@@ -596,16 +596,54 @@ def x_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("sim").desc(), "vec_id").limit(10)
 
 
-@register("x_sim_knn_ivf", oracle=None)
+_SIM_KNN_IVF_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS query_emb
+           FROM embeddings WHERE vec_id = 0),
+dims AS (
+    SELECT label, s.dim AS dim, AVG(CAST(s.val AS DOUBLE)) AS c
+    FROM (SELECT label,
+                 unnest(list_transform(embedding,
+                     (x, i) -> {'dim': i, 'val': x})) AS s
+          FROM embeddings)
+    GROUP BY label, s.dim
+), cent AS (
+    SELECT label,
+           CAST(list(CAST(c AS FLOAT) ORDER BY dim) AS DOUBLE[]) AS centroid
+    FROM dims GROUP BY label
+), probes AS (
+    SELECT label FROM (
+        SELECT label,
+               ROUND(list_cosine_similarity(centroid, query_emb), 6) AS csim
+        FROM cent, q
+    ) ORDER BY csim DESC, label LIMIT 3
+)
+SELECT vec_id, label, sim FROM (
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        query_emb), 6) AS sim,
+           ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     query_emb), 6)
+                        DESC, e.vec_id) AS rn
+    FROM embeddings e JOIN probes USING (label) CROSS JOIN q
+    WHERE e.vec_id <> 0
+) WHERE rn <= 10
+"""
+
+
+@register("x_sim_knn_ivf", oracle=_SIM_KNN_IVF_ORACLE)
 def x_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantization → probe nearest partitions only.
 
     Coarse centroids = per-label mean vectors (posexplode + avg — at
     scale these come from k-means or any clustering; the plan shape is
     identical). The query probes the 3 nearest centroids and scans only
-    those partitions — sub-linear scan cost, the 100 TB path. Rows-only
-    check; tests/test_extensions.py asserts recall ≥ 0.5 vs x_sim_knn
-    (top-10 overlap), the standard ANN correctness criterion.
+    those partitions — sub-linear scan cost, the 100 TB path. Full hash
+    oracle: the centroid is rounded to FLOAT on both sides, which
+    absorbs the engines' summation-order ulp differences before the
+    round-6 cosine compare; tests/test_extensions.py additionally
+    asserts recall ≥ 0.5 vs x_sim_knn (top-10 overlap), the standard
+    ANN correctness criterion.
     """
     em = load(spark, sf_dir, "embeddings")
     q = em.where(F.col("vec_id") == 0).select(
@@ -1059,7 +1097,69 @@ def _hyperplanes() -> list[list[float]]:
     return rng.randn(LSH_PLANES, 64).tolist()
 
 
-@register("x_sim_knn_lsh", oracle=None)
+def _planes_sql() -> str:
+    """The 16×64 literal hyperplanes as a DuckDB DOUBLE[][] literal.
+
+    The CAST is load-bearing: DuckDB types bare decimal literals as
+    DECIMAL, and decimal arithmetic would diverge from Spark's IEEE
+    doubles — casting the whole array keeps every product/sum in
+    binary64 on both engines. ``repr(float)`` round-trips exactly, so
+    both engines see bit-identical plane values.
+    """
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in _hyperplanes()
+    )
+    return f"CAST([{rows}] AS DOUBLE[][])"
+
+
+# Mirrors the Spark builder exactly: per-plane dot product as a left fold
+# seeded with 0.0 (list_reduce(list_prepend(0.0, products)) == Spark's
+# F.aggregate(..., lit(0.0), acc + v), same addition order → identical
+# sign decisions), 4-bit band keys, candidates = any shared (band, key)
+# with the query vector, exact round-6 cosine on candidates only.
+_SIM_KNN_LSH_ORACLE = f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding,
+           list_transform({_planes_sql()}, h ->
+               CASE WHEN list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           (x, i) -> x * h[i])),
+                   (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) AS bits
+    FROM embeddings
+), keys AS (
+    SELECT vec_id, label, embedding,
+           list_transform(range(4), b ->
+               bits[4 * b + 1] * 8 + bits[4 * b + 2] * 4 +
+               bits[4 * b + 3] * 2 + bits[4 * b + 4]) AS ks
+    FROM sigs
+), buckets AS (
+    SELECT vec_id, label, embedding, band, ks[band + 1] AS bkey
+    FROM keys, range(4) t(band)
+), qb AS (
+    SELECT band, bkey FROM buckets WHERE vec_id = 0
+), q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS query_emb
+    FROM embeddings WHERE vec_id = 0
+), cand AS (
+    SELECT DISTINCT b.vec_id, b.label, b.embedding
+    FROM buckets b JOIN qb USING (band, bkey)
+    WHERE b.vec_id <> 0
+)
+SELECT vec_id, label, sim FROM (
+    SELECT vec_id, label,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        query_emb), 6) AS sim,
+           ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                     query_emb), 6)
+                        DESC, vec_id) AS rn
+    FROM cand CROSS JOIN q
+) WHERE rn <= 10
+"""
+
+
+@register("x_sim_knn_lsh", oracle=_SIM_KNN_LSH_ORACLE)
 def x_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (random hyperplanes): the other scale path next
     to x_sim_knn_ivf.
@@ -1071,7 +1171,9 @@ def x_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is (band, 4-bit bucket), so ~1/16 of each band's vectors co-locate
     per bucket and the scan is sub-linear. Everything is Catalyst lambda
     expressions over literal hyperplane arrays (broadcast with the
-    plan); rows-only check + recall test vs brute force.
+    plan); full hash oracle (the hyperplanes inline into the SQL as
+    DOUBLE literals with the identical fold order) + recall test vs
+    brute force.
     """
     em = load(spark, sf_dir, "embeddings")
     planes = F.array(

@@ -354,7 +354,7 @@ m AS (
 )
 SELECT event_type, day, n,
        ROUND((n - s1 / cnt)
-             / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6) AS z
+             / sqrt((s2 - s1 * s1 / cnt) / NULLIF(cnt - 1, 0)), 6) AS z
 FROM m
 """
 
@@ -381,7 +381,12 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.count(F.lit(1)).over(w).cast("long")
     s1 = F.sum("n").over(w).cast("long")
     s2 = F.sum(n * n).over(w).cast("long")
+    # NULLIF guard: an event type observed on a single day has variance
+    # denominator 0 — both engines must yield NULL z, not an error or an
+    # engine-specific div-by-zero value
     z = F.round(
-        (n - s1 / cnt) / F.sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 6
+        (n - s1 / cnt)
+        / F.sqrt((s2 - s1 * s1 / cnt) / F.nullif(cnt - F.lit(1), F.lit(0))),
+        6,
     )
     return daily.select("event_type", "day", "n", z.alias("z"))

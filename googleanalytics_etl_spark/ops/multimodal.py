@@ -61,7 +61,7 @@ _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        'text/plain' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       ascii(text) AS first_byte,
+       CASE WHEN LENGTH(text) > 0 THEN ascii(text) END AS first_byte,
        CAST(NULL AS INTEGER) AS decoded_width
 FROM documents
 """
@@ -85,9 +85,12 @@ def x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": media.map(len).astype("int64"),
-                    "first_byte": media.map(
-                        lambda b: b[0] if len(b) else None
-                    ).astype("int32"),
+                    # nullable Int32: astype("int32") on an object series
+                    # holding None raises for empty payloads
+                    "first_byte": pd.array(
+                        [b[0] if len(b) else None for b in media],
+                        dtype="Int32",
+                    ),
                     "decoded_width": pd.array(
                         [None] * len(pdf), dtype="Int32"  # decode stub
                     ),

@@ -207,6 +207,21 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
             else (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
         )
         chunk.coalesce(1).write.mode("append").parquet(str(stage))
+        # Pin a strictly increasing mtime per chunk: FileStreamSource
+        # orders files by timestamp, and on coarse-mtime filesystems two
+        # sequential writes can tie — the tiebreaker (random part-file
+        # UUID in the path) would then reorder micro-batches and break
+        # determinism. The per-iteration diff identifies this chunk's
+        # files regardless of what the filesystem recorded.
+        if i == 0:
+            import time
+
+            base = int(time.time())
+            seen: set[str] = set()
+        fresh = {p.name for p in stage.iterdir()} - seen
+        for name in fresh:
+            os.utime(stage / name, (base + i, base + i))
+        seen |= fresh
     done.touch()
     return str(stage)
 

@@ -62,7 +62,9 @@ def upsert_append(
     """
     if not _target_exists(spark, target_path):
         incoming.write.mode("overwrite").parquet(target_path)
-        return incoming.count()
+        # count the rows actually written, not a re-evaluation of the
+        # incoming plan (which could differ if it is nondeterministic)
+        return spark.read.parquet(target_path).count()
     loaded = spark.read.parquet(target_path).select(key)
     # persist: the count and the append must observe the SAME rows even
     # if `incoming` contains nondeterministic steps
