@@ -1035,6 +1035,99 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+), {_NEAR_CTES}, edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= 0.5
+), undirected AS (
+    SELECT a, b FROM edges UNION SELECT b, a FROM edges
+), nodes AS (
+    SELECT DISTINCT a AS id FROM undirected
+), reach(id, r) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT reach.id, u.b FROM reach JOIN undirected u ON u.a = reach.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM reach GROUP BY id
+"""
+
+
+@register("x_dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    verified MinHash pair graph via iterative min-label propagation.
+
+    x_dedup_near_survivors applies the one-pass rule (drop any doc with
+    a smaller-id near-dup); this is the full closure — if A~B and B~C,
+    all three share a cluster even when A~C was never a candidate pair.
+    Each doc in any pair gets (cluster_id = min doc_id in its component,
+    cluster_size = docs reachable incl. itself).
+
+    Execution: the driver loop joins each vertex's label with its
+    neighbors' and keeps the min, until a fixpoint (checked with a
+    per-round count — the standard iterative-algorithm shape on Spark;
+    rounds = graph diameter). Per round there is ONE shuffle keyed by
+    vertex id carrying only (id, label) longs; the heavy text/shingle
+    payloads never enter the loop. Dedup graphs are overwhelmingly tiny
+    stars/pairs (diameter ≤ ~3), so 2-4 rounds converge; at
+    trillion-edge scale the same loop upgrades to alternating
+    large-star/small-star (O(log n) rounds) without changing the
+    per-round plan shape. Oracle: DuckDB recursive CTE computing min
+    reachable id per node — feasible because the sf0.01 pair graph is
+    small; the Spark loop is the form that scales.
+    """
+    pairs = _minhash_pairs(spark, sf_dir).persist()
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(20):  # bound >> any real dedup-graph diameter
+        nbr_labels = und.join(
+            labels.select(F.col("id").alias("a"), "label"), "a"
+        ).select(F.col("b").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .where(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    # cluster_size via one hash agg on (label), broadcast back
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    out = labels.join(F.broadcast(sizes), "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+    pairs.unpersist()
+    und.unpersist()
+    return out
+
+
 _CDC_ORACLE = """
 WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
 SELECT doc_id,

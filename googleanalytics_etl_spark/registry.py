@@ -106,7 +106,7 @@ _DRIVER_ORDER: list[str] = [
     # slot 51+: never-driver-checked keys first in case the window is wider
     "x_sim_knn_ivf", "x_sim_knn_lsh",
     "q_subquery_correlated", "q_subquery_exists",
-    "x_multimodal", "x_media_frames",
+    "x_multimodal", "x_media_frames", "x_dedup_clusters",
 ]
 
 

@@ -143,3 +143,48 @@ def test_lsh_knn_recall_and_determinism(spark):
     assert a == b, "LSH must be deterministic"
     assert len(a) == 10
     assert len(set(brute) & set(a)) >= 2, f"LSH recall collapsed: {set(brute) & set(a)}"
+
+
+def test_dedup_clusters_contain_planted_pairs_and_are_consistent(spark):
+    rows = queries()["x_dedup_clusters"](spark, SF_SMALL).collect()
+    cluster = {r.doc_id: r.cluster_id for r in rows}
+    sizes = {r.doc_id: r.cluster_size for r in rows}
+    # every planted duplicate shares a cluster with its original, and the
+    # cluster is labeled by its minimum member id
+    for d in range(10):
+        assert cluster.get(d) == cluster.get(d + 1_000_000), f"doc {d} split"
+        assert cluster[d] <= d
+    # label consistency: the labeling doc is in the cluster it names, and
+    # cluster_size is the member count of that label
+    from collections import Counter
+
+    counts = Counter(cluster.values())
+    for doc_id, label in cluster.items():
+        assert cluster[label] == label, f"label {label} not a fixpoint"
+        assert sizes[doc_id] == counts[label]
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """A~B and B~C must land A, B, C in ONE cluster even though A~C is
+    never a direct candidate pair (the property the survivors one-pass
+    rule does not guarantee)."""
+    import googleanalytics_etl_spark.ops.extensions as ext
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    orig = ext._minhash_pairs
+    ext._minhash_pairs = lambda s, d: pairs.withColumn("jaccard", F.lit(1.0))
+    try:
+        rows = ext.x_dedup_clusters(spark, SF_SMALL).collect()
+    finally:
+        ext._minhash_pairs = orig
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in rows}
+    assert got == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        7: (7, 2),
+        9: (7, 2),
+    }

@@ -71,6 +71,31 @@ def test_upsert_append_is_idempotent(spark):
     assert spark.read.parquet(tgt).count() == e.count() + 10
 
 
+def test_upsert_append_merge_exercise_sf01_skewed(spark):
+    """MERGE-semantics exercise at sf0.1: a 1M-row target upserted with a
+    half-overlapping increment delivered as ONE partition (worst-case
+    input skew for the anti-join). Exactly the fresh rows append, and a
+    re-run is a no-op — the parquet upsert carries Delta/Iceberg MERGE
+    semantics without the jars (sources/sinks.py upgrade path)."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(sf01):
+        pytest.skip("sf0.1 fixtures absent")
+    e = load(spark, sf01, "events").select("event_id", "user_id", "value")
+    n = e.count()
+    tgt = str(SCRATCH / "upsert_sf01")
+    assert upsert_append(spark, e, tgt, "event_id") == n
+    # increment: 50% already-loaded rows + 10k genuinely new ids, all in
+    # a single input partition
+    overlap = e.where(e.event_id % 2 == 0)
+    fresh = e.limit(10_000).withColumn("event_id", e.event_id + 50_000_000)
+    incoming = overlap.unionByName(fresh).coalesce(1)
+    assert upsert_append(spark, incoming, tgt, "event_id") == 10_000
+    assert upsert_append(spark, incoming, tgt, "event_id") == 0
+    assert spark.read.parquet(tgt).count() == n + 10_000
+
+
 def test_write_partitioned_prunes(spark):
     d = load(spark, SF_SMALL, "documents")
     out = str(SCRATCH / "docs_by_lang")
