@@ -13,7 +13,7 @@ has no SQL oracle (HLL sketches differ across engines) — rows-only check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -337,4 +337,63 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
         F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
         F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+    )
+
+
+_PERCENTILES_ORACLE = """
+WITH r AS (
+    SELECT o_orderpriority, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+)
+SELECT o_orderpriority,
+       MAX(CASE WHEN rn = CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT)
+                THEN o_totalprice END) AS p25,
+       MAX(CASE WHEN rn = CAST(ceil(CAST(0.50 AS DOUBLE) * n) AS BIGINT)
+                THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(CAST(0.75 AS DOUBLE) * n) AS BIGINT)
+                THEN o_totalprice END) AS p75,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM r GROUP BY o_orderpriority
+"""
+
+
+@register("q_percentiles", oracle=_PERCENTILES_ORACLE)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles via deterministic rank selection.
+
+    The value at rank ceil(q·n) in (value, unique-key) order — the
+    discrete percentile definition, chosen over interpolating
+    percentile_cont because rank selection compares EXACT fixture
+    doubles cross-engine, whereas the two engines' interpolation
+    formulas can differ in the last ulp. One window pass (a single
+    shuffle on the group key) + a hash aggregate; at 100 TB scale the
+    same question is usually answered with the approx_percentile sketch
+    (see q_approx_distinct for the sketch-vs-exact contract) — this is
+    the exact form and the oracle for validating sketches offline.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: float, name: str):
+        tgt = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.max(
+            F.when(F.col("rn") == tgt, F.col("o_totalprice"))
+        ).alias(name)
+
+    return r.groupBy("o_orderpriority").agg(
+        pick(0.25, "p25"),
+        pick(0.50, "p50"),
+        pick(0.75, "p75"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
     )

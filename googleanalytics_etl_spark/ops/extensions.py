@@ -217,14 +217,20 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are h1 + i*h2 — never 16 full string hashes. Max value ≈ 2³² +
     # 15·2³² = 2³⁶, far inside ANSI long range. md5 instead of xxhash64
     # buys the cross-engine oracle at ~1.5× the hash cost.
-    md5s = F.transform("shingles", lambda s: F.md5(s.cast("binary")))
-    hashed = docs.select(
+    # materialize the md5 array ONCE, then derive both halves from it —
+    # inlining the transform into two projections would hash every
+    # shingle twice (CSE across sibling array lambdas is not guaranteed)
+    md5d = docs.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.md5(s.cast("binary"))).alias("md5s"),
+    )
+    hashed = md5d.select(
         "doc_id",
         F.transform(
-            md5s, lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+            "md5s", lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
         ).alias("h1s"),
         F.transform(
-            md5s, lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+            "md5s", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
         ).alias("h2s"),
     )
     # NB: the loop variable must be captured via a factory, not a default

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..registry import fscaled, fsum, register, sql_dsum
+from ..registry import dsum, fscaled, fsum, register, sql_dsum
 
 GAP_MINUTES = 30
 
@@ -390,3 +390,104 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return daily.select("event_type", "day", "n", z.alias("z"))
+
+
+_ATTRIBUTION_ORACLE = """
+WITH conv AS (
+    SELECT user_id, ts AS c_ts, value AS c_value
+    FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+), touches AS (
+    SELECT e.user_id, e.event_type, conv.c_value,
+           ROW_NUMBER() OVER (PARTITION BY e.user_id
+                              ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id) AS rna,
+           ROW_NUMBER() OVER (PARTITION BY e.user_id
+                              ORDER BY CAST(e.ts AS TIMESTAMP) DESC,
+                                       e.event_id DESC) AS rnd,
+           COUNT(*) OVER (PARTITION BY e.user_id) AS n
+    FROM events e JOIN conv ON e.user_id = conv.user_id
+    WHERE e.event_type IN ('view', 'click')
+      AND CAST(e.ts AS TIMESTAMP) < conv.c_ts
+), credited AS (
+    SELECT event_type, user_id,
+           c_value * CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                          WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                          WHEN rna = 1 OR rnd = 1 THEN CAST(0.4 AS DOUBLE)
+                          ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS credit
+    FROM touches
+)
+SELECT event_type AS channel,
+       CAST(SUM(CAST(credit AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM credited GROUP BY event_type
+"""
+
+
+@register("q_attribution", oracle=_ATTRIBUTION_ORACLE)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (U-shaped / position-based): each user's
+    first purchase distributes its value across the view/click touches
+    that preceded it — 40% to the first touch, 40% to the last, 20%
+    split across the middle (100% / 50-50 for 1- and 2-touch paths) —
+    then credit rolls up per touch channel. The GA-analytics question
+    "which channel earns the conversions" answered without last-click
+    bias.
+
+    Scale shape: every step is keyed on ``user_id`` (conversion pick,
+    touch join, position windows), so one hash partitioning serves the
+    whole pipeline until the final small per-channel rollup; only
+    (user_id, ts, type, value) ever shuffles. Determinism: window
+    orders carry the (ts, event_id) tiebreak, weights are fixed-shape
+    IEEE expressions, and the credit sum crosses engines through the
+    exact DECIMAL(18,4) path (registry.dsum).
+    """
+    e = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+    )
+    touches = (
+        e.where(F.col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .where(F.col("ts") < F.col("c_ts"))
+    )
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("user_id")
+    positioned = touches.select(
+        "user_id",
+        "event_type",
+        "c_value",
+        F.row_number().over(wa).alias("rna"),
+        F.row_number().over(wd).alias("rnd"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n = F.col("n")
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((F.col("rna") == 1) | (F.col("rnd") == 1), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credited = positioned.select(
+        "event_type", "user_id", (F.col("c_value") * weight).alias("credit")
+    )
+    return credited.groupBy(F.col("event_type").alias("channel")).agg(
+        dsum("credit", "attributed_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )

@@ -188,3 +188,43 @@ def test_dedup_clusters_transitive_closure(spark):
         7: (7, 2),
         9: (7, 2),
     }
+
+
+def test_attribution_u_shaped_credits(spark):
+    """Position-based credit math on a hand-computable path set."""
+    from datetime import datetime
+
+    import googleanalytics_etl_spark.ops.flagship as fl
+
+    rows = []
+
+    def ev(eid, uid, minute, typ, val=0.0):
+        rows.append((eid, datetime(2024, 1, 1, 0, minute), uid, typ, val, None))
+
+    # user 100: view,click,view,click then purchase(10); later view ignored
+    ev(1, 100, 1, "view"); ev(2, 100, 2, "click")
+    ev(3, 100, 3, "view"); ev(4, 100, 4, "click")
+    ev(5, 100, 5, "purchase", 10.0); ev(6, 100, 6, "view")
+    # user 200: single touch takes 100%
+    ev(7, 200, 1, "click"); ev(8, 200, 2, "purchase", 8.0)
+    # user 300: two touches split 50/50
+    ev(9, 300, 1, "view"); ev(10, 300, 2, "view"); ev(11, 300, 3, "purchase", 6.0)
+    # user 400: no conversion -> no credit
+    ev(12, 400, 1, "view")
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = fl.load
+    fl.load = lambda s, d, t: df
+    try:
+        out = {r.channel: r for r in fl.q_attribution(spark, SF_SMALL).collect()}
+    finally:
+        fl.load = orig
+    # view: 4.0 (first of u100) + 1.0 (middle of u100) + 3.0 + 3.0 (u300)
+    assert out["view"].attributed_value == 11.0
+    # click: 1.0 (middle of u100) + 4.0 (last of u100) + 8.0 (u200 single)
+    assert out["click"].attributed_value == 13.0
+    assert out["view"].n_users == 2 and out["click"].n_users == 2
+    assert out["view"].n_touches == 4 and out["click"].n_touches == 3

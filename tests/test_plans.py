@@ -179,3 +179,16 @@ def test_corpus_prep_two_shuffles(spark):
     plan = simple_plan(x_corpus_prep(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_attribution_plan_shape(spark):
+    # conversion pick must compile to WindowGroupLimit (top-1 per user,
+    # no full per-user sort materialization), the small conversion side
+    # must broadcast into the touch join, and the whole pipeline must
+    # need at most 3 hash exchanges (purchases top-1, touch windows,
+    # final channel rollup).
+    plan = simple_plan(queries()["q_attribution"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 3, f"attribution plan regressed: {n_exchange} exchanges"
