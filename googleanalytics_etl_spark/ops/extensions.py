@@ -224,6 +224,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform("shingles", lambda s: F.md5(s.cast("binary"))).alias("md5s"),
     )
+    # persist: three plan branches consume this stage (band signatures +
+    # both sides of the verification join), and Spark does not share
+    # subplans across DAG branches — without the cache the shingle+md5
+    # pipeline would execute three times. The cached form is compact:
+    # (doc_id, two long arrays), no text.
     hashed = md5d.select(
         "doc_id",
         F.transform(
@@ -232,7 +237,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             "md5s", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
         ).alias("h2s"),
-    )
+    ).persist()
     # NB: the loop variable must be captured via a factory, not a default
     # arg — PySpark counts lambda params, and a 2-param transform lambda
     # binds the second to the ELEMENT INDEX (and zip_with rejects 3).
@@ -1099,6 +1104,11 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("id"))
         .persist()
     )
+    # Convergence check: min-propagation is monotone non-increasing, so
+    # the label SUM strictly decreases until the fixpoint — comparing
+    # consecutive sums detects convergence with one tiny aggregate per
+    # round instead of a changed-rows join.
+    prev_sum = None
     for _ in range(20):  # bound >> any real dedup-graph diameter
         nbr_labels = und.join(
             labels.select(F.col("id").alias("a"), "label"), "a"
@@ -1109,17 +1119,12 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old")), "id"
-            )
-            .where(F.col("label") < F.col("old"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     # cluster_size via one hash agg on (label), broadcast back
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
