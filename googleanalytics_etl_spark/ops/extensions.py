@@ -78,7 +78,7 @@ _DEDUP_EXACT_ORACLE = """
 WITH incoming AS (
     SELECT * FROM documents
     UNION ALL
-    SELECT * FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+    SELECT * FROM documents WHERE doc_id < 20
 )
 SELECT doc_id, lang, source, n_chars
 FROM (
@@ -100,7 +100,10 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only (digest, row) shuffles; survivors are picked deterministically.
     """
     d = load(spark, sf_dir, "documents")
-    incoming = d.unionByName(d.orderBy("doc_id").limit(20))
+    # ids are contiguous from 0 at every SF, so the deterministic tail is
+    # a pushed-down filter, not a global sort (orderBy+limit would range-
+    # partition the whole table at scale)
+    incoming = d.unionByName(d.where(F.col("doc_id") < 20))
     # digest before the shuffle and drop the text payload — the dedup
     # exchange carries 32-byte digests, not documents (the at-scale win)
     hashed = incoming.select(
@@ -189,7 +192,7 @@ WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text
-    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+    FROM documents WHERE doc_id < 10
 ), {_NEAR_CTES}
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
@@ -201,10 +204,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_dedup_near and x_dedup_near_survivors."""
     d = load(spark, sf_dir, "documents")
     # inject a duplicated tail so near-dup pairs exist at every sf
-    dup = (
-        d.orderBy("doc_id")
-        .limit(10)
-        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    # contiguous-from-0 ids: filter instead of a global orderBy+limit
+    dup = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
     )
     docs = (
         d.unionByName(dup)
@@ -323,7 +325,7 @@ WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text
-    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+    FROM documents WHERE doc_id < 10
 ), words AS (
     SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS word
     FROM corpus
@@ -370,10 +372,9 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB → full cross-engine hash oracle.
     """
     d = load(spark, sf_dir, "documents")
-    dup = (
-        d.orderBy("doc_id")
-        .limit(10)
-        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    # contiguous-from-0 ids: filter instead of a global orderBy+limit
+    dup = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
     )
     words = d.unionByName(dup).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
@@ -506,7 +507,7 @@ WITH corpus AS (
     SELECT * FROM embeddings
     UNION ALL
     SELECT vec_id + 1000000 AS vec_id, embedding, label
-    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10)
+    FROM embeddings WHERE vec_id < 10
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -531,8 +532,7 @@ def x_embed_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = load(spark, sf_dir, "embeddings")
     em = base.unionByName(
-        base.orderBy("vec_id")
-        .limit(10)
+        base.where(F.col("vec_id") < 10)
         .withColumn("vec_id", F.col("vec_id") + 1_000_000)
         .select("vec_id", "embedding", "label")
     )
@@ -1007,7 +1007,7 @@ WITH corpus AS (
     SELECT doc_id, lang, source, n_chars, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars, text
-    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+    FROM documents WHERE doc_id < 10
 ), {_NEAR_CTES}, dropped AS (
     SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5
 )
@@ -1032,10 +1032,9 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE chain; the planted-duplicate property test pins the semantics.
     """
     d = load(spark, sf_dir, "documents")
-    dup = (
-        d.orderBy("doc_id")
-        .limit(10)
-        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    # contiguous-from-0 ids: filter instead of a global orderBy+limit
+    dup = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
     )
     incoming = d.unionByName(dup)
     pairs = x_dedup_near(spark, sf_dir)  # verified (doc_a < doc_b) pairs
@@ -1051,7 +1050,7 @@ WITH RECURSIVE corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text
-    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+    FROM documents WHERE doc_id < 10
 ), {_NEAR_CTES}, edges AS (
     SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= 0.5
 ), undirected AS (
