@@ -1340,3 +1340,71 @@ def x_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("embedding"), F.col("query_emb")), 6).alias("sim"),
     )
     return scored.orderBy(F.col("sim").desc(), "vec_id").limit(10)
+
+
+_TFIDF_ORACLE = """
+WITH terms AS (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM terms GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT doc_id, term,
+           tf * (LN((CAST(n_docs AS DOUBLE) + 1) / (df + 1)) + 1) AS s
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(rn AS BIGINT) AS term_rank, ROUND(s, 6) AS score
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY s DESC, term) AS rn
+    FROM scored
+)
+WHERE rn <= 3
+"""
+
+
+@register("x_tfidf", oracle=_TFIDF_ORACLE)
+def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by smoothed
+    tf-idf (sklearn form: tf · (ln((N+1)/(df+1)) + 1)) — the classic
+    corpus-level text-analysis op (keyword tagging, relevance features)
+    the LLM-pipeline surface was missing.
+
+    Scale shape: term explode → (doc, term) hash aggregate for tf →
+    term-keyed aggregate for document frequency → term-keyed join back
+    (both sides are (term, counts) — text never re-shuffles) → doc-keyed
+    top-3, which compiles to WindowGroupLimit (per-partition top-k
+    pruning before the doc shuffle, no full per-doc sort
+    materialization). The corpus size joins in as a broadcast 1-row
+    aggregate, keeping the builder fully declarative (no driver-side
+    count collected). ln determinism cross-engine is proven by the
+    q_fn_math round-8 precedent; scores compare at round 6.
+    """
+    d = load(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs").cast("double") + 1) / (F.col("df") + 1)) + 1
+    )
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id", "term", score.alias("s")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("rn").cast("long").alias("term_rank"),
+            F.round("s", 6).alias("score"),
+        )
+    )

@@ -107,7 +107,7 @@ _DRIVER_ORDER: list[str] = [
     "x_sim_knn_ivf", "x_sim_knn_lsh",
     "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",
-    "q_attribution", "q_percentiles",
+    "q_attribution", "q_percentiles", "x_tfidf",
 ]
 
 

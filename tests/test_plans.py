@@ -107,7 +107,9 @@ _PYTHON_OK = {
     "x_media_frames",
     "s_stateful_user",
 }
-_BNLJ_OK = {"x_sim_knn", "x_sim_knn_ivf", "x_sim_knn_lsh"}
+# declared-benign nested-loop joins: every build side is a broadcast
+# SINGLE-ROW relation (query vector / corpus-count aggregate)
+_BNLJ_OK = {"x_sim_knn", "x_sim_knn_ivf", "x_sim_knn_lsh", "x_tfidf"}
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
 _SKIP = {"s_watermark", "s_incremental_sync", "s_stateful_user"}
