@@ -19,6 +19,7 @@ One module per SURVEY.md §2 category:
 
 from . import (  # noqa: F401
     aggregates,
+    analytics,
     extensions,
     flagship,
     functions,

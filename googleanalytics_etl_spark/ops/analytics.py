@@ -1,0 +1,501 @@
+"""GA-style report composites + pipeline maintenance operators.
+
+The reference's end product is a set of web-analytics report tables
+(sessions, landing pages, funnels) maintained incrementally over the
+synced hit log [REF-UNVERIFIED: SURVEY.md §2.E/§3 — the checkout at
+/root/reference was empty, semantics reconstructed from public knowledge
+of avibrazil/GoogleAnalytics-ETL]. This module adds the classic GA
+reports the round-1 flagship family did not yet cover — bounce rate,
+entry/exit pages, path transitions, gap-filled time series — plus two
+engine-discipline operators (incremental aggregate maintenance,
+benchmark decontamination) that matter at 100 TB.
+
+Scale posture shared by every op here: the event log is shuffled at most
+once (on ``user_id`` for the session-based reports — the same single
+Exchange q_sessionize is plan-asserted on), all post-session aggregates
+operate on session-level or day-level cardinality (thousands of rows per
+billion events), and no global sort appears anywhere. Cross-engine
+determinism follows registry.py's conventions: exact decimal/integer
+moments, fixed-shape IEEE float expressions, round(·, 6) surfaces,
+identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import dsum, register, sql_dsum
+from .flagship import _SESSIONIZED_CTE, session_metrics
+
+# ---------------------------------------------------------------------------
+# q_bounce_rate — the GA "bounce rate by landing page" report
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = (
+    _SESSIONIZED_CTE
+    + """
+, touched AS (
+    SELECT user_id, session_id,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS landing
+    FROM sess
+), per_session AS (
+    SELECT user_id, session_id, MIN(landing) AS landing,
+           COUNT(*) AS n_events
+    FROM touched GROUP BY user_id, session_id
+)
+SELECT landing,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS bounce_rate
+FROM per_session
+GROUP BY landing
+"""
+)
+
+
+@register("q_bounce_rate", oracle=_BOUNCE_ORACLE)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per landing event type: share of single-event sessions.
+
+    Reuses the single-shuffle sessionization (``session_metrics``); the
+    final aggregate groups session-level rows (orders of magnitude
+    smaller than the event log) by landing type — at 100 TB the second
+    exchange moves per-session tuples, never raw events. The rate is a
+    BIGINT/BIGINT divide (both engines produce the same IEEE double),
+    rounded to 6.
+    """
+    s = session_metrics(load(spark, sf_dir, "events"))
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    n_sessions = F.count(F.lit(1)).cast("long")
+    n_bounces = F.sum(bounce).cast("long")
+    return (
+        s.withColumnRenamed("first_event_type", "landing")
+        .groupBy("landing")
+        .agg(
+            n_sessions.alias("n_sessions"),
+            n_bounces.alias("n_bounces"),
+            F.round(n_bounces.cast("double") / n_sessions, 6).alias("bounce_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_entry_exit — entry/exit page matrix
+# ---------------------------------------------------------------------------
+
+_ENTRY_EXIT_ORACLE = (
+    _SESSIONIZED_CTE
+    + """
+, touched AS (
+    SELECT user_id, session_id,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS entry_type,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS exit_type
+    FROM sess
+), per_session AS (
+    SELECT user_id, session_id,
+           MIN(entry_type) AS entry_type, MIN(exit_type) AS exit_type
+    FROM touched GROUP BY user_id, session_id
+)
+SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM per_session
+GROUP BY entry_type, exit_type
+"""
+)
+
+
+@register("q_entry_exit", oracle=_ENTRY_EXIT_ORACLE)
+def q_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry→exit matrix: how sessions start vs how they end (the GA
+    landing/exit pages report collapsed to one contingency table).
+
+    Session-level input (single event-log shuffle via session_metrics);
+    the matrix aggregate is |event_types|² rows — broadcast-scale output
+    regardless of input size.
+    """
+    s = session_metrics(load(spark, sf_dir, "events"))
+    return (
+        s.select(
+            F.col("first_event_type").alias("entry_type"),
+            F.col("last_event_type").alias("exit_type"),
+        )
+        .groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_path_transitions — within-session Markov transition matrix
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = (
+    _SESSIONIZED_CTE
+    + """
+, hops AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM sess
+), pairs AS (
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM hops WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+"""
+)
+
+
+@register("q_path_transitions", oracle=_TRANSITIONS_ORACLE)
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition probabilities within sessions — the Markov
+    matrix behind GA path analysis / data-driven attribution.
+
+    The lag window reuses the sessionize (user_id; ts, event_id) sort —
+    still one event-log shuffle; the probability window runs over the
+    |types|² aggregate, not the log. p is n/Σn on BIGINTs (same IEEE
+    divide both engines), rounded to 6.
+    """
+    from .flagship import sessionize
+
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    hops = s.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pairs = hops.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_gap_fill — calendar spine + forward fill (time-series repair)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           {dsum}
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+), spine AS (
+    SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+    FROM bounds
+), joined AS (
+    SELECT s.event_type, s.day, d.v
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+)
+SELECT event_type, day,
+       CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+       LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM joined
+""".format(dsum=sql_dsum("value", "v"))
+
+
+@register("q_gap_fill", oracle=_GAP_FILL_ORACLE)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily value series with missing days forward-filled
+    (LOCF) over a per-type calendar spine — the time-series repair step
+    every daily report pipeline needs before charting/joining.
+
+    The spine is generated from each type's [min, max] day (a tiny
+    aggregate + ``sequence`` explode — spine size is days×types, never
+    event-scale); the forward fill is ``last(v, ignorenulls)`` over the
+    spine, i.e. a window over day-level rows only. Daily sums are exact
+    decimal (`dsum`), so the filled doubles match DuckDB bit-for-bit.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    daily = e.groupBy("event_type", day.alias("day")).agg(dsum("value", "v"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    wfill = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.last("v", ignorenulls=True).over(wfill).alias("v_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_histogram — fixed-width distribution binning
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25_000
+
+_HISTOGRAM_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket
+    FROM orders
+), h AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bucket
+)
+SELECT bucket,
+       CAST(bucket * {_HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+       n,
+       ROUND(n / SUM(n) OVER (), 6) AS share
+FROM h
+"""
+
+
+@register("q_histogram", oracle=_HISTOGRAM_ORACLE)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals with each bucket's share —
+    the distribution profile report (and the skew diagnostic an engine
+    runs before choosing a partitioning).
+
+    One map-side-combined aggregate over the scan; the share window runs
+    over the ~20-bucket output. floor(x/width) on doubles is the same
+    IEEE operation in both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long").alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return h.select(
+        "bucket",
+        (F.col("bucket") * _HIST_WIDTH).cast("double").alias("bucket_lo"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6).alias(
+            "share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_correlation — exact-moment Pearson correlation
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT)
+                         * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT)
+                         * CAST(ROUND(l_quantity) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS corr_qty_price
+FROM m
+"""
+
+
+@register("q_correlation", oracle=_CORR_ORACLE)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs extended price) per return flag
+    — metric-covariance profiling, computed from EXACT integer moments.
+
+    Naive ``corr()`` accumulates doubles and is partial-order dependent
+    (Spark's partial/final merge vs DuckDB's scan order ⇒ last-ulp
+    drift). Instead the five moments are summed as DECIMAL(38,0) over
+    exact integers (quantity is integral; price has 2 decimals → ×100):
+    associative, overflow-safe past 10³⁶, map-side combinable. The final
+    corr is one fixed-shape IEEE expression on the moment doubles —
+    bit-identical across engines, rounded to 6. One aggregate, one tiny
+    window-free projection; scales like any hash aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(d38)).cast("double").alias("sx"),
+        F.sum(y.cast(d38)).cast("double").alias("sy"),
+        F.sum((x * y).cast(d38)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(d38)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(d38)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = F.round(
+        (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_agg — partial-aggregate maintenance (merge = recompute)
+# ---------------------------------------------------------------------------
+
+_INCR_CUTOVER = "1998-01-01 00:00:00"
+
+_INCREMENTAL_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", "total")}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_incremental_agg", oracle=_INCREMENTAL_ORACLE)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a historical partial aggregate
+    merged with a fresh-delta partial aggregate equals the full
+    recompute — the pattern that lets a 100 TB daily report update by
+    scanning ONLY the new partition (the reference's whole reason to
+    exist is this incremental sync [REF-UNVERIFIED]).
+
+    Both halves pre-aggregate to (priority, count, exact decimal sum)
+    partials; the merge re-aggregates partials (sum of counts, sum of
+    decimal sums — associative by construction, so partial∘partial ≡
+    full). The oracle is the FULL recompute: the hash match *proves* the
+    incremental identity cross-engine. The decimal→double cast happens
+    only after the merge.
+    """
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit(_INCR_CUTOVER).cast("timestamp_ntz")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("psum"),
+        )
+
+    hist = partial(o.where(F.col("o_orderdate") < cut))
+    delta = partial(o.where(F.col("o_orderdate") >= cut))
+    return (
+        hist.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("psum").cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_decontaminate — benchmark n-gram contamination scan
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH bench AS (
+    SELECT DISTINCT
+        CAST('0x' || substr(md5(unnest(list_distinct(
+            CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+                list_transform(range(len(str_split(text, ' ')) - 2),
+                    i -> str_split(text, ' ')[i + 1] || ' ' ||
+                         str_split(text, ' ')[i + 2] || ' ' ||
+                         str_split(text, ' ')[i + 3])
+            ELSE [text] END))), 1, 15) AS BIGINT) AS h
+    FROM documents WHERE source = 'src0'
+), train AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+                   list_transform(range(len(str_split(text, ' ')) - 2),
+                       i -> str_split(text, ' ')[i + 1] || ' ' ||
+                            str_split(text, ' ')[i + 2] || ' ' ||
+                            str_split(text, ' ')[i + 3])
+               ELSE [text] END)) AS shingle
+    FROM documents WHERE source <> 'src0'
+), hashed AS (
+    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+    FROM train
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(b.h) AS BIGINT) AS n_hit,
+       ROUND(COUNT(b.h) / COUNT(*), 6) AS contamination
+FROM hashed t LEFT JOIN bench b USING (h)
+GROUP BY t.doc_id
+"""
+
+
+@register("x_decontaminate", oracle=_DECON_ORACLE)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct word 3-grams that also appear in a held-out benchmark
+    corpus (here: ``source = 'src0'``) — the overlap scan run before any
+    corpus ships to training.
+
+    Shingles are md5-hashed to 60-bit longs on BOTH sides, so the join
+    shuffles (doc_id, hash) longs — never text. The benchmark side is
+    distinct-deduped first (benchmark ≪ corpus; at scale Spark broadcasts
+    it — at fixture scale AQE decides). Contamination is hit/total on
+    per-doc distinct shingles, rounded to 6. Linear in corpus size; the
+    only quadratic-risk step (the hash join) is keyed on rare 3-grams.
+    """
+    from .extensions import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    # materialize the split once — word_shingles over an inline split()
+    # re-evaluates it per lambda element (O(words²) per doc)
+    sh = d.select(
+        "doc_id", "source", F.split("text", " ").alias("words")
+    ).select("doc_id", "source", word_shingles(F.col("words")).alias("shingles"))
+    h = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    bench = (
+        sh.where(F.col("source") == "src0")
+        .select(F.explode("shingles").alias("shingle"))
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = (
+        sh.where(F.col("source") != "src0")
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", h.alias("h"))
+    )
+    joined = train.join(bench, "h", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.count("hit").cast("long").alias("n_hit"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("contamination"),
+    )

@@ -108,6 +108,9 @@ _DRIVER_ORDER: list[str] = [
     "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",
     "q_attribution", "q_percentiles", "x_tfidf",
+    # round-2 session-2 additions: GA report composites + maintenance ops
+    "q_bounce_rate", "q_entry_exit", "q_path_transitions", "q_gap_fill",
+    "q_histogram", "q_correlation", "q_incremental_agg", "x_decontaminate",
 ]
 
 

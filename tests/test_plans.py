@@ -194,3 +194,54 @@ def test_attribution_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 3, f"attribution plan regressed: {n_exchange} exchanges"
+
+
+def test_session_reports_reuse_event_shuffle(spark):
+    """Bounce-rate / entry-exit reports: the event log moves once (the
+    user_id sessionize exchange); every later exchange operates on
+    session-level rows. Two hash exchanges total, no range partitioning
+    (no global sort) anywhere."""
+    for key in ("q_bounce_rate", "q_entry_exit"):
+        plan = simple_plan(queries()[key](spark, SF_SMALL))
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= 2, f"{key}: {n} exchanges\n{plan}"
+        assert "rangepartitioning" not in plan, plan
+
+
+def test_path_transitions_plan(spark):
+    """Transition matrix: lag window reuses the sessionize sort (one
+    event-log exchange); the aggregate + probability window move only
+    |types|^2 rows."""
+    plan = simple_plan(queries()["q_path_transitions"](spark, SF_SMALL))
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"{n} exchanges\n{plan}"
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_correlation_single_aggregate(spark):
+    """Exact-moment correlation is ONE hash aggregate (map-side partials
+    + one exchange on the 3-value group key) and no window/sort."""
+    plan = simple_plan(queries()["q_correlation"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_incremental_agg_partial_merge(spark):
+    """Incremental maintenance: two pre-aggregated partials union into a
+    merge aggregate; nothing here may sort or move raw orders more than
+    the partial-aggregate exchanges."""
+    plan = simple_plan(queries()["q_incremental_agg"](spark, SF_SMALL))
+    assert "rangepartitioning" not in plan, plan
+    # partial aggregates happen before the exchanges: the union merge
+    # re-aggregates already-reduced (priority, pn, psum) tuples
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_decontaminate_hash_only_join(spark):
+    """Decontamination joins 60-bit shingle hashes, never shingle text:
+    the join keys must be longs (conv(md5)) and the plan free of
+    cartesian products and global sorts."""
+    plan = simple_plan(queries()["x_decontaminate"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan, plan
