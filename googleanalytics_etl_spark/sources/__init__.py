@@ -6,9 +6,12 @@
 - :mod:`.ingest` — JSON/CSV ingestion with declared schemas.
 - :mod:`.sinks` — JDBC append, idempotent (anti-join) upsert append,
   partitioned parquet write.
+- :mod:`.layout` — range-clustered writes (row-group skipping),
+  small-file compaction, quarantining PERMISSIVE ingest.
 """
 
 from .ingest import read_csv, read_json
+from .layout import cluster_write, compact_parquet, read_json_tolerant
 from .paged import PagedEventsDataSource, read_paged
 from .sinks import append_jdbc, upsert_append, write_partitioned
 
@@ -20,4 +23,7 @@ __all__ = [
     "append_jdbc",
     "upsert_append",
     "write_partitioned",
+    "cluster_write",
+    "compact_parquet",
+    "read_json_tolerant",
 ]

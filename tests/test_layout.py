@@ -1,0 +1,134 @@
+"""Data-layout tests: clustered writes enable row-group skipping,
+compaction resizes fragmented outputs, tolerant ingest quarantines
+malformed rows. These verify the WRITE side of scan efficiency — the
+plan tests assert pushdown; these assert there is something for
+pushdown to skip."""
+
+from __future__ import annotations
+
+import glob
+import json
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+from conftest import SF_SMALL
+
+from googleanalytics_etl_spark.io import load
+from googleanalytics_etl_spark.sources import (
+    cluster_write,
+    compact_parquet,
+    read_json_tolerant,
+)
+
+SCRATCH = Path(__file__).resolve().parents[1] / ".scratch" / "test_layout"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clean_scratch():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    SCRATCH.mkdir(parents=True, exist_ok=True)
+    yield
+
+
+def _file_key_spans(path: str, col: str) -> list[tuple[int, int]]:
+    """(min, max) of ``col`` per parquet data file, from row-group stats
+    only — no data read."""
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max, "stats missing"
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def test_cluster_write_separates_key_ranges(spark):
+    """Range-clustered files must cover pairwise-disjoint user_id spans:
+    a selective predicate can then skip every file but one on metadata
+    alone. An unclustered write of the same data shows near-total span
+    overlap — the contrast IS the point of the layout."""
+    e = load(spark, SF_SMALL, "events")
+    tgt = str(SCRATCH / "clustered")
+    cluster_write(e, tgt, ["user_id"], n_files=4)
+
+    spans = _file_key_spans(tgt, "user_id")
+    assert len(spans) == 4
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, f"overlapping file spans {spans}"
+
+    # control: default layout (hash of input splits) does NOT separate
+    plain = str(SCRATCH / "plain")
+    e.repartition(4).write.mode("overwrite").parquet(plain)
+    pspans = _file_key_spans(plain, "user_id")
+    pspans.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(pspans, pspans[1:]) if b > c
+    )
+    assert overlaps > 0, "control unexpectedly clustered"
+
+    # round-trip fidelity
+    assert spark.read.parquet(tgt).count() == e.count()
+
+
+def test_cluster_write_row_groups_sorted_within_file(spark):
+    """sortWithinPartitions must hold inside files too: successive row
+    groups of one file carry non-overlapping, ascending key spans."""
+    tgt = str(SCRATCH / "clustered")  # written by the previous test
+    for f in sorted(glob.glob(f"{tgt}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("user_id")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if prev_max is not None:
+                assert st.min >= prev_max, f"unsorted row groups in {f}"
+            prev_max = st.max
+
+
+def test_compact_parquet_resizes(spark):
+    """64 fragment files → size-targeted few files, rows preserved."""
+    e = load(spark, SF_SMALL, "events")
+    frag = str(SCRATCH / "fragmented")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+
+    dst = str(SCRATCH / "compacted")
+    n = compact_parquet(spark, frag, dst, target_mb=1)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n
+    assert n < 64
+    assert spark.read.parquet(dst).count() == e.count()
+
+
+def test_read_json_tolerant_quarantines(spark):
+    """Malformed lines land in quarantine with their raw text; good rows
+    parse completely; nothing is silently dropped."""
+    feed = SCRATCH / "feed.jsonl"
+    good = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": i,
+         "event_type": "view", "value": 1.5, "props": "{}"}
+        for i in range(5)
+    ]
+    lines = [json.dumps(g) for g in good]
+    lines.insert(2, '{"event_id": 99, "ts": "not-a-timestamp literal"')  # truncated
+    lines.insert(4, "not json at all")
+    feed.write_text("\n".join(lines) + "\n")
+
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ok, bad = read_json_tolerant(spark, str(feed), schema)
+    assert ok.count() == 5
+    assert ok.where("event_id IS NULL").count() == 0
+    bad_rows = [r[0] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert "not json at all" in bad_rows
