@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     scans,
     setops,
     streaming,
+    tpch,
     udfs,
     windows,
 )

@@ -111,6 +111,9 @@ _DRIVER_ORDER: list[str] = [
     # round-2 session-2 additions: GA report composites + maintenance ops
     "q_bounce_rate", "q_entry_exit", "q_path_transitions", "q_gap_fill",
     "q_histogram", "q_correlation", "q_incremental_agg", "x_decontaminate",
+    # TPC-H-style decision-support suite (ops/tpch.py)
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18",
 ]
 
 

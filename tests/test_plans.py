@@ -245,3 +245,45 @@ def test_decontaminate_hash_only_join(spark):
     plan = simple_plan(queries()["x_decontaminate"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_tpch_topk_take_ordered(spark):
+    """Q3/Q10 top-k must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the aggregate."""
+    for key in ("q_tpch_q3", "q_tpch_q10"):
+        plan = fmt_plan(queries()[key](spark, SF_SMALL))
+        assert "TakeOrderedAndProject" in plan, key
+
+
+def test_tpch_q6_pure_pushdown(spark):
+    """Q6 is scan + filter + global agg: every predicate pushed to the
+    parquet scan, zero hash exchanges (the only exchange is the
+    single-partition gather for the global sum)."""
+    df = queries()["q_tpch_q6"](spark, SF_SMALL)
+    plan = fmt_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert simple_plan(df).count("Exchange hashpartitioning") == 0
+
+
+def test_tpch_q8_star_broadcasts(spark):
+    """The 7-relation Q8 star: every DIM side (part, supplier⋈nation,
+    customer⋈nation⋈region) resolves to a broadcast join — ≥5 broadcast
+    hash joins. The lineitem⋈orders edge may be a shuffle join in the
+    static plan (both relations grow with SF — that IS the at-scale
+    plan; AQE converts it to broadcast at fixture sizes): at most 3
+    hash exchanges total (two join sides + the year aggregate)."""
+    plan = simple_plan(queries()["q_tpch_q8"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"Q8 regressed: {n} hash exchanges"
+
+
+def test_tpch_q18_aggregate_before_join(spark):
+    """Q18 must reduce lineitem via the HAVING aggregate before any
+    join: exactly one hash exchange (the l_orderkey aggregate), joins
+    on the reduced set broadcast at fixture scale."""
+    plan = simple_plan(queries()["q_tpch_q18"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
