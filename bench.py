@@ -48,6 +48,14 @@ HEADLINE = [
     # 19 keys above are unchanged so round-over-round compares hold)
     "q_join_asof",
     "q_retention",
+    # round 2 (late): the TPC-H decision-support suite — recognizable
+    # OLAP shapes benched end-to-end (BASELINE.md documents the per-set
+    # subtotals so earlier-round totals stay comparable)
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q8",
+    "q_tpch_q18",
 ]
 
 
