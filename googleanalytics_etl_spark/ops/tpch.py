@@ -506,3 +506,144 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer-join histogram)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q_tpch_q13", oracle=_Q13_ORACLE)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count — the LEFT
+    OUTER join is the point (customers with zero orders must survive
+    into the c_count = 0 bucket; an inner join silently loses them).
+    Two hash aggregates; the second runs over |distinct counts| rows.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (aggregate, then argmax against its own max)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           {sql_dsum(_REV, "total_revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@register("q_tpch_q15", oracle=_Q15_ORACLE)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the quarter's maximum revenue.
+
+    The scalar max comes from a 1-row aggregate of the (already reduced)
+    per-supplier revenue, broadcast into an equality join — never a
+    single-partition window over all suppliers (at 100 TB the supplier
+    aggregate has millions of rows; the 1-row broadcast is free either
+    way). Revenue equality is safe cross-engine because both sides carry
+    the identical exact-decimal-derived double.
+    """
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum_rev("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (per-part average threshold)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH part_avg AS (
+    SELECT l_partkey AS a_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN part_avg ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("q_tpch_q17", oracle=_Q17_ORACLE)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand's
+    parts. The classic correlated AVG subquery decorrelates into a
+    per-part aggregate joined back on l_partkey — both sides of that
+    join are partitioned on the same key (one co-located exchange pair,
+    AQE-planned). The threshold comparison is deterministic because
+    avg_qty is an exact-decimal sum over a count (identical doubles both
+    engines). The brand filter prunes through the part join.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_avg, F.col("a_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )

@@ -114,6 +114,7 @@ _DRIVER_ORDER: list[str] = [
     # TPC-H-style decision-support suite (ops/tpch.py)
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
     "q_tpch_q8", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18",
+    "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
 ]
 
 
