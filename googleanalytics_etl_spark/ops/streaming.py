@@ -383,3 +383,98 @@ def s_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"st_{uuid.uuid4().hex[:8]}"
     _run_to_memory(emissions, name, "update")
     return spark.table(name)
+
+
+_ENRICH_ORACLE = f"""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           AS window_start,
+       c_mktsegment,
+       COUNT(*) AS n,
+       {sql_dsum("value", "total_value")}
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("s_enrich", oracle=_ENRICH_ORACLE)
+def s_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the customer
+    dimension, then a tumbling-window aggregate per market segment — the
+    canonical "enrich the stream with a profile table" pattern.
+
+    Registered form is the batch twin (identical semantics — a
+    stream-static inner join re-evaluates the static side per
+    micro-batch); tests/test_streaming.py runs the same plan through a
+    real readStream and asserts equivalence. At scale the static dim
+    join inherits the batch engine's strategy (broadcast when small,
+    shuffle otherwise); the streaming state is only the window
+    aggregate's, bounded by the watermark.
+    """
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour"), "c_mktsegment"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), fsum("value", "total_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_STREAM_JOIN_ORACLE = """
+WITH v AS (
+    SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
+    FROM events WHERE event_type = 'view'
+), p AS (
+    SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM v JOIN p ON v.user_id = p.user_id
+             AND p.pts >= v.vts
+             AND p.pts <= v.vts + INTERVAL 30 MINUTE
+GROUP BY v.user_id
+"""
+
+
+@register("s_stream_join", oracle=_STREAM_JOIN_ORACLE)
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: view→purchase pairs per user where
+    the purchase lands within 30 minutes of the view — the attribution
+    join as Structured Streaming runs it (two watermarked streams, state
+    bounded by the interval + watermark; late rows beyond the watermark
+    age out of the join state).
+
+    Registered form is the batch twin (the watermarked stream-stream
+    inner join emits exactly the interval-join result when no data is
+    dropped); tests/test_streaming.py runs the real two-stream join via
+    readStream + withWatermark and asserts pair-set equivalence. The
+    equi-key (user_id) keeps the join hash-partitioned — the interval
+    predicate is a residual filter, never a cross product.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    pairs = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

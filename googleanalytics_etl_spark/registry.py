@@ -115,6 +115,8 @@ _DRIVER_ORDER: list[str] = [
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
     "q_tpch_q8", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18",
     "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
+    # streaming joins (batch twins; real-stream equivalence in tests)
+    "s_enrich", "s_stream_join",
 ]
 
 

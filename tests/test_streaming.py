@@ -225,3 +225,92 @@ def test_checkpoint_resume_picks_up_only_new_files(spark):
     final = spark.read.parquet(str(target))
     assert final.count() == total
     assert final.select("event_id").distinct().count() == total
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static join (event stream ⋈ customer dim) + windowed agg
+    via a real readStream == the registered batch twin."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.io import load
+
+    stage = _stage_events(spark, SF_SMALL)
+    c = load(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        _events_stream(spark, stage)
+        .join(c, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "c_mktsegment",
+            "n",
+        )
+    )
+    name = f"se_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(enriched, name, "complete")
+    got = _collect_sorted(spark.table(name), ["window_start", "c_mktsegment", "n"])
+    want = _collect_sorted(
+        queries()["s_enrich"](spark, SF_SMALL),
+        ["window_start", "c_mktsegment", "n"],
+    )
+    assert got == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Two watermarked streams (views, purchases) interval-joined via a
+    real readStream: the emitted pair set must equal the batch interval
+    join the registered twin aggregates."""
+    from pyspark.sql import functions as F
+
+    stage = _stage_events(spark, SF_SMALL)
+
+    def side(evt, ucol, icol, tcol):
+        return (
+            _events_stream(spark, stage)
+            .where(F.col("event_type") == evt)
+            .select(
+                F.col("user_id").alias(ucol),
+                F.col("event_id").alias(icol),
+                F.col("ts").alias(tcol),
+            )
+            .withWatermark(tcol, "10 hours")
+        )
+
+    v = side("view", "v_user", "view_id", "vts")
+    p = side("purchase", "p_user", "purchase_id", "pts")
+    pairs = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND pts >= vts "
+            "AND pts <= vts + INTERVAL 30 MINUTES"
+        ),
+    ).select("v_user", "view_id", "purchase_id")
+    name = f"sj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(pairs, name, "append")
+    got = _collect_sorted(spark.table(name), ["v_user", "view_id", "purchase_id"])
+
+    from googleanalytics_etl_spark.io import load
+
+    e = load(spark, SF_SMALL, "events")
+    bv = e.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    bp = e.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    want = _collect_sorted(
+        bv.join(
+            bp,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select("v_user", "view_id", "purchase_id"),
+        ["v_user", "view_id", "purchase_id"],
+    )
+    assert len(got) > 0
+    assert got == want
