@@ -1,0 +1,117 @@
+"""Scale-up stress checks: the same plans at ~10-16× the bench fixture.
+
+The fixtures cap at sf0.1; these tests synthesize larger inputs IN
+MEMORY (unioned copies with remapped keys — testdata stays read-only)
+and assert the three properties that must survive a scale-up:
+
+1. the pipelines complete (no driver-side materialization, no state
+   blow-up),
+2. results scale exactly as the construction predicts (copies with
+   disjoint key spaces ⇒ counts multiply — a correctness check no
+   oracle covers at this size),
+3. the physical plan keeps the same shuffle structure (scaling the
+   input must not change the number of exchanges — the plan shape IS
+   the 100 TB contract).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from conftest import SF_SMALL
+
+from googleanalytics_etl_spark.io import load
+from googleanalytics_etl_spark.ops.flagship import session_metrics, sessionize
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+# disjoint user spaces per copy: session structure per copy is identical
+USER_STRIDE = 10_000_000
+
+
+def _events_x(spark, sf_dir: str, copies: int):
+    e = load(spark, sf_dir, "events")
+    parts = [
+        e.select(
+            (F.col("event_id") + F.lit(i).cast("long") * 1_000_000_000).alias(
+                "event_id"
+            ),
+            "ts",
+            (F.col("user_id") + F.lit(i).cast("long") * USER_STRIDE).alias(
+                "user_id"
+            ),
+            "event_type",
+            "value",
+        )
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_flagship_16x_users(spark):
+    """Sessionization + per-session metrics at 16× the sf0.1 event log
+    (~1.6 M events, 16× the users). Session count must be exactly 16×
+    the single-copy count, and the plan must keep ONE hash exchange."""
+    base = session_metrics(load(spark, SF_BENCH, "events")).count()
+    big = _events_x(spark, SF_BENCH, 16)
+    m = session_metrics(big)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        m.explain()
+    assert buf.getvalue().count("Exchange hashpartitioning") == 1
+
+    assert m.count() == 16 * base
+
+
+def test_groupby_join_10x_lineitem(spark):
+    """The Q1-style aggregate and the orders join at 10× sf0.1 lineitem
+    (~6 M rows). Group counts are input-size-invariant (same key space);
+    aggregated counts must be exactly 10× the originals."""
+    li = load(spark, SF_BENCH, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    big = li
+    for _ in range(9):
+        big = big.unionByName(li)
+
+    agg = big.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    base = {
+        (r.l_returnflag, r.l_linestatus): r.n
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in agg.collect():
+        assert r.n == 10 * base[(r.l_returnflag, r.l_linestatus)]
+
+    o = load(spark, SF_BENCH, "orders").select("o_orderkey")
+    joined = big.join(o, big.l_orderkey == o.o_orderkey)
+    assert joined.count() == 10 * li.count()  # every line has its order
+
+
+def test_minhash_band_join_stays_sparse_at_4x(spark):
+    """The MinHash-LSH candidate space must grow ~linearly with corpus
+    copies when the copies are textually disjoint-ish (banded buckets
+    only pair near-identical docs). A quadratic blow-up here is the
+    classic at-scale dedup failure."""
+    from googleanalytics_etl_spark.ops.extensions import _minhash_pairs
+
+    # sf0.001 corpus (500 docs + planted tail) as the unit
+    unit = _minhash_pairs(spark, SF_SMALL).count()
+    # the operator plants a duplicated tail internally; running it at
+    # sf0.1 (10x corpus, same planted-tail construction) must keep the
+    # verified-pair count in the same order of magnitude per doc, not n²
+    bigger = _minhash_pairs(spark, SF_BENCH).count()
+    docs_small = load(spark, SF_SMALL, "documents").count()
+    docs_big = load(spark, SF_BENCH, "documents").count()
+    assert docs_big >= 5 * docs_small
+    # linear-ish: pairs-per-doc ratio bounded by a small constant
+    assert (bigger / docs_big) <= 5 * max(unit / docs_small, 0.1)
