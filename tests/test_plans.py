@@ -287,3 +287,46 @@ def test_tpch_q18_aggregate_before_join(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "BroadcastHashJoin" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_tpch_q1_single_aggregate_pass(spark):
+    """Q1: one scan, one hash aggregate (map-side partials reduce every
+    partition to ≤|groups| rows before a single exchange), shipdate
+    filter pushed to the scan, no join anywhere."""
+    df = queries()["q_tpch_q1"](spark, SF_SMALL)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert "l_shipdate" in fmt_plan(df).split("PushedFilters")[1][:200]
+
+
+def test_tpch_q19_disjunction_is_hash_join(spark):
+    """Q19's OR-of-ANDs spans both join sides, but every branch shares
+    the p_partkey = l_partkey equi-key: the plan must be a hash join
+    (broadcast at fixture scale), never BroadcastNestedLoop/Cartesian."""
+    plan = simple_plan(queries()["q_tpch_q19"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_tpch_q21_single_fact_aggregate(spark):
+    """Q21's EXISTS/NOT-EXISTS pair decorrelates to ONE per-order
+    aggregate over lineitem plus one join-back — the fact table must
+    appear in exactly two scans (candidate lines + aggregate), not the
+    three correlated scans of the textual form."""
+    plan = simple_plan(queries()["q_tpch_q21"](spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") == 2, plan
+
+
+def test_tpch_q2_distinct_pairs_before_dims(spark):
+    """Q2 (adapted): the supply-pair DISTINCT must run over the bare
+    (l_partkey, l_suppkey) projection — ReadSchema on the lineitem scan
+    carries exactly those two columns."""
+    plan = fmt_plan(queries()["q_tpch_q2"](spark, SF_SMALL))
+    scan = [seg for seg in plan.split("ReadSchema: ") if "lineitem" in seg[:400]]
+    assert any(
+        "l_partkey" in seg[:200] and "l_suppkey" in seg[:200]
+        and "l_quantity" not in seg[:200]
+        for seg in plan.split("ReadSchema: ")[1:]
+    ), plan
