@@ -499,3 +499,178 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("long").alias("n_hit"),
         F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("contamination"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ewma — exponentially-weighted moving average (ordered fold)
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           {dsum}
+    FROM events GROUP BY 1, 2
+), arr AS (
+    SELECT event_type, list(v ORDER BY day) AS vs,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       ROUND(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma
+FROM arr
+""".format(dsum=sql_dsum("value", "v"))
+
+
+@register("q_ewma", oracle=_EWMA_ORACLE)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of each event type's daily value series (α = 0.25) — the
+    recursive smoother (y_t = α·x_t + (1−α)·y_{t−1}) that plain window
+    frames cannot express, computed as an ORDERED FOLD with the built-in
+    higher-order ``aggregate`` — JVM-side, no UDF.
+
+    Scale shape: the event log collapses to day-level rows in one hash
+    aggregate; only then does ``collect_list`` build per-type arrays
+    (years of days ≈ thousands of elements — driver-safe and
+    executor-local). Determinism: daily values are exact-decimal sums
+    (identical doubles both engines); the fold seeds with the first
+    day's value and applies the same IEEE expression in the same
+    day-order (array_sort on unique struct keys ⇔ DuckDB's
+    ``list(v ORDER BY day)``), with α = 0.25 exactly representable in
+    binary. DuckDB's ``list_reduce`` seeds from the first element — the
+    Spark side folds ``slice(vs, 2, …)`` over ``element_at(vs, 1)`` to
+    match.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
+    daily = e.groupBy("event_type", day.alias("day")).agg(dsum("value", "v"))
+    arr = daily.groupBy("event_type").agg(
+        F.expr("array_sort(collect_list(struct(day, v)))").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return arr.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "round(aggregate(slice(transform(s, r -> r.v), 2, size(s) - 1), "
+            "element_at(transform(s, r -> r.v), 1), "
+            "(acc, x) -> 0.25D * x + 0.75D * acc), 6)"
+        ).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_pagerank — iterative PageRank on the session-transition graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+def _pr_iter_cte(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+r{k} AS (
+    SELECT n0.v,
+           ROUND(0.15 / (SELECT n FROM nn)
+                 + 0.85 * COALESCE(c.s, 0.0), 12) AS r
+    FROM nodes n0 LEFT JOIN (
+        SELECT w.v AS v,
+               CAST(SUM(CAST(ROUND(p.r * w.w, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS s
+        FROM w JOIN {prev} p ON w.u = p.v
+        GROUP BY w.v) c ON n0.v = c.v
+)"""
+
+
+_PAGERANK_ORACLE = (
+    _SESSIONIZED_CTE
+    + """
+, hops AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id, session_id
+               ORDER BY ts, event_id) AS u,
+           event_type AS v
+    FROM sess
+), edges AS (
+    SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n
+    FROM hops WHERE u IS NOT NULL GROUP BY u, v
+), outdeg AS (
+    SELECT u, CAST(SUM(n) AS BIGINT) AS nu FROM edges GROUP BY u
+), w AS (
+    SELECT e.u, e.v, e.n / o.nu AS w FROM edges e JOIN outdeg o USING (u)
+), nodes AS (
+    SELECT DISTINCT event_type AS v FROM events
+), nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+    SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+),"""
+    + ",".join(_pr_iter_cte(k) for k in range(1, _PR_ITERS + 1))
+    + f"""
+SELECT v AS event_type, r AS pagerank FROM r{_PR_ITERS}
+"""
+)
+
+
+@register("x_pagerank", oracle=_PAGERANK_ORACLE)
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the within-session event-type transition graph
+    ({iters} fixed iterations, damping 0.85, no dangling redistribution)
+    — the iterative-join pattern (contribution join → re-aggregate →
+    re-join) that SQL cannot express without unrolling, driven from
+    plain DataFrame ops in a Python loop.
+
+    Scale shape: the 100 TB event log is touched ONCE (the sessionize
+    shuffle that builds transition counts); every iteration then runs on
+    the reduced graph — |types|² edges here, page-graph-sized in
+    general, where each iteration is one shuffle join + one aggregate.
+    The same loop handles billion-edge graphs; for long chains insert
+    ``localCheckpoint()`` every ~10 iterations to cut lineage.
+
+    Cross-engine determinism (the oracle unrolls the recursion into
+    {iters} chained CTEs): edge weights are BIGINT/BIGINT divides;
+    each contribution is round(r·w, 12) then summed EXACTLY as
+    DECIMAL(38,12) — associative, order-free — and each new rank is
+    re-rounded to 12, so no float accumulation ever depends on
+    partitioning.
+    """
+    from .flagship import sessionize
+
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e)
+    wlag = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    hops = s.select(
+        F.lag("event_type").over(wlag).alias("u"),
+        F.col("event_type").alias("v"),
+    ).where(F.col("u").isNotNull())
+    edges = hops.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    outdeg = edges.groupBy("u").agg(F.sum("n").cast("long").alias("nu"))
+    w = (
+        edges.join(outdeg, "u")
+        .select("u", "v", (F.col("n") / F.col("nu")).alias("w"))
+        .persist()
+    )
+    nodes = e.select(F.col("event_type").alias("v")).distinct().persist()
+    n_nodes = nodes.count()  # node count: a scalar both engines agree on
+    r = nodes.select("v", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            w.join(r.withColumnRenamed("v", "pv"), F.col("u") == F.col("pv"))
+            .groupBy(F.col("v").alias("cv"))
+            .agg(
+                F.sum(
+                    F.round(F.col("r") * F.col("w"), 12).cast("decimal(38,12)")
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        r = nodes.join(contrib, nodes.v == F.col("cv"), "left").select(
+            nodes.v.alias("v"),
+            F.round(
+                F.lit(0.15) / n_nodes + 0.85 * F.coalesce(F.col("s"), F.lit(0.0)),
+                12,
+            ).alias("r"),
+        )
+    return r.select(F.col("v").alias("event_type"), F.col("r").alias("pagerank"))
+
+
+x_pagerank.__doc__ = x_pagerank.__doc__.format(iters=_PR_ITERS)

@@ -183,3 +183,39 @@ def test_tpch_q22_threshold_and_anti_join(spark):
         assert r.numcust >= 1
         # above-average balances are positive by construction
         assert r.totacctbal > 0.0
+
+
+def test_ewma_within_daily_bounds(spark):
+    """EWMA is a convex combination of the daily values: it must lie in
+    [min(v), max(v)] for each type, and n_days must equal the distinct
+    observed days."""
+    rows = queries()["q_ewma"](spark, SF_SMALL).collect()
+    e = load(spark, SF_SMALL, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    bounds = {
+        r.event_type: (r.lo, r.hi, r.n)
+        for r in daily.groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        lo, hi, n = bounds[r.event_type]
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6
+        assert r.n_days == n
+
+
+def test_pagerank_is_probability_like(spark):
+    """Ranks are positive, every node gets at least the base rank
+    0.15/N, and (since every fixture type has out-edges) total mass
+    stays ~1 across the fixed iterations."""
+    rows = queries()["x_pagerank"](spark, SF_SMALL).collect()
+    n = len(rows)
+    assert n >= 2
+    total = sum(r.pagerank for r in rows)
+    for r in rows:
+        assert r.pagerank >= 0.15 / n - 1e-9
+    assert abs(total - 1.0) < 1e-6
