@@ -1408,3 +1408,130 @@ def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_countmin — Count-Min sketch heavy-hitter estimation
+# ---------------------------------------------------------------------------
+
+_CM_D = 4       # hash rows
+_CM_W = 1024    # counters per row
+
+_COUNTMIN_ORACLE = f"""
+WITH g AS (SELECT unnest([0, 1, 2, 3]) AS i),
+hashed AS (
+    SELECT g.i,
+           CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+                    CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % {_CM_W}
+               AS bucket
+    FROM events, g
+),
+counters AS (
+    SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM hashed GROUP BY i, bucket
+),
+keyed AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+    FROM events GROUP BY user_id
+),
+cand AS (
+    SELECT user_id, true_n FROM keyed
+    ORDER BY true_n DESC, user_id LIMIT 10
+),
+probes AS (
+    SELECT c.user_id, c.true_n, g.i,
+           CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+                    CAST(c.user_id AS VARCHAR)), 1, 15) AS BIGINT) % {_CM_W}
+               AS bucket
+    FROM cand c, g
+)
+SELECT p.user_id, p.true_n, CAST(MIN(co.n) AS BIGINT) AS est_n
+FROM probes p JOIN counters co ON p.i = co.i AND p.bucket = co.bucket
+GROUP BY p.user_id, p.true_n
+"""
+
+
+@register("x_countmin", oracle=_COUNTMIN_ORACLE)
+def x_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch ({d}×{w}) frequency estimation for the top-10
+    heaviest users, reported against their true counts.
+
+    The sketch is the relational form of the streaming structure: each
+    event lands in one bucket per hash row, so the counter table is a
+    hash aggregate whose OUTPUT is fixed at d×w = {dxw} cells no matter
+    the input size — map-side partials do almost all the work and the
+    shuffle moves ≤ d×w rows per partition. That bounded-state property
+    is what makes CM the right frequency structure at 100 TB (exact
+    per-key counts shuffle |keys| rows; the sketch shuffles a constant).
+    Estimates are min over the key's d counters: always ≥ the true
+    count (collisions only inflate), within εN w.h.p. — asserted in
+    tests. Hashes are md5-derived 60-bit ints mod w (the engine's
+    cross-engine hash convention), so DuckDB reproduces the sketch
+    cell-for-cell.
+    """
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    i = F.explode(F.array(*[F.lit(k) for k in range(_CM_D)])).alias("i")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("i").cast("string"), F.col("uid")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_W
+    ).alias("bucket")
+    counters = (
+        e.select("uid", i)
+        .select("uid", "i", bucket)
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    keyed = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    )
+    cand = keyed.orderBy(F.desc("true_n"), "user_id").limit(10)
+    probes = cand.select(
+        "user_id", "true_n", F.col("user_id").cast("string").alias("uid")
+    ).select("user_id", "true_n", i).select(
+        "user_id", "true_n", "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("i").cast("string"),
+                            F.col("user_id").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_W
+        ).alias("bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(counters, ["i", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("n").cast("long").alias("est_n"))
+    )
+
+
+x_countmin.__doc__ = x_countmin.__doc__.format(
+    d=_CM_D, w=_CM_W, dxw=_CM_D * _CM_W
+)

@@ -1244,11 +1244,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("r_suppliers"),
+    # two chained hash aggregates instead of countDistinct×2: a double
+    # distinct-agg compiles to an Expand that doubles every fact row
+    # before the shuffle; pre-deduping to (order, supplier) pairs moves
+    # each pair once and the second aggregate runs on pair-level rows
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "has_r"
+        )
+    )
+    per_order = per_pair.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("has_r").alias("r_suppliers"),
     )
     o = (
         load(spark, sf_dir, "orders")

@@ -228,3 +228,16 @@ def test_attribution_u_shaped_credits(spark):
     assert out["click"].attributed_value == 13.0
     assert out["view"].n_users == 2 and out["click"].n_users == 2
     assert out["view"].n_touches == 4 and out["click"].n_touches == 3
+
+
+def test_countmin_overestimates_within_bound(spark):
+    """CM guarantee: est >= true always; est - true <= (e/w)*N with
+    probability 1 - (1/e)^d — at fixture scale (N ~ thousands, w=1024,
+    d=4) the slack bound is generous enough to assert outright."""
+    rows = queries()["x_countmin"](spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    n_total = load(spark, SF_SMALL, "events").count()
+    bound = (2.718281828 / 1024) * n_total * 4  # slack ×4 over the w.h.p. bound
+    for r in rows:
+        assert r.est_n >= r.true_n
+        assert r.est_n - r.true_n <= bound

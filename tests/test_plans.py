@@ -108,8 +108,16 @@ _PYTHON_OK = {
     "s_stateful_user",
 }
 # declared-benign nested-loop joins: every build side is a broadcast
-# SINGLE-ROW relation (query vector / corpus-count aggregate)
-_BNLJ_OK = {"x_sim_knn", "x_sim_knn_ivf", "x_sim_knn_lsh", "x_tfidf"}
+# SINGLE-ROW relation (query vector / corpus-count aggregate / scalar
+# threshold subquery — Q11's total-value and Q22's average-balance)
+_BNLJ_OK = {
+    "x_sim_knn",
+    "x_sim_knn_ivf",
+    "x_sim_knn_lsh",
+    "x_tfidf",
+    "q_tpch_q11",
+    "q_tpch_q22",
+}
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
 _SKIP = {"s_watermark", "s_incremental_sync", "s_stateful_user"}
