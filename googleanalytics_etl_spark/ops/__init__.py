@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     projection,
     scans,
     setops,
+    skewops,
     streaming,
     tpch,
     udfs,
