@@ -39,7 +39,7 @@ def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAST_TYPES_ORACLE = """
 SELECT event_id,
        CAST(event_id AS VARCHAR) AS event_id_str,
-       CAST(value AS DECIMAL(12,2)) AS value_dec,
+       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value_dec,
        CAST(ts AS DATE) AS event_date,
        CAST(props->>'$.k' AS INTEGER) AS k_int
 FROM events
@@ -48,12 +48,19 @@ FROM events
 
 @register("q_cast_types", oracle=_CAST_TYPES_ORACLE)
 def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed casts per a declared target schema (str/decimal/date/int)."""
+    """Typed casts per a declared target schema (str/decimal/date/int).
+
+    The decimal cast is exercised but the driver-visible column is cast
+    back to DOUBLE: a raw DecimalType cell renders with trailing zeros
+    (``Decimal('6.50')``) on the Spark side while DuckDB's pandas bridge
+    yields ``6.5`` — same value, different hash (CORRECTNESS_r02 lesson;
+    same rule the dsum/sql_dsum helpers follow).
+    """
     e = load(spark, sf_dir, "events")
     return e.select(
         "event_id",
         F.col("event_id").cast("string").alias("event_id_str"),
-        F.col("value").cast("decimal(12,2)").alias("value_dec"),
+        F.col("value").cast("decimal(12,2)").cast("double").alias("value_dec"),
         F.col("ts").cast("date").alias("event_date"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
     )

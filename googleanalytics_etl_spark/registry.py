@@ -74,49 +74,59 @@ def _populate() -> None:
 # Explicit key order handed to the driver. The grading driver evaluates the
 # first 50 ``queries()`` keys per round, so each round rotates the keys that
 # most need fresh cross-engine evidence to the front; keys not listed keep
-# their registration (import) order after these. Round 2 front-loads the 50
-# keys the round-1 window never reached, plus the repaired ``q_collect_sorted``
-# and the dedup family whose oracles are new this round.
+# their registration (import) order after these. Round-3 window: the repaired
+# ``q_cast_types`` (r2's only hash miss — DecimalType output cell), then every
+# key that has never appeared in a driver window (round-2 additions: subquery
+# pair, multimodal, GA report composites, the 22-query TPC-H suite, skew ops,
+# streaming joins, ewma/pagerank/scd2/countmin), then the ops new this round.
+# Keys proven green in CORRECTNESS_r01/r02 sit after slot 50.
 _DRIVER_ORDER: list[str] = [
-    # §2.A scans
-    "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
-    # §2.B projection / derivation
-    "q_project_rename", "q_cast_types", "q_filter_pred",
-    "q_derive_expr", "q_case_when", "q_null_handling",
-    # §2.E windows
-    "q_window_rank", "q_window_lag", "q_running_sum",
-    "q_window_range_frame", "q_first_last_touch", "q_ntile", "q_percent_rank",
-    # §2.F sort / top-k / set ops
-    "q_orderby_limit", "q_topk_per_group", "q_union_all",
-    "q_except", "q_intersect", "q_unpivot", "q_date_spine",
-    # §2.H streaming twins
-    "s_tumbling", "s_sliding", "s_session", "s_dedup",
-    "s_watermark", "s_incremental_sync", "s_stateful_user",
-    # §2.I UDF surface
-    "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas",
-    "q_udtf_explode", "q_udtf_pairs",
-    # §2.C joins tail
-    "q_join_anti", "q_join_range", "q_join_asof",
-    # pipeline ops
-    "x_sample_hash", "x_stratified_sample", "x_chunk_docs",
-    "x_pack_sequences", "x_pii_scrub", "x_corpus_shard", "x_corpus_prep",
-    # repaired + newly-oracled this round
-    "q_collect_sorted", "x_dedup_near", "x_dedup_simhash",
-    "x_dedup_near_survivors",
-    # slot 51+: never-driver-checked keys first in case the window is wider
-    "x_sim_knn_ivf", "x_sim_knn_lsh",
+    # repaired this round (r2: rows+schema matched, hash missed on a raw
+    # DECIMAL(12,2) cell; now cast back to DOUBLE on both sides)
+    "q_cast_types",
+    # §2.D subqueries + extension singles never inside a window yet
     "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",
     "q_attribution", "q_percentiles", "x_tfidf",
-    # round-2 session-2 additions: GA report composites + maintenance ops
+    # GA report composites + maintenance ops (round-2 session 2)
     "q_bounce_rate", "q_entry_exit", "q_path_transitions", "q_gap_fill",
     "q_histogram", "q_correlation", "q_incremental_agg", "x_decontaminate",
-    # TPC-H-style decision-support suite (ops/tpch.py)
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-    "q_tpch_q8", "q_tpch_q10", "q_tpch_q14", "q_tpch_q18",
-    "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
+    # TPC-H decision-support suite, all 22 queries (ops/tpch.py)
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22",
     # streaming joins (batch twins; real-stream equivalence in tests)
     "s_enrich", "s_stream_join",
+    # ordered-fold / iterative / maintenance ops (round-2 session 3)
+    "q_ewma", "x_pagerank", "x_scd2", "x_countmin",
+    # skew-hardened variants (salted high-card distinct / hot-key join)
+    "q_skew_distinct", "q_skew_join",
+    # new in round 3
+    "s_cdc_apply", "x_dedup_cc", "x_bloom_semi",
+    # slot 51+: all keys already hash-proven in CORRECTNESS_r01/r02, in
+    # SURVEY §2 category order (scans, projection, joins, aggregates, ...)
+    "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
+    "q_project_rename", "q_filter_pred",
+    "q_derive_expr", "q_case_when", "q_null_handling",
+    "q_join_inner", "q_join_left", "q_join_broadcast", "q_join_semi",
+    "q_join_anti", "q_join_range", "q_join_asof",
+    "q_groupby_agg", "q_count_distinct", "q_approx_distinct",
+    "q_distinct_rows", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_pivot", "q_agg_filtered", "q_agg_stats", "q_collect_sorted",
+    "q_window_rank", "q_window_lag", "q_running_sum",
+    "q_window_range_frame", "q_first_last_touch", "q_ntile", "q_percent_rank",
+    "q_orderby_limit", "q_topk_per_group", "q_union_all",
+    "q_except", "q_intersect", "q_unpivot", "q_date_spine",
+    "s_tumbling", "s_sliding", "s_session", "s_dedup",
+    "s_watermark", "s_incremental_sync", "s_stateful_user",
+    "q_udf_scalar", "q_udf_pandas", "q_udaf_pandas",
+    "q_udtf_explode", "q_udtf_pairs",
+    "x_sample_hash", "x_stratified_sample", "x_chunk_docs",
+    "x_pack_sequences", "x_pii_scrub", "x_corpus_shard", "x_corpus_prep",
+    "x_dedup_near", "x_dedup_simhash", "x_dedup_near_survivors",
+    "x_sim_knn_ivf", "x_sim_knn_lsh",
 ]
 
 
