@@ -242,3 +242,110 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_totalprice < 50000)
         """
     )
+
+
+_BLOOM_SEMI_ORACLE = """
+SELECT l.l_orderkey, l.l_partkey, l.l_quantity, l.l_extendedprice
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > 400000)
+"""
+
+# Bloom geometry: m bits as longs. 2^16 bits / 64 = 1024 longs = 8 KiB —
+# broadcast-literal scale even with millions of build keys (saturation
+# just raises the false-positive rate, never breaks correctness because
+# an exact semi-join follows).
+_BLOOM_BITS = 1 << 16
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 4
+
+
+def _bloom_positions(key: F.Column) -> list:
+    """k Kirsch-Mitzenmacher probe positions for ``key``.
+
+    One 64-bit xxhash64 yields two independent 31-bit halves h1/h2; probe
+    i hits ``(h1 + i*h2) mod m`` — k probes for the price of one hash,
+    the same derivation the MinHash family uses (ops/extensions.py).
+    """
+    h = F.xxhash64(key)
+    h1 = F.pmod(h, F.lit(1 << 31))
+    h2 = F.pmod(F.shiftrightunsigned(h, 31), F.lit(1 << 31))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_BITS)).cast("int")
+        for i in range(_BLOOM_K)
+    ]
+
+
+@register("x_bloom_semi", oracle=_BLOOM_SEMI_ORACLE)
+def x_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-pruned semi join (runtime-filter pattern, explicit).
+
+    Catalyst's own InjectRuntimeFilter does exactly this for large scans
+    (build a bloom from the selective side, pre-filter the probe side
+    before its shuffle) but only above
+    ``runtime.bloomFilter.applicationSideScanSizeThreshold`` (10 GB), so
+    at 100 TB it fires and in a correctness fixture it never would. This
+    operator builds the same structure explicitly so the plan shape is
+    testable at any scale:
+
+    1. Build side: the k=4 probe positions of every selective orders key
+       are OR-folded into a 2^16-bit bitmap with ONE ``bit_or`` hash
+       aggregate (map-side partials, 8 KiB result) — the only driver
+       materialization is that bitmap, never key data.
+    2. Probe side: a lineitem row survives iff all k probed bits are set
+       — pure codegen bit arithmetic against the 1024-long literal
+       array, zero shuffle, zero Python-per-row.
+    3. An exact left-semi join removes bloom false positives, so the
+       result equals the plain semi join (the oracle) bit-for-bit; the
+       bloom's only job is shrinking the probe side's shuffle, which is
+       the 100 TB win.
+
+    tests/test_plans.py asserts the probe filter sits under the scan
+    stage (no extra exchange) and tests/test_joins.py asserts the
+    pre-filter passes strictly fewer rows than the full table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    sel = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+
+    # 1. bitmap build: per-key word/bit coords -> bit_or per word index.
+    pos = F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("p")
+    words = (
+        sel.select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # Python-API shiftleft wants a literal shift; SQL takes a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), p % 64)").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * _BLOOM_WORDS
+    for r in words:
+        bitmap[r["w"]] = r["word"]
+
+    # 2. probe: all k bits set -> candidate. element_at is 1-indexed.
+    lit_map = F.lit(bitmap)
+
+    def bit_set(p: F.Column) -> F.Column:
+        word = F.element_at(lit_map, (p / 64).cast("int") + 1)
+        # SQL shiftrightunsigned accepts a column shift; Python API doesn't
+        return (
+            F.call_function(
+                "shiftrightunsigned", word, F.pmod(p, F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    probes = [bit_set(p) for p in _bloom_positions(F.col("l_orderkey"))]
+    cond = probes[0]
+    for p in probes[1:]:
+        cond = cond & p
+    candidates = li.where(cond)
+
+    # 3. exact semi join (false positives out; bloom is perf-only).
+    return candidates.join(
+        sel, candidates.l_orderkey == sel.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")

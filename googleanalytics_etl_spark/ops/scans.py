@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..registry import register
+from ..registry import fsum, register, sql_dsum
 
 _SCAN_PARQUET_ORACLE = """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -116,4 +116,68 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("r_regionkey int, r_name string")
         .json(stage)
         .select("r_regionkey", "r_name")
+    )
+
+
+_PARTITION_PRUNE_ORACLE = f"""
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum("value", "total_value")}
+FROM events
+WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+      BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY 1, 2
+"""
+
+
+@register("x_partition_prune", oracle=_PARTITION_PRUNE_ORACLE)
+def x_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + static partition pruning.
+
+    The reference defeats GA sampling by splitting extracts into small
+    date ranges — the warehouse-native analogue is a date-partitioned
+    table where a date predicate prunes whole directories before any I/O
+    [REF-UNVERIFIED: SURVEY.md §2.A date-range splitting].
+
+    The builder stages the event log once as
+    ``event_date=YYYY-MM-DD/`` hive partitions (fingerprint-cached like
+    the streaming stage), then runs a one-week aggregate. Catalyst turns
+    the date predicate into ``PartitionFilters`` on the scan node — only
+    7 of ~30 day-directories are listed or read, which at 100 TB is the
+    difference between scanning a month and scanning a week.
+    tests/test_plans.py asserts the pruned scan shape (PartitionFilters
+    non-empty, pushed count < total partitions).
+    """
+    import hashlib
+    import os
+    import shutil
+    from pathlib import Path
+
+    src = Path(sf_dir) / "events.parquet"
+    st = os.stat(src)
+    fingerprint = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|bydate".encode()
+    ).hexdigest()[:16]
+    scratch = Path(__file__).resolve().parents[2] / ".scratch"
+    stage = scratch / "part_stage" / f"{Path(sf_dir).name}_{fingerprint}"
+    done = stage / "_STAGED"
+    if not done.exists():
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("event_date", F.col("ts").cast("timestamp").cast("date"))
+            .repartition("event_date")  # one shuffle -> one file per day dir
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(str(stage))
+        )
+        done.touch()
+
+    part = spark.read.parquet(str(stage)).where(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    )
+    return part.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        fsum("value", "total_value"),
     )

@@ -104,7 +104,7 @@ _DRIVER_ORDER: list[str] = [
     # skew-hardened variants (salted high-card distinct / hot-key join)
     "q_skew_distinct", "q_skew_join",
     # new in round 3
-    "s_cdc_apply", "x_dedup_cc", "x_bloom_semi",
+    "s_cdc_apply", "x_partition_prune", "x_bloom_semi",
     # slot 51+: all keys already hash-proven in CORRECTNESS_r01/r02, in
     # SURVEY §2 category order (scans, projection, joins, aggregates, ...)
     "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
