@@ -60,6 +60,10 @@ HEADLINE = [
     # heaviest self-referencing-fact query of the remaining eleven
     "q_tpch_q1",
     "q_tpch_q21",
+    # round 3: runtime-filter join, partition-pruned scan, CDC MERGE loop
+    "x_bloom_semi",
+    "x_partition_prune",
+    "s_cdc_apply",
 ]
 
 
@@ -76,10 +80,14 @@ def main() -> None:
     q = queries()
 
     # JVM/codegen warmup on the smallest fixture so measured times are
-    # steady-state execution, not first-call compilation.
+    # steady-state execution, not first-call compilation. Every headline
+    # key warms (round-2 benches warmed only two and the widest plans —
+    # the 16-signature MinHash tree — paid their whole-stage-codegen
+    # compile inside the measured window, dominating their figure at
+    # fixture scale).
     warm_dir = "/root/testdata/sf0.001"
     if Path(warm_dir).exists():
-        for key in ("q_groupby_agg", "q_flagship"):
+        for key in HEADLINE:
             run_query(spark, q[key], warm_dir)
 
     times: dict[str, float] = {}
