@@ -1535,3 +1535,133 @@ def x_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_countmin.__doc__ = x_countmin.__doc__.format(
     d=_CM_D, w=_CM_W, dxw=_CM_D * _CM_W
 )
+
+
+_EDITDIST_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text, lang, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           text || ' x' AS text, lang, n_chars + 2 AS n_chars
+    FROM documents WHERE doc_id < 10
+), blocked AS (
+    SELECT doc_id, text, lang,
+           CAST(FLOOR(n_chars / 25) AS BIGINT) AS bucket
+    FROM corpus
+), expanded AS (
+    SELECT doc_id, text, lang, bucket FROM blocked
+    UNION ALL
+    SELECT doc_id, text, lang, bucket + 1 AS bucket FROM blocked
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.text AS text_a, b.text AS text_b
+    FROM expanded a
+    JOIN blocked b ON a.lang = b.lang AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(levenshtein(text_a, text_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(text_a, text_b) <= 5
+"""
+
+
+@register("x_dedup_editdist", oracle=_EDITDIST_ORACLE)
+def x_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection with length-bucket blocking.
+
+    Third near-dup family beside set-similarity (MinHash/Jaccard) and
+    vector-similarity (SimHash/cosine): absolute Levenshtein ≤ 5 catches
+    small in-place edits — typo fixes, byte-level corruption, trailing
+    additions — that shingle sets can miss and that embedding distance
+    can't certify.
+
+    Blocking: edit distance ≤ k implies |len(a) − len(b)| ≤ k, so docs
+    pair only within the same (lang, ⌊n_chars/25⌋) bucket, with one side
+    expanded to its neighbor bucket so pairs straddling a boundary are
+    kept (bucket width 25 > k=5 ⇒ a true pair spans at most adjacent
+    buckets — the expansion makes the blocking exact, not approximate).
+    The O(len²) levenshtein kernel (JVM codegen) runs only on blocked
+    candidates, never on the O(n²) pair space; the planted ``text||' x'``
+    tail guarantees hits at every sf. DISTINCT collapses pairs found in
+    two buckets. At 100 TB the bucket join is the only shuffle and
+    carries (id, text) for same-bucket rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    dup = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" x")).alias("text"),
+        "lang",
+        (F.col("n_chars") + 2).alias("n_chars"),
+    )
+    corpus = d.select("doc_id", "text", "lang", "n_chars").unionByName(dup)
+    blocked = corpus.select(
+        "doc_id", "text", "lang",
+        F.floor(F.col("n_chars") / 25).alias("bucket"),
+    )
+    expanded = blocked.unionByName(
+        blocked.withColumn("bucket", F.col("bucket") + 1)
+    )
+    a = expanded.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+        "lang", "bucket",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+        "lang", "bucket",
+    )
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        a.join(b, ["lang", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(dist <= 5)
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("dist"))
+        .distinct()
+    )
+
+
+_EMBED_CENTROIDS_ORACLE = """
+SELECT label,
+       CAST(dim AS INT) AS dim,
+       CAST(ROUND(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000) AS BIGINT))
+                  / 10000000.0 / COUNT(*), 6) AS DOUBLE) AS centroid_val
+FROM (
+    SELECT label, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) - 1 AS dim
+    FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+
+@register("x_embed_centroids", oracle=_EMBED_CENTROIDS_ORACLE)
+def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (vector aggregation; one k-means
+    assignment step's 'update' half, and the build stage of x_sim_knn_ivf
+    exposed as a first-class operator).
+
+    posexplode → (label, dim) hash aggregate: the shuffle carries scalar
+    (label, dim, partial-sum) triples with map-side combine — never whole
+    vectors — and parallelism is label×dim (640 cells here), not label
+    count, so a 100-label/4096-dim corpus still spreads over the cluster.
+    Components sum as 1e7-scaled integers (the registry fsum pattern;
+    float→double widening is exact and both engines round half-away) —
+    order-independent exact sums → deterministic cross-engine centroids.
+
+    The array-valued centroid form (``array_agg`` reassembly) is the
+    library variant; the registered query emits (label, dim, value) rows
+    because the driver's canonicalizer cannot hash array cells
+    (CORRECTNESS_r01's q_collect_sorted lesson).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    scaled = F.round(F.col("v").cast("double") * 10_000_000).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(scaled) / 10_000_000.0 / F.count(F.lit(1)), 6
+            ).alias("centroid_val")
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid_val")
+    )

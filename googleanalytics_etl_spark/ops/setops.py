@@ -180,3 +180,64 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("n", F.lit(0)).cast("long").alias("n_events")
     )
+
+
+_GLOBAL_RANK_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rank
+FROM orders
+"""
+
+
+@register("q_global_rank", oracle=_GLOBAL_RANK_ORACLE)
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering WITHOUT a single-partition window.
+
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY is the
+    classic scale trap: Spark executes it as one task holding the whole
+    table. The distributed recipe (this operator):
+
+    1. ``repartitionByRange`` on the sort key — the range exchange is
+       the only data-scale shuffle, and partition p holds keys strictly
+       before partition p+1.
+    2. Per-partition ``row_number`` keyed by ``spark_partition_id()``.
+    3. Per-partition counts (a ≤#partitions-row aggregate) → running
+       offsets via a window over those FEW rows — driver-scale metadata,
+       explicitly not data — broadcast back and added.
+
+    Rank values depend only on the total order (the unique tiebreaker),
+    never on where range boundaries fall, so the result is deterministic
+    and equals the single-window oracle bit-for-bit.
+    """
+    n = max(2, spark.sparkContext.defaultParallelism)
+    # persist: both the rank branch and the offsets branch read the pid
+    # assignment, and they must see the SAME range boundaries — two
+    # independent executions of the range exchange would re-sample them.
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(n, F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    in_part = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = o.withColumn("pr", F.row_number().over(in_part).cast("bigint"))
+
+    few = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        o.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(few), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("pr") + F.col("offset")).cast("bigint").alias("rank"),
+        )
+    )

@@ -105,7 +105,10 @@ _DRIVER_ORDER: list[str] = [
     "q_skew_distinct", "q_skew_join",
     # new in round 3
     "s_cdc_apply", "x_partition_prune", "x_bloom_semi",
-    # slot 51+: all keys already hash-proven in CORRECTNESS_r01/r02, in
+    # slot 51+: round-3 additions past the window (driver-checked next
+    # rotation; strict-verified locally this round), then all keys
+    # already hash-proven in CORRECTNESS_r01/r02, in
+    "q_global_rank", "x_dedup_editdist", "x_embed_centroids",
     # SURVEY §2 category order (scans, projection, joins, aggregates, ...)
     "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
     "q_project_rename", "q_filter_pred",

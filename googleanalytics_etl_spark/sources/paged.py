@@ -59,6 +59,29 @@ class DateChunk(InputPartition):
     end_ns: int
 
 
+_TS_UNIT_TO_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+
+
+def _stat_ns(v) -> int:
+    """Footer min/max → epoch nanoseconds, whatever pyarrow decoded it to.
+
+    TIMESTAMP(NANOS) footers surface as raw ints (ns); µs/ms footers
+    decode to naive-UTC ``datetime`` (Spark's default parquet writer emits
+    TIMESTAMP_MICROS, so a file round-tripped through ``df.write.parquet``
+    hits this branch even though the driver fixtures are NANOS)."""
+    import calendar
+    import datetime as _dt
+
+    if hasattr(v, "value"):
+        v = v.value
+    if isinstance(v, _dt.datetime):
+        return (
+            calendar.timegm(v.timetuple()) * 1_000_000_000
+            + v.microsecond * 1_000
+        )
+    return int(v)
+
+
 class PagedEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -125,9 +148,7 @@ class PagedEventsReader(DataSourceReader):
             st = meta.row_group(rg).column(ts_idx).statistics
             if st is None or st.min is None or st.max is None:
                 continue  # stats-less row group: fall back below
-            mn, mx = st.min, st.max
-            mn = int(mn.value if hasattr(mn, "value") else mn)
-            mx = int(mx.value if hasattr(mx, "value") else mx)
+            mn, mx = _stat_ns(st.min), _stat_ns(st.max)
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
         if lo is None or hi is None:
@@ -162,24 +183,27 @@ class PagedEventsReader(DataSourceReader):
             if st is None or st.min is None or st.max is None:
                 groups.append(rg)  # unknown range: must read
                 continue
-            mn, mx = st.min, st.max
-            mn = int(mn.value if hasattr(mn, "value") else mn)
-            mx = int(mx.value if hasattr(mx, "value") else mx)
+            mn, mx = _stat_ns(st.min), _stat_ns(st.max)
             if mx >= partition.start_ns and mn < partition.end_ns:
                 groups.append(rg)
         if not groups:
             return
         f = pq.ParquetFile(self.path)
         table = f.read_row_groups(groups)
-        ts = pc.cast(table["ts"], "int64")
+        # unit-aware: the raw int64 is in the column's own unit (ns for
+        # the driver fixtures, µs for Spark-written files) — scale to ns
+        # so chunk bounds and the emitted ts column are always ns.
+        unit = getattr(table["ts"].type, "unit", "ns")
+        ts = pc.multiply(
+            pc.cast(table["ts"], "int64"), _TS_UNIT_TO_NS.get(unit, 1)
+        )
         mask = pc.and_(
             pc.greater_equal(ts, partition.start_ns),
             pc.less(ts, partition.end_ns),
         )
-        page = table.filter(mask)
-        page = page.set_column(
-            page.schema.get_field_index("ts"), "ts", pc.cast(page["ts"], "int64")
-        )
+        page = table.set_column(
+            table.schema.get_field_index("ts"), "ts", ts
+        ).filter(mask)
         page = self._apply_filters(page)
         for batch in page.to_batches(max_chunksize=self.page_size):
             yield batch

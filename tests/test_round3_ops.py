@@ -131,3 +131,55 @@ def test_bloom_positions_deterministic_and_in_range(spark):
     for r in pos:
         assert len(r["ps"]) == 4
         assert all(0 <= p < (1 << 16) for p in r["ps"])
+
+
+def test_global_rank_no_data_scale_single_partition_window(spark):
+    """The data-scale window must be partitioned (by pid); the only
+    unpartitioned window runs over the ≤#partitions-row counts frame."""
+    import re
+
+    df = queries()["q_global_rank"](spark, SF_SMALL)
+    plan = fmt_plan(df)
+    # every Window node over the orders data must carry a partition spec
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        seg = m.group(0)
+        if "o_orderkey" in seg:
+            assert "pid" in seg, f"data-scale window unpartitioned: {seg[:120]}"
+    # and ranks must be a contiguous 1..N permutation
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    agg = df.agg(
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+        F.countDistinct("rank").alias("d"),
+    ).first()
+    assert (agg["lo"], agg["hi"], agg["d"]) == (1, n, n)
+
+
+def test_editdist_finds_planted_tail(spark):
+    """Every planted ' x'-suffixed copy (dist=2) must pair with its
+    original; blocking must not lose boundary-straddling pairs."""
+    pairs = queries()["x_dedup_editdist"](spark, SF_SMALL).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["dist"] for r in pairs}
+    for i in range(10):
+        assert (i, i + 1_000_000) in found, f"planted pair {i} missed"
+        assert found[(i, i + 1_000_000)] == 2
+    # no self-pairs, ordered pairs only
+    assert all(a < b for a, b in found)
+
+
+def test_embed_centroids_agree_with_brute_force(spark):
+    """Centroid cells must equal a per-label pandas mean within the
+    1e-7 quantization the scaled-integer sum imposes."""
+    import pandas as pd
+
+    got = queries()["x_embed_centroids"](spark, SF_SMALL).toPandas()
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    import numpy as np
+
+    for label in emb["label"].unique()[:3]:
+        vecs = np.stack(emb[emb["label"] == label]["embedding"].to_numpy())
+        mean = vecs.mean(axis=0)
+        sub = got[got["label"] == label].sort_values("dim")
+        assert np.allclose(sub["centroid_val"].to_numpy(), mean, atol=2e-6)
