@@ -1665,3 +1665,32 @@ def x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", F.col("dim").cast("int").alias("dim"), "centroid_val")
     )
+
+
+@register("x_dedup_cc_star", oracle=_DEDUP_CLUSTERS_ORACLE)
+def x_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters via alternating large-star/small-star
+    (graph.py) — the O(log n)-round connected components that
+    x_dedup_clusters' docstring names as the trillion-edge upgrade path,
+    now implemented rather than promised.
+
+    Same verified MinHash pair graph, same output contract (doc_id,
+    cluster_id = component min, cluster_size), same recursive-CTE oracle
+    — the two operators must agree exactly, and
+    tests/test_round3_ops.py asserts they do plus that a planted
+    64-node chain (diameter 64) converges in far fewer than 64 rounds,
+    which is precisely what plain min-propagation cannot do.
+    """
+    from ..graph import connected_components_star
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels, _rounds = connected_components_star(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )

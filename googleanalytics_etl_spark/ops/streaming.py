@@ -574,3 +574,58 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+_STREAM_OUTER_ORACLE = """
+WITH v AS (
+    SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
+    FROM events WHERE event_type = 'view'
+), p AS (
+    SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.view_id, p.purchase_id
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+                  AND p.pts >= v.vts
+                  AND p.pts <= v.vts + INTERVAL 30 MINUTE
+"""
+
+
+@register("s_stream_outer", oracle=_STREAM_OUTER_ORACLE)
+def s_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view, attributed to
+    the purchases landing within 30 minutes — or emitted with a NULL
+    purchase once the watermark proves no match can still arrive.
+
+    The outer side is the semantics inner joins can't give a stream:
+    "this view converted to nothing" is only knowable when event time
+    has provably passed vts + 30 min + watermark — Structured Streaming
+    emits the null row exactly then, from the same bounded join state as
+    the inner case. Registered form is the batch twin (left join on the
+    identical predicate — equal to the stream's total emission when
+    nothing is late beyond the watermark); tests/test_streaming.py runs
+    the real two-stream outer join through readStream and asserts
+    row-set equivalence, nulls included. The equi-key keeps it
+    hash-partitioned; the interval stays a residual predicate.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES")),
+            "left",
+        )
+        .select("user_id", "view_id", "purchase_id")
+    )

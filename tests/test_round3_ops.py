@@ -183,3 +183,48 @@ def test_embed_centroids_agree_with_brute_force(spark):
         mean = vecs.mean(axis=0)
         sub = got[got["label"] == label].sort_values("dim")
         assert np.allclose(sub["centroid_val"].to_numpy(), mean, atol=2e-6)
+
+
+def test_cc_star_agrees_with_propagation(spark):
+    """large/small-star labels == plain min-propagation labels on the
+    real MinHash pair graph."""
+    a = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in queries()["x_dedup_clusters"](spark, SF_SMALL).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in queries()["x_dedup_cc_star"](spark, SF_SMALL).collect()
+    }
+    assert a == b and a
+
+
+def test_cc_star_logarithmic_on_chain(spark):
+    """A 64-node path (diameter 64) must converge in O(log n) rounds —
+    the property plain per-round min-propagation lacks."""
+    from googleanalytics_etl_spark.graph import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a bigint, b bigint"
+    )
+    labels, rounds = connected_components_star(chain)
+    rows = labels.collect()
+    assert {r["label"] for r in rows} == {0}
+    assert len(rows) == 64
+    assert rounds <= 12, f"expected O(log n) rounds, got {rounds}"
+
+
+def test_cc_star_handles_multiple_components(spark):
+    from googleanalytics_etl_spark.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "a bigint, b bigint",
+    )
+    labels, _ = connected_components_star(edges)
+    got = {(r["id"], r["label"]) for r in labels.collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }

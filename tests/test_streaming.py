@@ -314,3 +314,99 @@ def test_stream_stream_interval_join_equals_batch(spark):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_stream_outer_join_equals_batch(spark):
+    """Real two-stream LEFT OUTER interval join: emitted rows (matches
+    AND watermark-certified nulls) must equal the batch left join.
+
+    End-of-stream subtlety: a view's NULL row is emitted only once the
+    watermark passes vts + interval + delay — views near the log's end
+    would stay stuck in state forever without a later event. Each side's
+    watermark tracks the rows that SURVIVE its event_type filter
+    (Catalyst evaluates the filter below the watermark's stats
+    collection), so the closing sentinels must be real far-future
+    view/purchase rows; they ride under user_id = −1 and are excluded
+    from the comparison. This is how a live pipeline closes books too —
+    the next day's traffic is the sentinel.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = _stage_events(spark, SF_SMALL)
+    stage = str(SCRATCH / "stream_stage" / f"outer_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(base, stage)
+    hi = (
+        spark.read.parquet(stage)
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("hi"))
+        .first()["hi"]
+    )
+    sentinel = spark.createDataFrame(
+        [
+            (10**9, hi, -1, "view", 0.0, None),
+            (10**9 + 1, hi, -1, "purchase", 0.0, None),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+    sentinel.coalesce(1).write.mode("append").parquet(stage)
+
+    def side(evt, ucol, icol, tcol):
+        return (
+            _events_stream(spark, stage)
+            .withColumnRenamed("ts", tcol)
+            .where(F.col("event_type") == evt)
+            .withWatermark(tcol, "10 hours")
+            .select(
+                F.col("user_id").alias(ucol),
+                F.col("event_id").alias(icol),
+                tcol,
+            )
+        )
+
+    v = side("view", "user_id", "view_id", "vts")
+    p = side("purchase", "p_user", "purchase_id", "pts")
+    joined = v.join(
+        p,
+        F.expr(
+            "user_id = p_user AND pts >= vts "
+            "AND pts <= vts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select("user_id", "view_id", "purchase_id")
+    # manual trigger control: outer-side eviction fires on the trigger
+    # AFTER the one whose data advanced the watermark, so feed a second
+    # sentinel and process again before stopping.
+    name = f"so_{uuid.uuid4().hex[:8]}"
+    ckpt = SCRATCH / "ckpt" / uuid.uuid4().hex
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sentinel.withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+        ).coalesce(1).write.mode("append").parquet(stage)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _collect_sorted(
+        spark.table(name).where(F.col("user_id") >= 0),
+        ["user_id", "view_id", "purchase_id"],
+    )
+
+    from googleanalytics_etl_spark.registry import queries
+
+    want = _collect_sorted(
+        queries()["s_stream_outer"](spark, SF_SMALL),
+        ["user_id", "view_id", "purchase_id"],
+    )
+    assert len(got) > len([r for r in got if r[2] is not None]), (
+        "outer join must emit some watermark-certified null rows"
+    )
+    assert got == want
