@@ -759,3 +759,55 @@ def x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     )
+
+
+_ROLLING_WAU_ORACLE = """
+WITH du AS (
+    SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+    FROM events
+), days AS (
+    SELECT DISTINCT day FROM du
+)
+SELECT d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+"""
+
+
+@register("q_rolling_wau", oracle=_ROLLING_WAU_ORACLE)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users per day (WAU) — the windowed
+    COUNT(DISTINCT) no window frame can express (frames aggregate rows,
+    they cannot re-distinct across them).
+
+    Classic decomposition: dedup to (day, user) pairs FIRST — the only
+    data-scale shuffle, and it shrinks the input to at most
+    days×users — then a range join of the small distinct-pair set
+    against the day spine re-buckets each pair into the ≤7 windows it
+    serves, and a count-distinct per window day finishes. At 100 TB the
+    event scan never joins anything; everything after the first dedup
+    is proportional to |days|×|active users|, not to events. (The exact
+    sliding-distinct problem has no partial-merge shortcut — HLL union
+    is the approximate alternative when even the pair set is too big.)
+    """
+    e = load(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.col("ts").cast("timestamp").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    d = days.select(F.col("day").alias("wday"))
+    return (
+        du.join(
+            d,
+            (F.col("day") <= F.col("wday"))
+            & (F.col("day") >= F.date_sub(F.col("wday"), 6)),
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("wday").alias("day"), "wau")
+    )
