@@ -541,18 +541,22 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s.*")
         )
 
+    # state is dimension-scale (one row per key): write each version as
+    # one file — 6 versions × 32 shuffle-partition files would be pure
+    # task/commit overhead here. At warehouse scale the state stays
+    # partitioned and the rewrite prunes to touched files (Delta MERGE).
     seed = latest_per_key(log.where(F.col("ts") < cutoff).select(cols))
     state = {"path": str(run_dir / "v_seed"), "epoch": 0}
-    seed.write.mode("overwrite").parquet(state["path"])
+    seed.coalesce(1).write.mode("overwrite").parquet(state["path"])
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
         cur = sess.read.parquet(state["path"])
         changes = batch_df.where(F.col("ts") >= cutoff).select(cols)
         new_path = str(run_dir / f"v{state['epoch'] + 1}")
-        latest_per_key(cur.unionByName(changes)).write.mode("overwrite").parquet(
-            new_path
-        )
+        latest_per_key(cur.unionByName(changes)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(new_path)
         state["path"], state["epoch"] = new_path, state["epoch"] + 1
 
     q = (

@@ -228,3 +228,48 @@ def test_cc_star_handles_multiple_components(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_hll_sketches_merge_losslessly_and_bound_error(spark):
+    """Union of per-day HLL sketches must equal the whole-log sketch
+    estimate exactly (same lgK ⇒ lossless merge), and land within 5% of
+    the exact distinct count."""
+    from googleanalytics_etl_spark.sketches import (
+        LG_K,
+        daily_user_sketches,
+        merged_distinct_estimate,
+    )
+
+    e = load(spark, SF_SMALL, "events")
+    merged = merged_distinct_estimate(daily_user_sketches(e))
+    whole = e.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(LG_K))
+        ).alias("est")
+    ).first()["est"]
+    exact = e.select("user_id").distinct().count()
+    assert merged == int(whole), "daily-merge must be lossless vs one-shot"
+    assert abs(merged - exact) <= max(2, 0.05 * exact)
+
+
+def test_hll_rolling_window_tracks_exact_wau(spark):
+    """Sketch-space rolling WAU must track the exact operator within the
+    HLL error bound on every day."""
+    from googleanalytics_etl_spark.sketches import rolling_window_estimates
+
+    e = load(spark, SF_SMALL, "events")
+    approx = {
+        r["day"]: r["wau_est"]
+        for r in rolling_window_estimates(e).collect()
+    }
+    exact = {
+        r["day"]: r["wau"]
+        for r in queries()["q_rolling_wau"](spark, SF_SMALL).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for day, ex in exact.items():
+        assert abs(approx[day] - ex) <= max(3, 0.08 * ex), (
+            day,
+            approx[day],
+            ex,
+        )
