@@ -1694,3 +1694,97 @@ def x_dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
+
+
+_PROFILE_ORACLE = """
+WITH s AS (
+    SELECT
+        COUNT(*) AS n_rows,
+        COUNT(text) AS text_non_null,
+        COUNT(DISTINCT lang) AS lang_distinct,
+        COUNT(DISTINCT source) AS source_distinct,
+        MIN(n_chars) AS n_chars_min,
+        MAX(n_chars) AS n_chars_max,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+        CAST(SUM(len(text)) AS BIGINT) AS text_len_sum,
+        MIN(lang) AS lang_min,
+        MAX(lang) AS lang_max
+    FROM documents
+)
+SELECT col, stat, val FROM (
+    SELECT 'text' AS col, 'non_null' AS stat,
+           CAST(text_non_null AS VARCHAR) AS val FROM s
+    UNION ALL
+    SELECT 'text', 'len_sum', CAST(text_len_sum AS VARCHAR) FROM s
+    UNION ALL
+    SELECT 'lang', 'distinct', CAST(lang_distinct AS VARCHAR) FROM s
+    UNION ALL
+    SELECT 'lang', 'min', lang_min FROM s
+    UNION ALL
+    SELECT 'lang', 'max', lang_max FROM s
+    UNION ALL
+    SELECT 'source', 'distinct', CAST(source_distinct AS VARCHAR) FROM s
+    UNION ALL
+    SELECT 'n_chars', 'min', CAST(n_chars_min AS VARCHAR) FROM s
+    UNION ALL
+    SELECT 'n_chars', 'max', CAST(n_chars_max AS VARCHAR) FROM s
+    UNION ALL
+    SELECT 'n_chars', 'sum', CAST(n_chars_sum AS VARCHAR) FROM s
+    UNION ALL
+    SELECT '*', 'n_rows', CAST(n_rows AS VARCHAR) FROM s
+)
+"""
+
+
+@register("x_profile", oracle=_PROFILE_ORACLE)
+def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the documents table in ONE scan: null counts,
+    distincts, min/max, length sums — the data-quality companion to
+    x_validate (which gates; this one describes).
+
+    All statistics compute in a single hash-aggregate pass (every stat
+    is algebraic or distinct-over-tiny-domain), then unpivot to the
+    (col, stat, val) long form a profile store expects. One scan + one
+    1-row aggregate, however many statistics — adding a column adds an
+    expression, not a pass. Stats are stringified so the long form is
+    one column; numeric consumers cast back.
+    """
+    d = load(spark, sf_dir, "documents")
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("text").alias("text_non_null"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_sum"),
+        F.sum(F.length("text")).cast("bigint").alias("text_len_sum"),
+        F.min("lang").alias("lang_min"),
+        F.max("lang").alias("lang_max"),
+    )
+    rows = [
+        ("text", "non_null", F.col("text_non_null")),
+        ("text", "len_sum", F.col("text_len_sum")),
+        ("lang", "distinct", F.col("lang_distinct")),
+        ("lang", "min", F.col("lang_min")),
+        ("lang", "max", F.col("lang_max")),
+        ("source", "distinct", F.col("source_distinct")),
+        ("n_chars", "min", F.col("n_chars_min")),
+        ("n_chars", "max", F.col("n_chars_max")),
+        ("n_chars", "sum", F.col("n_chars_sum")),
+        ("*", "n_rows", F.col("n_rows")),
+    ]
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.lit(st).alias("stat"),
+                v.cast("string").alias("val"),
+            )
+            for c, st, v in rows
+        ]
+    )
+    return (
+        s.select(F.explode(triples).alias("t"))
+        .select("t.col", "t.stat", "t.val")
+    )
