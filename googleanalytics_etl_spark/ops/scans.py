@@ -181,3 +181,102 @@ def x_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         fsum("value", "total_value"),
     )
+
+
+_ZORDER_ORACLE = """
+WITH b AS (
+    SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+           MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dmin,
+           MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dmax
+    FROM events
+), scaled AS (
+    SELECT event_id, user_id,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           ((user_id - umin) * 65535) // GREATEST(umax - umin, 1) AS su,
+           (date_diff('day', dmin, CAST(CAST(ts AS TIMESTAMP) AS DATE))
+            * 65535)
+           // GREATEST(date_diff('day', dmin, dmax), 1) AS sd
+    FROM events, b
+), spread_u AS (
+    SELECT event_id,
+           (((((((su & 65535) | ((su & 65535) << 8)) & 16711935)
+             | ((((su & 65535) | ((su & 65535) << 8)) & 16711935) << 4))
+             & 252645135)
+             | (((((su & 65535) | ((su & 65535) << 8)) & 16711935
+                 | ((((su & 65535) | ((su & 65535) << 8)) & 16711935) << 4))
+                 & 252645135) << 2)) & 858993459) AS pu2,
+           (((((((sd & 65535) | ((sd & 65535) << 8)) & 16711935)
+             | ((((sd & 65535) | ((sd & 65535) << 8)) & 16711935) << 4))
+             & 252645135)
+             | (((((sd & 65535) | ((sd & 65535) << 8)) & 16711935
+                 | ((((sd & 65535) | ((sd & 65535) << 8)) & 16711935) << 4))
+                 & 252645135) << 2)) & 858993459) AS pd2,
+           user_id, day
+    FROM scaled
+), z AS (
+    SELECT event_id, user_id, day,
+           (((pu2 | (pu2 << 1)) & 1431655765)
+            | (((pd2 | (pd2 << 1)) & 1431655765) << 1)) AS zcode
+    FROM spread_u
+)
+SELECT CAST(zcode >> 26 AS BIGINT) AS cell,
+       COUNT(*) AS n,
+       MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+       MIN(day) AS d_min, MAX(day) AS d_max
+FROM z
+GROUP BY 1
+"""
+
+
+@register("x_zorder", oracle=_ZORDER_ORACLE)
+def x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of the event log on (user_id, day) —
+    the multi-column generalization of layout.cluster_write's
+    single-key range clustering, and what Delta OPTIMIZE ZORDER BY does.
+
+    Both dimensions min-max-scale to 16 bits (integer arithmetic only —
+    cross-engine exact), interleave via the codegen mask ladder
+    (sources/layout.py morton32), and the query reports per-cell
+    occupancy stats for the top-6-bit cells (an 8×8 grid over the
+    scaled plane). Sorting files by zcode gives row groups whose
+    min/max footer stats are TIGHT in BOTH dimensions, so either
+    predicate prunes — single-key clustering can only serve one.
+    tests/test_round3_ops.py asserts the locality contract: every
+    non-empty cell spans ≤ ~1/8 of each dimension's range (+1 for the
+    integer-scaling boundary).
+    """
+    from ..sources.layout import morton32
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+    )
+    b = e.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    )
+    scaled = e.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        "user_id",
+        "day",
+        F.expr(
+            "((user_id - umin) * 65535) DIV GREATEST(umax - umin, 1)"
+        ).alias("su"),
+        F.expr(
+            "(datediff(day, dmin) * 65535) DIV GREATEST(datediff(dmax, dmin), 1)"
+        ).alias("sd"),
+    )
+    z = scaled.withColumn("zcode", morton32(F.col("su"), F.col("sd")))
+    return (
+        z.groupBy(F.shiftright("zcode", 26).cast("bigint").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("day").alias("d_min"),
+            F.max("day").alias("d_max"),
+        )
+    )

@@ -106,3 +106,27 @@ def read_json_tolerant(
     good = raw.where(raw["_corrupt_record"].isNull()).drop("_corrupt_record")
     bad = raw.where(raw["_corrupt_record"].isNotNull()).select("_corrupt_record")
     return good, bad
+
+
+def morton32(x, y):
+    """32-bit Morton (Z-order) code of two 16-bit values, pure Catalyst.
+
+    Classic mask-ladder bit spreading (public-domain bit twiddling):
+    each input's 16 bits spread to even positions, y shifted up one —
+    interleaved bits make lexicographic order on z a space-filling curve
+    over the (x, y) grid, so range predicates on EITHER dimension touch
+    few contiguous z-runs. All shifts are literal, so the whole code is
+    whole-stage-codegen'd; the identical ladder is expressible in ANSI
+    SQL for the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    def spread(v):
+        v = v.bitwiseAND(F.lit(0xFFFF))
+        v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+        v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))

@@ -273,3 +273,38 @@ def test_hll_rolling_window_tracks_exact_wau(spark):
             approx[day],
             ex,
         )
+
+
+def test_zorder_cells_are_local_in_both_dimensions(spark):
+    """Each non-empty top-6-bit Morton cell must span ≤ ~1/8 of BOTH
+    dimension ranges (+1 cell of integer-scaling slack) — the property
+    that makes z-ordered row groups prunable on either predicate."""
+    cells = queries()["x_zorder"](spark, SF_SMALL).collect()
+    e = load(spark, SF_SMALL, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    b = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("day"), F.max("day")
+    ).first()
+    u_span = (b[1] - b[0]) / 8 + max(1, (b[1] - b[0]) // 8)
+    d_span = (b[3] - b[2]).days / 8 + max(1, (b[3] - b[2]).days // 8)
+    assert len(cells) > 8, "fixture should populate multiple cells"
+    for c in cells:
+        assert c["u_max"] - c["u_min"] <= u_span, c
+        assert (c["d_max"] - c["d_min"]).days <= d_span, c
+
+
+def test_morton32_interleaves_bits(spark):
+    from googleanalytics_etl_spark.sources.layout import morton32
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (0xFFFF, 0xFFFF), (0b101, 0b011)],
+        "x long, y long",
+    ).select("x", "y", morton32(F.col("x"), F.col("y")).alias("z"))
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(0xFFFF, 0xFFFF)] == 0xFFFFFFFF
+    # x=0b101, y=0b011 -> z bits: y2x2 y1x1 y0x0 = 01 10 11 = 0b011011
+    assert got[(0b101, 0b011)] == 0b011011
