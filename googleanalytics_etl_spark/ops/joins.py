@@ -349,3 +349,49 @@ def x_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.join(
         sel, candidates.l_orderkey == sel.o_orderkey, "left_semi"
     ).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+_BAND_BROADCAST_ORACLE = """
+WITH tiers(tier, lo, hi) AS (
+    VALUES ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+           ('mid', 50.0, 200.0), ('large', 200.0, 1000.0),
+           ('whale', 1000.0, 1e12)
+)
+SELECT e.event_id, e.value, t.tier
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+"""
+
+
+@register("q_join_band_broadcast", oracle=_BAND_BROADCAST_ORACLE)
+def q_join_band_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi band join against a broadcast tier table —
+    BroadcastNestedLoopJoin as the CORRECT plan, not an accident.
+
+    Unlike q_join_range (equi-key + residual range), a tier/band lookup
+    has no equi key at all. The only scalable physical strategies are
+    (a) broadcast the tiny band table and nested-loop it per row — the
+    fact side never shuffles, cost = rows × |bands| comparisons, all
+    codegen — or (b) interval-bucket both sides when the band table is
+    itself large. Spark picks (a) exactly when the band side fits the
+    broadcast threshold; the plan test asserts BroadcastNestedLoopJoin
+    and the absence of any fact-side exchange. A shuffle implementation
+    of this join would be a cartesian — the thing the plan lint bans.
+    """
+    tiers = spark.createDataFrame(
+        [
+            ("micro", 0.0, 10.0),
+            ("small", 10.0, 50.0),
+            ("mid", 50.0, 200.0),
+            ("large", 200.0, 1000.0),
+            ("whale", 1000.0, 1e12),
+        ],
+        "tier string, lo double, hi double",
+    )
+    e = load(spark, sf_dir, "events")
+    return (
+        e.join(
+            F.broadcast(tiers),
+            (e.value >= tiers.lo) & (e.value < tiers.hi),
+        )
+        .select("event_id", "value", "tier")
+    )

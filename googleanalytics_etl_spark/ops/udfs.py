@@ -164,3 +164,80 @@ def q_udtf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT event_id, t.key, t.val, t.val_sq "
         f"FROM {view}, LATERAL gae_explode_props(props) t"
     )
+
+
+_COGROUP_ORACLE = """
+WITH v AS (
+    SELECT user_id, COUNT(*) AS n_views,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+    SELECT user_id, COUNT(*) AS n_purchases,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_purchase
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       CAST(COALESCE(v.n_views, 0) AS BIGINT) AS n_views,
+       CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CASE WHEN v.last_view IS NOT NULL AND p.last_purchase IS NOT NULL
+                 AND p.last_purchase >= v.last_view
+            THEN 'converted_after_view'
+            WHEN p.last_purchase IS NOT NULL THEN 'purchase_only_or_stale'
+            ELSE 'view_only' END AS funnel_state
+FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register("q_cogroup_pandas", oracle=_COGROUP_ORACLE)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped map (``groupBy().cogroup().applyInPandas``) — the §2.I
+    surface beyond grouped-map: BOTH sides of a key-aligned pair of
+    tables arrive as pandas frames per key, for merge logic no SQL join
+    expresses naturally (custom per-user reconciliation here: view
+    stats × purchase stats → a funnel state).
+
+    Arrow-batched per key group; the logic is deliberately
+    SQL-reexpressible so the full-outer-join oracle hash-checks the
+    Python path end-to-end (the same honesty contract as q_udf_scalar:
+    the API surface is the point, not the arithmetic). At scale cogroup
+    shuffles both inputs once on the key — identical movement to the
+    equivalent join — and the per-key pandas frames bound memory by the
+    key's row count.
+    """
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    views = e.where(F.col("event_type") == "view")
+    buys = e.where(F.col("event_type") == "purchase")
+
+    def reconcile(key, v: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        n_views = len(v)
+        n_buys = len(p)
+        last_view = v["ts"].max() if n_views else None
+        last_buy = p["ts"].max() if n_buys else None
+        if last_view is not None and last_buy is not None and last_buy >= last_view:
+            state = "converted_after_view"
+        elif last_buy is not None:
+            state = "purchase_only_or_stale"
+        else:
+            state = "view_only"
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_views": [n_views],
+                "n_purchases": [n_buys],
+                "funnel_state": [state],
+            }
+        )
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(buys.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id bigint, n_views bigint, n_purchases bigint, "
+            "funnel_state string",
+        )
+    )

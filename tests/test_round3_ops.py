@@ -308,3 +308,22 @@ def test_morton32_interleaves_bits(spark):
     assert got[(0xFFFF, 0xFFFF)] == 0xFFFFFFFF
     # x=0b101, y=0b011 -> z bits: y2x2 y1x1 y0x0 = 01 10 11 = 0b011011
     assert got[(0b101, 0b011)] == 0b011011
+
+
+def test_band_broadcast_plans_bnl_no_fact_exchange(spark):
+    """Non-equi band join must plan BroadcastNestedLoopJoin with zero
+    exchange on the fact side — the band table ships, events never do."""
+    plan = fmt_plan(queries()["q_join_band_broadcast"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_cogroup_funnel_states_sane(spark):
+    rows = queries()["q_cogroup_pandas"](spark, SF_SMALL).collect()
+    states = {r["funnel_state"] for r in rows}
+    assert states <= {
+        "converted_after_view", "purchase_only_or_stale", "view_only"
+    }
+    for r in rows:
+        assert r["n_views"] > 0 or r["n_purchases"] > 0
