@@ -811,3 +811,47 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
         .select(F.col("wday").alias("day"), "wau")
     )
+
+
+_RECURSIVE_REACH_ORACLE = """
+WITH RECURSIVE ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), edges AS (
+    SELECT DISTINCT event_type AS src, next_type AS dst
+    FROM ordered
+    WHERE next_type IS NOT NULL AND event_type <> next_type
+), reach(node, depth) AS (
+    SELECT 'signup', 0
+    UNION ALL
+    SELECT e.dst, r.depth + 1
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.depth < 4
+)
+SELECT node AS event_type, CAST(MIN(depth) AS BIGINT) AS min_hops
+FROM reach GROUP BY node
+"""
+
+
+@register("q_recursive_cte", oracle=_RECURSIVE_REACH_ORACLE)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): transitive
+    reachability over the event-type transition graph — min hops from
+    'signup' to every reachable event type.
+
+    The graph is session-reduced FIRST (distinct consecutive-type pairs
+    — at most |types|² edges regardless of event volume), so the
+    recursion runs on a handful of rows; the data-scale work is the one
+    lag window. This is the declarative face of what graph.py does
+    imperatively: Catalyst unrolls the fixpoint, and the depth guard
+    bounds it exactly like the iteration cap there. Identical SQL runs
+    on DuckDB for the full hash oracle.
+    """
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__rec_events")
+    return spark.sql(
+        _RECURSIVE_REACH_ORACLE.replace("FROM events", "FROM __rec_events")
+        .replace("'signup', 0", "'signup', CAST(0 AS INT)")
+    )

@@ -280,3 +280,30 @@ def x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("d_max"),
         )
     )
+
+
+_SCAN_XML_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("q_scan_xml", oracle=_SCAN_XML_ORACLE)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared XML ingest (Spark 4 built-in ``xml`` format),
+    staged from the parquet fixture and read back losslessly — completes
+    the semi-structured format matrix (CSV, JSON lines, XML)."""
+    stage = str(_SCRATCH / f"xml_nation_{Path(sf_dir).name}")
+    _stage_once(
+        lambda p: load(spark, sf_dir, "nation")
+        .write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(p),
+        stage,
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(_NATION_SCHEMA)
+        .load(stage)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

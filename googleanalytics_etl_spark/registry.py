@@ -111,6 +111,7 @@ _DRIVER_ORDER: list[str] = [
     "q_global_rank", "x_dedup_editdist", "x_embed_centroids",
     "x_dedup_cc_star", "s_stream_outer", "q_rolling_wau", "x_profile",
     "x_zorder", "q_join_band_broadcast", "q_cogroup_pandas",
+    "q_scan_xml", "q_recursive_cte",
     # SURVEY §2 category order (scans, projection, joins, aggregates, ...)
     "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
     "q_project_rename", "q_filter_pred",
