@@ -108,8 +108,11 @@ _PYTHON_OK = {
     "s_stateful_user",
 }
 # declared-benign nested-loop joins: every build side is a broadcast
-# SINGLE-ROW relation (query vector / corpus-count aggregate / scalar
-# threshold subquery — Q11's total-value and Q22's average-balance)
+# TINY relation — single-row (query vector / corpus-count aggregate /
+# scalar threshold subquery — Q11's total-value, Q22's average-balance,
+# x_zorder's min-max bounds) or bounded-by-construction (the 5-row band
+# table in q_join_band_broadcast — BNL IS the correct non-equi plan, see
+# its docstring; q_rolling_wau's |days|-row spine)
 _BNLJ_OK = {
     "x_sim_knn",
     "x_sim_knn_ivf",
@@ -117,6 +120,9 @@ _BNLJ_OK = {
     "x_tfidf",
     "q_tpch_q11",
     "q_tpch_q22",
+    "q_join_band_broadcast",
+    "q_rolling_wau",
+    "x_zorder",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
