@@ -23,6 +23,10 @@ Cross-engine determinism conventions (SURVEY.md §7 "hard parts"):
   :func:`sql_dsum`.
 - Alias every computed column identically on both sides; the driver sorts
   columns by name before hashing.
+- **Never CAST a double straight to an integer type in an oracle-visible
+  expression**: Spark truncates toward zero, DuckDB rounds to nearest
+  (found by tests/test_differential_fuzz.py). Wrap in FLOOR/CEIL/ROUND
+  first so both engines compute the same integer.
 - Window/rank integer outputs are cast to BIGINT on both sides (Spark
   ``row_number`` is int, DuckDB's is BIGINT).
 - Every ``ORDER BY`` used for ranking/top-k carries a unique tiebreaker.

@@ -1,0 +1,113 @@
+"""Hypothesis-driven differential fuzzing: random predicates/projections
+over the events fixture, executed by BOTH engines.
+
+The registry's differential harness checks 155 hand-written oracles; this
+layer checks the ENGINE MAPPING itself on inputs nobody hand-picked —
+random conjunctions of comparisons, IN-lists, null guards, and arithmetic
+derivations. Any divergence (count or checksum) is a cross-engine
+semantics bug of exactly the kind CORRECTNESS_r02 caught once in
+q_cast_types (decimal rendering) — cheaper to find here than in a driver
+round.
+
+Determinism note: hypothesis drives the QUERY SHAPE; each generated query
+is itself deterministic on the fixed fixture, so failures replay exactly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from conftest import SF_SMALL
+
+NUM_COLS = ["event_id", "user_id", "value"]
+STR_COLS = ["event_type"]
+TYPES = ["view", "click", "purchase", "signup", "error"]
+
+comparison = st.one_of(
+    st.tuples(
+        st.sampled_from(NUM_COLS),
+        st.sampled_from([">", ">=", "<", "<=", "=", "<>"]),
+        st.integers(min_value=-5, max_value=120),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.lists(st.sampled_from(TYPES), min_size=1, max_size=3, unique=True).map(
+        lambda vs: "event_type IN ({})".format(
+            ", ".join(f"'{v}'" for v in vs)
+        )
+    ),
+    st.sampled_from(
+        ["props IS NOT NULL", "props IS NULL", "value IS NOT NULL"]
+    ),
+    st.tuples(
+        st.sampled_from(["user_id", "event_id"]),
+        st.integers(min_value=2, max_value=7),
+        st.integers(min_value=0, max_value=6),
+    ).map(lambda t: f"{t[0]} % {t[1]} = {min(t[2], t[1] - 1)}"),
+)
+
+predicate = st.lists(comparison, min_size=1, max_size=4).map(
+    lambda cs: " AND ".join(f"({c})" for c in cs)
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate)
+def test_random_predicates_agree(spark, duck_small, pred):
+    """COUNT plus an order-independent integer checksum must agree for
+    any generated predicate."""
+    q = (
+        "SELECT COUNT(*) AS n, "
+        "COALESCE(SUM(CAST(event_id AS BIGINT) * 2654435761 % 1000000007), 0)"
+        " AS checksum "
+        f"FROM events WHERE {pred}"
+    )
+    spark.read.parquet(f"{SF_SMALL}/events.parquet").createOrReplaceTempView(
+        "__fuzz_events"
+    )
+    s = spark.sql(q.replace("FROM events", "FROM __fuzz_events")).first()
+    d = duck_small.execute(q).fetchone()
+    assert (s["n"], s["checksum"]) == (d[0], d[1]), pred
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=predicate,
+    # Derivations must be engine-agnostic by CONSTRUCTION: a raw
+    # CAST(double AS BIGINT) truncates toward zero on Spark but ROUNDS
+    # on DuckDB (found by this very test) — the same class of divergence
+    # as the q_cast_types decimal-rendering miss. FLOOR pins the
+    # semantics on both engines; integer-only arithmetic needs nothing.
+    expr=st.sampled_from(
+        [
+            "CAST(FLOOR(value * 3) AS BIGINT)",
+            "CAST(FLOOR(value) AS BIGINT) + user_id",
+            "LENGTH(event_type)",
+            "CAST(user_id % 10 AS BIGINT)",
+            "ABS(CAST(FLOOR(value) AS BIGINT) - 50)",
+        ]
+    ),
+)
+def test_random_derivations_agree(spark, duck_small, pred, expr):
+    """Grouped integer aggregations of derived expressions must agree."""
+    q = (
+        f"SELECT event_type, COUNT(*) AS n, "
+        f"COALESCE(SUM({expr}), 0) AS s "
+        f"FROM events WHERE {pred} GROUP BY event_type"
+    )
+    spark.read.parquet(f"{SF_SMALL}/events.parquet").createOrReplaceTempView(
+        "__fuzz_events"
+    )
+    s = {
+        (r["event_type"], r["n"], r["s"])
+        for r in spark.sql(q.replace("FROM events", "FROM __fuzz_events")).collect()
+    }
+    d = set(map(tuple, duck_small.execute(q).fetchall()))
+    assert s == d, (pred, expr)
