@@ -111,3 +111,59 @@ def test_random_derivations_agree(spark, duck_small, pred, expr):
     }
     d = set(map(tuple, duck_small.execute(q).fetchall()))
     assert s == d, (pred, expr)
+
+
+JOIN_SPECS = [
+    ("orders", "customer", "o_custkey", "c_custkey", "o_orderkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey", "l_linenumber"),
+    ("lineitem", "part", "l_partkey", "p_partkey", "l_suppkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey", "c_custkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey", "s_suppkey"),
+]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spec=st.sampled_from(JOIN_SPECS),
+    jt=st.sampled_from(["INNER", "LEFT", "LEFT SEMI", "LEFT ANTI"]),
+    mod=st.integers(min_value=2, max_value=9),
+    rem=st.integers(min_value=0, max_value=8),
+)
+def test_random_joins_agree(spark, duck_small, spec, jt, mod, rem):
+    """Random (join type × table pair × filtered build side): row count
+    and key checksum must agree across engines."""
+    left, right, lk, rk, chk = spec
+    rem = min(rem, mod - 1)
+    if jt in ("LEFT SEMI", "LEFT ANTI"):
+        duck_jt = "SEMI" if jt == "LEFT SEMI" else "ANTI"
+        q = (
+            f"SELECT COUNT(*) AS n, "
+            f"COALESCE(SUM({left}.{chk} % 1000003), 0) AS c "
+            f"FROM {left} {duck_jt} JOIN "
+            f"(SELECT * FROM {right} WHERE {rk} % {mod} = {rem}) r "
+            f"ON {left}.{lk} = r.{rk}"
+        )
+        sq = (
+            f"SELECT COUNT(*) AS n, "
+            f"COALESCE(SUM({left}.{chk} % 1000003), 0) AS c "
+            f"FROM {left} {jt} JOIN "
+            f"(SELECT * FROM {right} WHERE {rk} % {mod} = {rem}) r "
+            f"ON {left}.{lk} = r.{rk}"
+        )
+    else:
+        q = sq = (
+            f"SELECT COUNT(*) AS n, "
+            f"COALESCE(SUM({left}.{chk} % 1000003), 0) AS c "
+            f"FROM {left} {jt} JOIN "
+            f"(SELECT * FROM {right} WHERE {rk} % {mod} = {rem}) r "
+            f"ON {left}.{lk} = r.{rk}"
+        )
+    for t in {left, right}:
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet").createOrReplaceTempView(t)
+    s = spark.sql(sq).first()
+    d = duck_small.execute(q).fetchone()
+    assert (s["n"], s["c"]) == (d[0], d[1]), (spec, jt, mod, rem)

@@ -327,3 +327,35 @@ def test_cogroup_funnel_states_sane(spark):
     }
     for r in rows:
         assert r["n_views"] > 0 or r["n_purchases"] > 0
+
+
+def test_cc_star_empty_and_single_edge(spark):
+    from googleanalytics_etl_spark.graph import connected_components_star
+
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    labels, _ = connected_components_star(empty)
+    assert labels.count() == 0
+
+    one = spark.createDataFrame([(7, 3)], "a bigint, b bigint")
+    labels, rounds = connected_components_star(one)
+    assert {(r["id"], r["label"]) for r in labels.collect()} == {
+        (3, 3), (7, 3)
+    }
+
+
+def test_bloom_semi_at_10x_lineitem(spark):
+    """Bloom prefilter correctness is scale-invariant: a 10x union of
+    lineitem must produce exactly 10x the semi-join matches."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.ops.joins import x_bloom_semi
+
+    base = x_bloom_semi(spark, SF_SMALL).count()
+    li = load(spark, SF_SMALL, "lineitem")
+    big = li
+    for _ in range(9):
+        big = big.unionByName(li)
+    orders = load(spark, SF_SMALL, "orders")
+    sel = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    got = big.join(sel, big.l_orderkey == sel.o_orderkey, "left_semi").count()
+    assert got == base * 10
