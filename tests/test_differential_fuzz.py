@@ -167,3 +167,43 @@ def test_random_joins_agree(spark, duck_small, spec, jt, mod, rem):
     s = spark.sql(sq).first()
     d = duck_small.execute(q).fetchone()
     assert (s["n"], s["c"]) == (d[0], d[1]), (spec, jt, mod, rem)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(
+        [
+            "ROW_NUMBER()",
+            "RANK()",
+            "DENSE_RANK()",
+            "LAG(event_id, 1, -1)",
+            "LEAD(event_id, 1, -1)",
+            "COUNT(*)",
+        ]
+    ),
+    part=st.sampled_from(["user_id", "event_type", "user_id % 5"]),
+    direction=st.sampled_from(["ASC", "DESC"]),
+    pred=predicate,
+)
+def test_random_window_functions_agree(spark, duck_small, fn, part, direction, pred):
+    """Random window function × partitioning × direction over a random
+    predicate; ORDER BY always carries the unique event_id tiebreaker so
+    both engines' results are well-defined."""
+    q = (
+        f"SELECT event_id, CAST({fn} OVER (PARTITION BY {part} "
+        f"ORDER BY value {direction}, event_id) AS BIGINT) AS w "
+        f"FROM events WHERE {pred}"
+    )
+    spark.read.parquet(f"{SF_SMALL}/events.parquet").createOrReplaceTempView(
+        "__fuzz_events"
+    )
+    s = {
+        (r["event_id"], r["w"])
+        for r in spark.sql(q.replace("FROM events", "FROM __fuzz_events")).collect()
+    }
+    d = set(map(tuple, duck_small.execute(q).fetchall()))
+    assert s == d, (fn, part, direction, pred)
