@@ -207,3 +207,33 @@ def test_random_window_functions_agree(spark, duck_small, fn, part, direction, p
     }
     d = set(map(tuple, duck_small.execute(q).fetchall()))
     assert s == d, (fn, part, direction, pred)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    op=st.sampled_from(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"]),
+    p1=predicate,
+    p2=predicate,
+)
+def test_random_set_operations_agree(spark, duck_small, op, p1, p2):
+    """Random set operation between two filtered projections of events:
+    full result-set equality across engines (bag semantics for UNION ALL
+    via sorted multiset compare)."""
+    q = (
+        f"SELECT event_id, user_id FROM events WHERE {p1} "
+        f"{op} "
+        f"SELECT event_id, user_id FROM events WHERE {p2}"
+    )
+    spark.read.parquet(f"{SF_SMALL}/events.parquet").createOrReplaceTempView(
+        "__fuzz_events"
+    )
+    s = sorted(
+        (r["event_id"], r["user_id"])
+        for r in spark.sql(q.replace("FROM events", "FROM __fuzz_events")).collect()
+    )
+    d = sorted(map(tuple, duck_small.execute(q).fetchall()))
+    assert s == d, (op, p1, p2)
