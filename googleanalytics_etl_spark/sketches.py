@@ -72,3 +72,75 @@ def rolling_window_estimates(events: DataFrame, days: int = 7) -> DataFrame:
         )
         .select(F.col("wday").alias("day"), "wau_est")
     )
+
+
+def daily_value_quantile_sketches(events: DataFrame) -> DataFrame:
+    """One KLL sketch of ``value`` per event day: (day, ksketch).
+
+    KLL is the mergeable-quantile counterpart to HLL's mergeable
+    distinct: store a few-KB sketch per partition and answer any
+    window/segment quantile by merging — no re-scan, no exact global
+    sort. (Exact engine-checked percentiles live in q_percentiles; this
+    is the at-scale approximate path.)
+    """
+    return (
+        events.select(
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.kll_sketch_agg_double("v").alias("ksketch"))
+    )
+
+
+def merged_quantile_estimate(sketches: DataFrame, q: float) -> float:
+    """q-quantile of the UNION of the given daily sketches (merge in
+    sketch space, then query)."""
+    row = sketches.agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("ksketch"), F.lit(q)
+        ).alias("est")
+    ).first()
+    return float(row["est"])
+
+
+def segment_user_theta(events: DataFrame) -> DataFrame:
+    """One Theta sketch of distinct user_ids per event_type.
+
+    Theta sketches close distinct counting under SET ALGEBRA: union,
+    intersection, and difference of segment audiences compose in sketch
+    space — 'users who viewed AND purchased' without ever joining the
+    raw log. HLL can only union; this is why both live in the module.
+    """
+    return events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("tsketch")
+    )
+
+
+def theta_union_estimate(sketches: DataFrame) -> int:
+    """Distinct-user estimate of the union of all segment sketches."""
+    row = sketches.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("tsketch")).alias("est")
+    ).first()
+    return int(row["est"])
+
+
+def theta_intersection_estimate(sketches: DataFrame) -> int:
+    """Distinct-user estimate of the intersection of the segment
+    sketches (audience overlap).
+
+    coalesce(1): theta_intersection_agg's partial state on an EMPTY
+    partition would be the infinite set (DataSketches raises rather than
+    fake it), so the few-row sketch frame must aggregate in one task —
+    fine, since inputs here are one sketch per segment, never data-scale.
+    """
+    row = (
+        sketches.coalesce(1)
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_intersection_agg("tsketch")
+            ).alias("est")
+        )
+        .first()
+    )
+    return int(row["est"])

@@ -359,3 +359,52 @@ def test_bloom_semi_at_10x_lineitem(spark):
     sel = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
     got = big.join(sel, big.l_orderkey == sel.o_orderkey, "left_semi").count()
     assert got == base * 10
+
+
+def test_kll_merged_quantiles_track_exact(spark):
+    """Merged daily KLL quantiles must land within KLL's rank-error
+    bound of the exact quantiles."""
+    from googleanalytics_etl_spark.sketches import (
+        daily_value_quantile_sketches,
+        merged_quantile_estimate,
+    )
+
+    e = load(spark, SF_SMALL, "events")
+    sk = daily_value_quantile_sketches(e).persist()
+    values = sorted(r["value"] for r in e.select("value").collect())
+    n = len(values)
+    for q in (0.25, 0.5, 0.9):
+        est = merged_quantile_estimate(sk, q)
+        # rank of the estimate must be within ~2% of target rank
+        import bisect
+
+        rank = bisect.bisect_left(values, est) / n
+        assert abs(rank - q) < 0.03, (q, est, rank)
+    sk.unpersist()
+
+
+def test_theta_set_algebra_tracks_exact(spark):
+    """Theta union == overall distinct; view∩purchase overlap within
+    sketch error of the exact join count."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.sketches import (
+        segment_user_theta,
+        theta_intersection_estimate,
+        theta_union_estimate,
+    )
+
+    e = load(spark, SF_SMALL, "events")
+    sk = segment_user_theta(e).persist()
+    exact_all = e.select("user_id").distinct().count()
+    assert abs(theta_union_estimate(sk) - exact_all) <= max(
+        2, 0.05 * exact_all
+    )
+    v = e.where(F.col("event_type") == "view").select("user_id").distinct()
+    p = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_overlap = v.join(p, "user_id").count()
+    pair = sk.where(F.col("event_type").isin("view", "purchase"))
+    assert abs(theta_intersection_estimate(pair) - exact_overlap) <= max(
+        3, 0.1 * exact_overlap
+    )
+    sk.unpersist()
