@@ -109,4 +109,6 @@ class SyncPipeline:
         return staged.count()
 
     def target(self) -> DataFrame:
-        return self.spark.read.parquet(self.target_path)
+        # drop the sink's internal hash-bucket partition column (no-op
+        # for flat/backfilled targets)
+        return self.spark.read.parquet(self.target_path).drop("bucket")

@@ -82,22 +82,43 @@ def connected_components_star(
     keyed shuffles of (long, long) pairs; nothing data-scale ever sits on
     the driver.
     """
-    cur = _canon(edges).persist()
+    # localCheckpoint each round, not persist: persist caches DATA but
+    # the logical plan still grows by one union+groupBy+explode+distinct
+    # layer per round — after O(log n) rounds on a long chain the
+    # accumulated lineage OOMs the driver during analysis (found by the
+    # 4096-node chain stress test). Checkpointing truncates lineage so
+    # every round plans against a flat scan — the same reason GraphX and
+    # ALS checkpoint periodically; blocks are freed by the
+    # ContextCleaner as `cur` is rebound each round.
+    cur = _canon(edges).localCheckpoint(eager=True)
     prev_sig = None
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         rounds += 1
-        nxt = _canon(_small_star(_large_star(cur))).persist()
+        nxt = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
         sig = tuple(
             nxt.agg(
                 F.count(F.lit(1)), F.sum("a"), F.sum("b")
             ).first()
         )
-        cur.unpersist()
         cur = nxt
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    # The (count, Σa, Σb) signature is necessary, not sufficient — a
+    # collision between two distinct edge sets (or max_rounds running
+    # out) would silently yield wrong labels. Verify the star-forest
+    # fixpoint ONCE: large-star must be the identity on a star forest.
+    post = _canon(_large_star(cur))
+    stable = post.exceptAll(cur).isEmpty() and cur.exceptAll(post).isEmpty()
+    if not stable:
+        raise RuntimeError(
+            "connected_components_star: not at fixpoint after "
+            f"{rounds} rounds"
+            + ("" if converged else " (max_rounds exhausted)")
+        )
     # fixpoint: every component is a star centered at its min id
     centers = cur.select(F.col("a").alias("id"), F.col("a").alias("label"))
     leaves = cur.select(F.col("b").alias("id"), F.col("a").alias("label"))
@@ -106,5 +127,4 @@ def connected_components_star(
         .groupBy("id")
         .agg(F.min("label").alias("label"))
     )
-    cur.unpersist()
     return labels, rounds

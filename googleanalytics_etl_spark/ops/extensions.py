@@ -1544,6 +1544,10 @@ WITH corpus AS (
     SELECT doc_id + 1000000 AS doc_id,
            text || ' x' AS text, lang, n_chars + 2 AS n_chars
     FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT CAST(-2 AS BIGINT), repeat('a', 25), 'xx', CAST(25 AS BIGINT)
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), repeat('a', 24), 'xx', CAST(24 AS BIGINT)
 ), blocked AS (
     SELECT doc_id, text, lang,
            CAST(FLOOR(n_chars / 25) AS BIGINT) AS bucket
@@ -1552,6 +1556,8 @@ WITH corpus AS (
     SELECT doc_id, text, lang, bucket FROM blocked
     UNION ALL
     SELECT doc_id, text, lang, bucket + 1 AS bucket FROM blocked
+    UNION ALL
+    SELECT doc_id, text, lang, bucket - 1 AS bucket FROM blocked
 ), cand AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.text AS text_a, b.text AS text_b
@@ -1577,15 +1583,22 @@ def x_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't certify.
 
     Blocking: edit distance ≤ k implies |len(a) − len(b)| ≤ k, so docs
-    pair only within the same (lang, ⌊n_chars/25⌋) bucket, with one side
-    expanded to its neighbor bucket so pairs straddling a boundary are
-    kept (bucket width 25 > k=5 ⇒ a true pair spans at most adjacent
-    buckets — the expansion makes the blocking exact, not approximate).
-    The O(len²) levenshtein kernel (JVM codegen) runs only on blocked
-    candidates, never on the O(n²) pair space; the planted ``text||' x'``
-    tail guarantees hits at every sf. DISTINCT collapses pairs found in
-    two buckets. At 100 TB the bucket join is the only shuffle and
-    carries (id, text) for same-bucket rows.
+    pair only within the same (lang, ⌊n_chars/25⌋) bucket, with the
+    a-side expanded SYMMETRICALLY to both neighbor buckets (bucket±1).
+    The symmetry matters because the join keeps only a.doc_id < b.doc_id
+    pairs: an upward-only expansion drops any true pair whose lower-id
+    doc is the LONGER text (its bucket = partner's + 1 — the a-row would
+    need to reach DOWN a bucket to meet its b-row). Bucket width 25 >
+    k=5 ⇒ a true pair spans at most adjacent buckets, so ±1 expansion
+    makes the blocking exact, not approximate. The O(len²) levenshtein
+    kernel (JVM codegen) runs only on blocked candidates, never on the
+    O(n²) pair space. Planted fixtures: the ``text||' x'`` tails (higher
+    id is longer) and a boundary-straddling (-2: 25×'a', -1: 24×'a')
+    pair where the LOWER id is longer — the case upward-only expansion
+    loses. DISTINCT collapses pairs found in two buckets. At 100 TB the
+    bucket join is the only shuffle and carries (id, text) for
+    same-bucket rows; the 3× a-side expansion scales the shuffle by a
+    constant, not the pair space.
     """
     d = load(spark, sf_dir, "documents")
     dup = d.where(F.col("doc_id") < 10).select(
@@ -1594,14 +1607,22 @@ def x_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") + 2).alias("n_chars"),
     )
-    corpus = d.select("doc_id", "text", "lang", "n_chars").unionByName(dup)
+    straddle = spark.createDataFrame(
+        [(-2, "a" * 25, "xx", 25), (-1, "a" * 24, "xx", 24)],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    corpus = (
+        d.select("doc_id", "text", "lang", "n_chars")
+        .unionByName(dup)
+        .unionByName(straddle)
+    )
     blocked = corpus.select(
         "doc_id", "text", "lang",
         F.floor(F.col("n_chars") / 25).alias("bucket"),
     )
     expanded = blocked.unionByName(
         blocked.withColumn("bucket", F.col("bucket") + 1)
-    )
+    ).unionByName(blocked.withColumn("bucket", F.col("bucket") - 1))
     a = expanded.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
         "lang", "bucket",

@@ -210,20 +210,33 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     never on where range boundaries fall, so the result is deterministic
     and equals the single-window oracle bit-for-bit.
     """
+    out = global_rank(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    )
+    return out.select("o_orderkey", "o_totalprice", "rank")
+
+
+def global_rank(df: DataFrame, *order_cols) -> DataFrame:
+    """Distributed ROW_NUMBER over ``order_cols`` (must include a unique
+    tiebreaker): range-exchange → per-partition row_number → metadata
+    offsets. Adds a ``rank`` column; see ``q_global_rank`` for why."""
+    spark = df.sparkSession
     n = max(2, spark.sparkContext.defaultParallelism)
-    # persist: both the rank branch and the offsets branch read the pid
-    # assignment, and they must see the SAME range boundaries — two
-    # independent executions of the range exchange would re-sample them.
+    # localCheckpoint (not persist): both the rank branch and the offsets
+    # branch read the pid assignment, and they must see the SAME range
+    # boundaries — two independent executions of the range exchange would
+    # re-sample them. Eager checkpoint freezes the blocks; unlike a
+    # persist (which pins cache for the session — every driver/bench
+    # invocation would leak blocks), checkpoint RDDs are released by the
+    # ContextCleaner as soon as this DataFrame goes out of scope.
     o = (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .repartitionByRange(n, F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        df.repartitionByRange(n, *order_cols)
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    in_part = Window.partitionBy("pid").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
+    in_part = Window.partitionBy("pid").orderBy(*order_cols)
     ranked = o.withColumn("pr", F.row_number().over(in_part).cast("bigint"))
 
     few = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -233,11 +246,6 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("offset", F.coalesce(F.sum("cnt").over(few), F.lit(0)))
         .select("pid", "offset")
     )
-    return (
-        ranked.join(F.broadcast(offsets), "pid")
-        .select(
-            "o_orderkey",
-            "o_totalprice",
-            (F.col("pr") + F.col("offset")).cast("bigint").alias("rank"),
-        )
+    return ranked.join(F.broadcast(offsets), "pid").withColumn(
+        "rank", (F.col("pr") + F.col("offset")).cast("bigint")
     )

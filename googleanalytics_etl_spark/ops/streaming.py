@@ -312,7 +312,7 @@ def s_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once — which is the (full-hash) oracle.
     """
     stage = _stage_events(spark, sf_dir)
-    run_dir = SCRATCH / "sync" / uuid.uuid4().hex
+    run_dir = _sweep_runs("sync")
     target = run_dir / "target"
     ckpt = run_dir / "ckpt"
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
@@ -341,8 +341,13 @@ def s_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    synced = spark.read.parquet(str(target)).withColumn(
-        "ts", F.col("ts").cast("timestamp_ntz")
+    # eager checkpoint: a LATER call sweeps this run's directory, and a
+    # caller may still hold this DataFrame lazily (restart-idempotency
+    # test does exactly that) — materialize before the files can vanish
+    synced = (
+        spark.read.parquet(str(target))
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .localCheckpoint(eager=True)
     )
     return synced.select(cols)
 
@@ -497,36 +502,48 @@ WHERE e.event_type <> 'error'
 """
 
 
-@register("s_cdc_apply", oracle=_CDC_APPLY_ORACLE)
-def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC MERGE: apply an upsert/delete changelog to a
-    keyed snapshot (the transactional-MERGE gap, batch-checkable form).
+# State bucketing for the CDC MERGE: keys hash into this many buckets;
+# each micro-batch rewrites ONLY the buckets its keys touch. At sf0.01
+# eight buckets keep per-file row groups sensible; at warehouse scale
+# the same layout sizes buckets as state_bytes / target_file_size (e.g.
+# 1 TB state / 128 MB files ≈ 8k buckets) — the rewrite cost per batch
+# is then O(|touched buckets|), not O(|state|), which is the file-pruned
+# copy-on-write shape of Delta/Iceberg MERGE.
+_CDC_BUCKETS = 8
 
-    Model: the event log is a change stream over per-user profiles —
-    every event upserts its user's row, except ``event_type='error'``
-    which is a tombstone (DELETE). Sequence = ``event_id`` (unique), so
-    "apply the changelog" = keep each user's max-seq record and drop
-    users whose final record is a tombstone.
 
-    Execution is a real micro-batch MERGE loop: the target is seeded
-    with the pre-2024-01-15 state, the tail replays through a file
-    stream in 5 deterministic batches, and ``foreachBatch`` merges each
-    batch copy-on-write — union(target, batch) → per-key ``max_by``
-    hash aggregate → write a NEW versioned parquet dir (never rewrite
-    in place while readable; this is exactly Delta/Iceberg MERGE's
-    copy-on-write contract, minus the transaction log the sandbox has
-    no jars for). The per-key max-seq merge is commutative and
-    associative, so the result is independent of batch boundaries —
-    which is what makes a full cross-engine hash oracle possible (the
-    argmax over the whole log, tombstones dropped at read time).
+def _cdc_bucket(col: str) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(_CDC_BUCKETS)).cast("int")
 
-    Scale: state is one row per key (dimension-scale, not fact-scale);
-    each merge shuffles only (key, seq, payload) partials. At 100 TB
-    the same loop lands on Delta ``MERGE INTO`` with file pruning; the
-    max_by-based batch twin stays the semantic spec.
+
+def _sweep_runs(kind: str) -> Path:
+    """Fresh uuid run dir under ``SCRATCH/kind``; prior runs (superseded
+    — every builder call starts its own run, and calls are sequential)
+    are deleted so scratch does not grow without bound across
+    verify/bench/test invocations."""
+    base = SCRATCH / kind
+    if base.exists():
+        for old in base.iterdir():
+            shutil.rmtree(old, ignore_errors=True)
+    run = base / uuid.uuid4().hex
+    run.mkdir(parents=True, exist_ok=True)
+    return run
+
+
+def _cdc_merge_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[int, str], list[dict]]:
+    """The micro-batch MERGE loop behind ``s_cdc_apply``.
+
+    Returns ``(manifest, epochs)``: manifest maps bucket id → parquet
+    directory currently holding that bucket's state (directories from
+    DIFFERENT versions coexist — untouched buckets keep pointing at
+    older version dirs, which is the file-pruning); ``epochs`` records
+    per-batch ``{"touched": [...], "manifest": {...}}`` snapshots so
+    tests can assert untouched buckets are literally the same files.
     """
     stage = _stage_events(spark, sf_dir)
-    run_dir = SCRATCH / "cdc" / uuid.uuid4().hex
+    run_dir = _sweep_runs("cdc")
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     cutoff = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
 
@@ -541,36 +558,123 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s.*")
         )
 
-    # state is dimension-scale (one row per key): write each version as
-    # one file — 6 versions × 32 shuffle-partition files would be pure
-    # task/commit overhead here. At warehouse scale the state stays
-    # partitioned and the rewrite prunes to touched files (Delta MERGE).
+    def bucket_dirs(version_dir: Path) -> dict[int, str]:
+        return {
+            int(p.name.split("=")[1]): str(p)
+            for p in version_dir.iterdir()
+            if p.name.startswith("bucket=")
+        }
+
+    # Seed: pre-cutoff state, hash-partitioned into one file per bucket.
+    # repartition on the bucket column co-locates each bucket in one
+    # task, so partitionBy emits exactly one file per bucket dir.
+    seed_dir = run_dir / "v0"
     seed = latest_per_key(log.where(F.col("ts") < cutoff).select(cols))
-    state = {"path": str(run_dir / "v_seed"), "epoch": 0}
-    seed.coalesce(1).write.mode("overwrite").parquet(state["path"])
+    (
+        seed.withColumn("bucket", _cdc_bucket("user_id"))
+        .repartition(_CDC_BUCKETS, "bucket")
+        .write.partitionBy("bucket")
+        .parquet(str(seed_dir))
+    )
+    manifest = bucket_dirs(seed_dir)
+    state = {"epoch": 0}
+    epochs: list[dict] = []
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
-        cur = sess.read.parquet(state["path"])
-        changes = batch_df.where(F.col("ts") >= cutoff).select(cols)
-        new_path = str(run_dir / f"v{state['epoch'] + 1}")
-        latest_per_key(cur.unionByName(changes)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(new_path)
-        state["path"], state["epoch"] = new_path, state["epoch"] + 1
+        changes = (
+            batch_df.where(F.col("ts") >= cutoff)
+            .select(cols)
+            .withColumn("bucket", _cdc_bucket("user_id"))
+        )
+        # ≤ _CDC_BUCKETS rows — bounded metadata, never data-scale
+        touched = sorted(
+            r["bucket"] for r in changes.select("bucket").distinct().collect()
+        )
+        if not touched:
+            epochs.append({"touched": [], "manifest": dict(manifest)})
+            return
+        cur_paths = [manifest[b] for b in touched if b in manifest]
+        cur = (
+            sess.read.parquet(*cur_paths)
+            if cur_paths
+            else sess.createDataFrame([], changes.drop("bucket").schema)
+        )
+        # merge reads ONLY the touched buckets' files; the new version
+        # dir contains ONLY the touched buckets — untouched buckets stay
+        # as the files of whatever version last wrote them.
+        merged = latest_per_key(
+            cur.unionByName(changes.drop("bucket"))
+        ).withColumn("bucket", _cdc_bucket("user_id"))
+        state["epoch"] += 1
+        new_dir = run_dir / f"v{state['epoch']}"
+        (
+            merged.repartition(len(touched), "bucket")
+            .write.partitionBy("bucket")
+            .parquet(str(new_dir))
+        )
+        superseded = []
+        for b, path in bucket_dirs(new_dir).items():
+            if b in manifest:
+                superseded.append(manifest[b])
+            manifest[b] = path
+        # copy-on-write hygiene: the just-replaced bucket files are
+        # unreadable via the manifest from here on — delete them so
+        # scratch stays O(|state|), not O(|state| × versions)
+        for old in superseded:
+            shutil.rmtree(old, ignore_errors=True)
+        epochs.append({"touched": touched, "manifest": dict(manifest)})
 
     q = (
         _events_stream(spark, stage)
         .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", str(SCRATCH / "ckpt" / uuid.uuid4().hex))
+        .option("checkpointLocation", str(run_dir / "_ckpt"))
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+    return manifest, epochs
 
-    final = spark.read.parquet(state["path"])
+
+@register("s_cdc_apply", oracle=_CDC_APPLY_ORACLE)
+def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE: apply an upsert/delete changelog to a
+    keyed snapshot (the transactional-MERGE gap, batch-checkable form).
+
+    Model: the event log is a change stream over per-user profiles —
+    every event upserts its user's row, except ``event_type='error'``
+    which is a tombstone (DELETE). Sequence = ``event_id`` (unique), so
+    "apply the changelog" = keep each user's max-seq record and drop
+    users whose final record is a tombstone.
+
+    Execution is a real micro-batch MERGE loop (``_cdc_merge_loop``):
+    the target is seeded with the pre-2024-01-15 state hash-bucketed by
+    key into ``_CDC_BUCKETS`` files, the tail replays through a file
+    stream in 5 deterministic batches, and ``foreachBatch`` merges each
+    batch copy-on-write — read ONLY the buckets the batch touches,
+    union with the batch, per-key ``max_by`` hash aggregate, write a
+    new version dir holding ONLY those buckets. A bucket→directory
+    manifest stitches versions together; untouched buckets are never
+    read or rewritten (asserted byte-identical in tests). This is
+    Delta/Iceberg MERGE's file-pruned copy-on-write contract, minus the
+    transaction log the sandbox has no jars for. The per-key max-seq
+    merge is commutative and associative, so the result is independent
+    of batch boundaries — which is what makes a full cross-engine hash
+    oracle possible (the argmax over the whole log, tombstones dropped
+    at read time).
+
+    Scale: state is one row per key but can still be fact-scale at
+    100 TB (billions of keys); the bucketed manifest makes each batch's
+    IO O(touched buckets × bucket size), not O(|state|) — and never
+    funnels the state through one task.
+    """
+    manifest, _ = _cdc_merge_loop(spark, sf_dir)
+    # eager checkpoint: the next call sweeps this run's bucket files;
+    # state is dimension-scale (one row per key), so materializing is
+    # cheap and makes the returned frame safe to hold lazily
+    final = spark.read.parquet(*manifest.values()).localCheckpoint(eager=True)
     return final.where(F.col("event_type") != "error").select(
         "user_id",
         F.col("event_id").alias("last_seq"),

@@ -228,7 +228,7 @@ def read_paged(
 ) -> DataFrame:
     """Read the event log through the paged source, with canonical types
     (ns → µs timestamp_ntz, matching :func:`...io.load`)."""
-    if not _HAS_PYDS:  # pragma: no cover
+    if not _HAS_PYDS:  # covered via monkeypatch (test_sources_etl)
         raise NotImplementedError("Python Data Source API requires Spark >= 4.0")
     spark.dataSource.register(PagedEventsDataSource)
     df = (

@@ -20,6 +20,12 @@ The reference appends typed rows to a SQL table via SQLAlchemy
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Default hash-bucket count for upsert targets. Mirrors the CDC MERGE
+# state layout (ops/streaming._CDC_BUCKETS): at warehouse scale pick
+# target_bytes / desired_file_size; 32 keeps sf0.1 files sensible.
+SINK_BUCKETS = 32
 
 
 def append_jdbc(df: DataFrame, url: str, table: str, **options: str) -> None:
@@ -50,8 +56,24 @@ def _target_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def _is_bucketed(spark: SparkSession, path: str) -> bool:
+    """True if the target uses the hive ``bucket=K`` layout."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    for st in fs.listStatus(hpath):
+        if st.getPath().getName().startswith("bucket="):
+            return True
+    return False
+
+
 def upsert_append(
-    spark: SparkSession, incoming: DataFrame, target_path: str, key: str
+    spark: SparkSession,
+    incoming: DataFrame,
+    target_path: str,
+    key: str,
+    n_buckets: int = SINK_BUCKETS,
 ) -> int:
     """Idempotent insert-if-absent on ``key`` into a parquet target.
 
@@ -59,23 +81,71 @@ def upsert_append(
     extracts — the anti-join makes the append exactly-once per key. A
     read failure on an existing target raises (it is never treated as an
     empty target).
+
+    Layout: the target is hash-bucketed on ``key`` into hive
+    ``bucket=K`` directories (K = xxhash64(key) mod ``n_buckets``), the
+    same pruned shape as the CDC MERGE state. The anti-join then reads
+    ONLY the buckets the incoming batch's keys hash into (hive partition
+    pruning — ``PartitionFilters`` on the scan), and the append writes
+    files only under those buckets; a re-run with no fresh keys touches
+    ZERO buckets. At 100 TB this bounds each sync's IO by the incoming
+    key spread instead of the accumulated history size. Targets created
+    before bucketing (no ``bucket=`` dirs) fall back to the flat
+    full-scan anti-join.
     """
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     if not _target_exists(spark, target_path):
-        incoming.write.mode("overwrite").parquet(target_path)
+        (
+            incoming.withColumn("bucket", bucket)
+            .repartition(n_buckets, "bucket")
+            .write.partitionBy("bucket")
+            .parquet(target_path)
+        )
         # count the rows actually written, not a re-evaluation of the
         # incoming plan (which could differ if it is nondeterministic)
         return spark.read.parquet(target_path).count()
-    loaded = spark.read.parquet(target_path).select(key)
-    # persist: the count and the append must observe the SAME rows even
-    # if `incoming` contains nondeterministic steps
-    fresh = incoming.join(loaded, key, "left_anti").persist()
+
+    if not _is_bucketed(spark, target_path):  # legacy flat target
+        loaded = spark.read.parquet(target_path).select(key)
+        fresh = incoming.join(loaded, key, "left_anti").persist()
+        try:
+            n = fresh.count()
+            if n:
+                fresh.write.mode("append").parquet(target_path)
+        finally:
+            fresh.unpersist()
+        return n
+
+    # persist: the touched-bucket set, the count, and the append must all
+    # observe the SAME rows even if `incoming` is nondeterministic
+    inc = incoming.withColumn("bucket", bucket).persist()
     try:
-        n = fresh.count()
-        if n:
-            fresh.write.mode("append").parquet(target_path)
+        # ≤ n_buckets rows — bounded metadata, never data-scale
+        touched = [
+            r["bucket"] for r in inc.select("bucket").distinct().collect()
+        ]
+        if not touched:
+            return 0
+        loaded = (
+            spark.read.parquet(target_path)
+            .where(F.col("bucket").isin(touched))  # dir-pruned scan
+            .select(key)
+        )
+        fresh = inc.join(loaded, key, "left_anti").persist()
+        try:
+            n = fresh.count()
+            if n:
+                (
+                    fresh.repartition(len(touched), "bucket")
+                    .write.mode("append")
+                    .partitionBy("bucket")
+                    .parquet(target_path)
+                )
+        finally:
+            fresh.unpersist()
+        return n
     finally:
-        fresh.unpersist()
-    return n
+        inc.unpersist()
 
 
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:

@@ -106,6 +106,69 @@ def test_cdc_apply_batch_boundary_invariance(spark):
     assert got == want
 
 
+def test_cdc_pruned_rewrite_leaves_untouched_buckets_alone(spark, tmp_path):
+    """The bucketed MERGE must rewrite ONLY buckets the batch touches:
+    with every post-cutoff change belonging to one user, all other
+    buckets must keep their seed (v0) files — same path, same bytes —
+    across every micro-batch version."""
+    import os
+
+    from googleanalytics_etl_spark.ops.streaming import (
+        _cdc_bucket,
+        _cdc_merge_loop,
+    )
+
+    # synthetic changelog: 40 seed users (several buckets), then a
+    # post-cutoff tail touching ONLY user 7's bucket
+    hot = 7
+    rows = []
+    for u in range(40):
+        rows.append((u, u, "2024-01-14 20:00:00", "view", 1.0, "{}"))
+    for i in range(10):
+        rows.append(
+            (1000 + i, hot, f"2024-01-{16 + i % 5:02d} 12:00:00",
+             "purchase", 2.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, "
+        "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    manifest, epochs = _cdc_merge_loop(spark, str(tmp_path))
+    hot_bucket = (
+        spark.range(1).select(_cdc_bucket(F.lit(hot).cast("bigint"))).first()[0]
+    )
+    assert len(manifest) > 1, "fixture must occupy several buckets"
+    assert any(e["touched"] for e in epochs), "no batch carried changes"
+
+    stat0 = {
+        b: [(f, os.stat(os.path.join(p, f)).st_mtime_ns)
+            for f in sorted(os.listdir(p))]
+        for b, p in manifest.items()
+    }
+    for e in epochs:
+        # only the hot user's bucket is ever rewritten
+        assert set(e["touched"]) <= {hot_bucket}
+        for b, p in e["manifest"].items():
+            if b != hot_bucket:
+                assert "/v0/" in p + "/", f"bucket {b} left seed dir: {p}"
+                assert p == manifest[b]
+    # untouched bucket files: same names, same mtimes (never rewritten)
+    for b, p in manifest.items():
+        if b == hot_bucket:
+            continue
+        now = [(f, os.stat(os.path.join(p, f)).st_mtime_ns)
+               for f in sorted(os.listdir(p))]
+        assert now == stat0[b]
+    # and the merge is still correct: hot user's last_seq is the max
+    final = spark.read.parquet(*manifest.values())
+    got = final.where(F.col("user_id") == hot).agg(
+        F.max("event_id")
+    ).first()[0]
+    assert got == 1009
+
+
 def test_cdc_tombstone_deletes_user(spark):
     """A user whose max-seq record is an 'error' tombstone must be absent."""
     log = load(spark, SF_SMALL, "events")
@@ -165,6 +228,11 @@ def test_editdist_finds_planted_tail(spark):
     for i in range(10):
         assert (i, i + 1_000_000) in found, f"planted pair {i} missed"
         assert found[(i, i + 1_000_000)] == 2
+    # boundary-straddling pair where the LOWER id is the LONGER doc
+    # (-2 = 25×'a' in bucket 1, -1 = 24×'a' in bucket 0): an upward-only
+    # a-side expansion cannot find it — only symmetric ±1 blocking can.
+    assert (-2, -1) in found, "lower-id-longer straddle pair missed"
+    assert found[(-2, -1)] == 1
     # no self-pairs, ordered pairs only
     assert all(a < b for a, b in found)
 

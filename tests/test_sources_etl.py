@@ -71,6 +71,74 @@ def test_upsert_append_is_idempotent(spark):
     assert spark.read.parquet(tgt).count() == e.count() + 10
 
 
+def test_paged_source_guard_raises_without_python_ds(spark, monkeypatch):
+    """The Spark<4 guard is unreachable in this env (Spark 4.1 ships the
+    Python Data Source API) — exercise it via monkeypatch so the branch
+    is covered rather than dead."""
+    from googleanalytics_etl_spark.sources import paged as paged_mod
+
+    monkeypatch.setattr(paged_mod, "_HAS_PYDS", False)
+    with pytest.raises(NotImplementedError, match="Spark >= 4.0"):
+        paged_mod.read_paged(spark, SF_SMALL)
+
+
+def test_upsert_append_prunes_to_touched_buckets(spark, tmp_path):
+    """The bucketed sink must (a) append files only under the buckets
+    the incoming keys hash into, (b) touch ZERO buckets on an identical
+    re-run, and (c) partition-prune the anti-join's target scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    tgt = str(tmp_path / "bucketed_tgt")
+    e = load(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    assert upsert_append(spark, e, tgt, "event_id", n_buckets=8) == e.count()
+
+    def snapshot():
+        out = {}
+        for d in sorted(os.listdir(tgt)):
+            if d.startswith("bucket="):
+                p = os.path.join(tgt, d)
+                out[d] = sorted(os.listdir(p))
+        return out
+
+    before = snapshot()
+    assert len(before) == 8
+
+    # one genuinely-new key → exactly one bucket gains a file
+    one = e.limit(1).withColumn("event_id", F.lit(987_654_321).cast("bigint"))
+    assert upsert_append(spark, one, tgt, "event_id", n_buckets=8) == 1
+    after_one = snapshot()
+    changed = [d for d in after_one if after_one[d] != before[d]]
+    assert len(changed) == 1, f"expected 1 touched bucket, got {changed}"
+
+    # identical re-run: no fresh keys → zero buckets touched
+    assert upsert_append(spark, one, tgt, "event_id", n_buckets=8) == 0
+    assert snapshot() == after_one
+
+    # pruned read: the target scan for a 1-key increment must carry a
+    # PartitionFilters entry on bucket (dir-level pruning, not a filter
+    # after a full scan)
+    import contextlib
+    import io as _io
+
+    inc = one.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("event_id")), F.lit(8)).cast("int")
+    )
+    loaded = (
+        spark.read.parquet(tgt)
+        .where(F.col("bucket").isin([r["bucket"] for r in inc.collect()]))
+        .select("event_id")
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        loaded.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
+
+
 def test_upsert_append_merge_exercise_sf01_skewed(spark):
     """MERGE-semantics exercise at sf0.1: a 1M-row target upserted with a
     half-overlapping increment delivered as ONE partition (worst-case
