@@ -6,6 +6,24 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no result materialization on the driver — ``count()`` would let Catalyst
 prune the very projections being measured).
+
+Measurement protocol (pinned round 3; per-key baseline in BASELINE.md
+"Round-3 per-key steady-state table"):
+
+1. One shared SparkSession, local[$SPARK_GRAFT_CPUS] (default 32).
+2. EVERY headline key is warmed once at sf0.001 before any measurement —
+   figures are steady-state execution, excluding whole-stage-codegen
+   compilation (which amortizes to zero at 100 TB and otherwise dominates
+   the widest plans at fixture scale: x_dedup_near 6.7 s cold vs 2.7 s
+   warm).
+3. Keys run once each, in HEADLINE order, at $SPARK_GRAFT_SF_DIR
+   (default sf0.1). Wall time covers plan construction + execution.
+4. The key list only ever APPENDS (never reorders/removes) so per-set
+   subtotals stay comparable round over round; BASELINE.md records which
+   keys joined in which round.
+5. Host variance is real (~1.5-2× uniform in noisy phases): compare
+   per-key RATIOS against the baseline table, not absolute sums, when
+   the whole run scaled together.
 """
 
 from __future__ import annotations
@@ -64,6 +82,12 @@ HEADLINE = [
     "x_bloom_semi",
     "x_partition_prune",
     "s_cdc_apply",
+    # round 4: sketch-space rolling WAU, zone-map file skipping, blocked
+    # k-NN join, n-gram counts (BASELINE.md: 31-key subtotal unchanged)
+    "x_sketch_hll_wau",
+    "x_zonemap_skip",
+    "x_knn_join_blocked",
+    "x_ngram_counts",
 ]
 
 

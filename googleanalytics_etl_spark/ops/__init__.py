@@ -27,8 +27,10 @@ from . import (  # noqa: F401
     multimodal,
     pipeline,
     projection,
+    round4,
     scans,
     setops,
+    sketch_ops,
     skewops,
     streaming,
     tpch,

@@ -1,0 +1,446 @@
+"""Round-4 operators: as-of(nearest) join, zone-map data skipping,
+n-gram LM counts, time-series interpolation, blocked k-NN join.
+
+Each widens an existing family with the variant a reference user (or a
+training-data pipeline at 100 TB) would reach for next:
+
+- ``q_join_asof_nearest`` — pandas ``merge_asof(direction='nearest')``
+  parity; completes backward (`q_join_asof`) with the two-sided case.
+- ``x_zonemap_skip`` — file-level min/max data skipping (the zone-map /
+  lakehouse-manifest pattern) made explicit and plan-testable.
+- ``x_ngram_counts`` — corpus bigram counts, the unit of LM data
+  analysis (vocabulary building, contamination fingerprints).
+- ``q_interpolate`` — linear gap interpolation over a daily series
+  (the reporting counterpart of q_gap_fill's zero-fill).
+- ``x_knn_join_blocked`` — k-NN JOIN (every vector → top-k neighbors)
+  with label blocking: exact within block, block-bounded at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register, sql_dsum, dsum
+
+SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
+
+
+# ---------------------------------------------------------------------------
+# §2.C family: as-of join, direction = nearest
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH marked AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           MAX(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_v,
+           MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_v
+    FROM events
+)
+SELECT event_id, user_id, ts,
+       CASE
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         WHEN epoch_us(ts) - epoch_us(prev_v)
+              <= epoch_us(next_v) - epoch_us(ts) THEN prev_v
+         ELSE next_v
+       END AS nearest_view_ts
+FROM marked
+WHERE event_type = 'purchase'
+"""
+
+
+@register("q_join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction = NEAREST: each purchase matched to the
+    closest 'view' of the same user in either time direction (ties go
+    backward — deterministic, matching pandas ``merge_asof``'s
+    backward preference).
+
+    Same single-pass shape as ``q_join_asof``: one window partition per
+    user carries a running backward MAX and a forward MIN of view
+    timestamps — ONE shuffle, no self-join, no per-row search. The
+    CASE resolves direction in microsecond space so both engines
+    compare identical integers.
+    """
+    e = load(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    prev_v = F.max(view_ts).over(w_prev)
+    next_v = F.min(view_ts).over(w_next)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    nearest = (
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(us(F.col("ts")) - us(prev_v) <= us(next_v) - us(F.col("ts")), prev_v)
+        .otherwise(next_v)
+    )
+    return (
+        e.withColumn("nearest_view_ts", nearest)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "nearest_view_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.A family: zone-map (file min/max) data skipping
+# ---------------------------------------------------------------------------
+
+_ZONEMAP_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice BETWEEN 200000 AND 250000
+"""
+
+_ZONE_FILES = 16
+_ZONE_LO, _ZONE_HI = 200_000.0, 250_000.0
+
+
+def _zonemap_stage(spark: SparkSession, sf_dir: str) -> Path:
+    """Range-sorted parquet layout of orders, fingerprint-cached (the
+    write happens once per fixture; every later call only reads)."""
+    src = Path(sf_dir) / "orders.parquet"
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{_ZONE_FILES}".encode()
+    ).hexdigest()[:16]
+    stage = SCRATCH / "zonemap" / f"{Path(sf_dir).name}_{fp}"
+    done = stage / "_STAGED"
+    if done.exists():
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(_ZONE_FILES, "o_totalprice", "o_orderkey")
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .write.parquet(str(stage))
+    )
+    done.touch()
+    return stage
+
+
+def zonemap_pruned_scan(
+    spark: SparkSession, stage: str, column: str, lo: float, hi: float
+) -> tuple[DataFrame, int, int]:
+    """Read only the files whose [min,max] zone intersects [lo,hi].
+
+    Returns (pruned DataFrame, files selected, files total). The zone
+    map itself is one tiny aggregate over file names — at warehouse
+    scale it is the manifest/footer stats the table format already
+    stores; selection is metadata-scale (#files rows on the driver).
+    """
+    full = spark.read.parquet(stage)
+    zones = (
+        full.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(column).alias("lo"), F.max(column).alias("hi"))
+        .collect()
+    )
+    hit = [r["f"] for r in zones if r["hi"] >= lo and r["lo"] <= hi]
+    pruned = spark.read.parquet(*hit) if hit else full.limit(0)
+    return pruned, len(hit), len(zones)
+
+
+@register("x_zonemap_skip", oracle=_ZONEMAP_ORACLE)
+def x_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max data skipping (zone maps), made explicit.
+
+    Partition pruning (``x_partition_prune``) skips DIRECTORIES by
+    partition value; zone maps skip FILES by column statistics — the
+    mechanism behind Delta/Iceberg data skipping and parquet row-group
+    pruning, and the reason the Z-order layout (``x_zorder``) pays off.
+    The layout stage range-sorts orders by price into {n} files; a
+    price-band predicate then selects only the 1-3 files whose zones
+    intersect, and the exact filter inside those files returns a result
+    identical to the full-scan oracle. tests assert the file subset is
+    a strict minority of the layout.
+
+    At 100 TB: zones come from the format's manifest (no stats scan),
+    selection stays metadata-scale, and the same BETWEEN reads a few
+    files instead of the table.
+    """
+    stage = _zonemap_stage(spark, sf_dir)
+    pruned, _, _ = zonemap_pruned_scan(
+        spark, str(stage), "o_totalprice", _ZONE_LO, _ZONE_HI
+    )
+    return pruned.where(
+        F.col("o_totalprice").between(_ZONE_LO, _ZONE_HI)
+    ).select("o_orderkey", "o_totalprice")
+
+
+x_zonemap_skip.__doc__ = x_zonemap_skip.__doc__.format(n=_ZONE_FILES)
+
+
+# ---------------------------------------------------------------------------
+# §2.J family: n-gram language-model counts
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, tok, ord
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok,
+               generate_subscripts(
+                   string_split_regex(lower(text), '[^a-z]+'), 1) AS ord
+        FROM documents
+    )
+    WHERE tok <> ''
+), seq AS (
+    SELECT doc_id, tok,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+    FROM toks
+)
+SELECT tok || ' ' || nxt AS bigram, COUNT(*) AS n
+FROM seq
+WHERE nxt IS NOT NULL
+GROUP BY 1
+HAVING COUNT(*) >= 5
+"""
+
+
+@register("x_ngram_counts", oracle=_NGRAM_ORACLE)
+def x_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts ≥5 — the n-gram statistic under vocabulary
+    building, contamination fingerprints, and classic LM data work.
+
+    All codegen builtins: lowercase split → in-array bigram assembly via
+    ``transform`` over an index ``sequence`` (no explode-then-self-join,
+    no window over the token stream — each doc's bigrams materialize
+    inside its own row before ONE explode), then a hash count. The only
+    shuffle is the final (bigram) aggregate, with map-side partials.
+    The DuckDB oracle uses LEAD over exploded tokens — a deliberately
+    different construction proving the same semantics.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    return (
+        d.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E/GA family: linear interpolation over a gapped daily series
+# ---------------------------------------------------------------------------
+
+_INTERPOLATE_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           {sql_dsum("value", "v")}
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+), masked AS (
+    SELECT day,
+           CASE WHEN (day - DATE '2024-01-01') % 3 = 0
+                THEN NULL ELSE v END AS v
+    FROM daily
+), nbrs AS (
+    SELECT day, v,
+           MAX(CASE WHEN v IS NOT NULL THEN day END)
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_day,
+           LAST_VALUE(v IGNORE NULLS)
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_v,
+           MIN(CASE WHEN v IS NOT NULL THEN day END)
+               OVER (ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_day,
+           FIRST_VALUE(v IGNORE NULLS)
+               OVER (ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_v
+    FROM masked
+)
+SELECT day,
+       CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v)
+              * (day - prev_day) / (next_day - prev_day)
+       END AS v_filled,
+       CAST(v IS NULL AS BIGINT) AS was_gap
+FROM nbrs
+"""
+
+
+@register("q_interpolate", oracle=_INTERPOLATE_ORACLE)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across series gaps — the continuous
+    counterpart of ``q_gap_fill``'s zero-fill (sensor/metric series
+    where a missing day means 'unobserved', not 'zero').
+
+    Every third day of the daily purchase-value series is masked (a
+    deterministic synthetic gap — the fixtures have no naturally missing
+    days), then each gap is filled by interpolating between the nearest
+    observed neighbors: two IGNORE NULLS window passes (backward
+    last-value, forward first-value) and a closed-form lerp — never a
+    per-gap loop or join.
+
+    The window is day-grain (≤ a few hundred rows after the first
+    aggregate), so its single partition is metadata-scale by
+    construction; a per-series version partitions by series id.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("timestamp").cast("date").alias("day"))
+        .agg(dsum("value", "v"))
+    )
+    masked = daily.withColumn(
+        "v",
+        F.when(
+            F.datediff("day", F.lit("2024-01-01").cast("date")) % 3 == 0,
+            F.lit(None),
+        ).otherwise(F.col("v")),
+    )
+    back = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    prev_day = F.max(obs_day).over(back)
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    next_day = F.min(obs_day).over(fwd)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    lerp = prev_v + (next_v - prev_v) * (
+        F.datediff("day", prev_day) / F.datediff(next_day, prev_day)
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(lerp)
+    )
+    return masked.select(
+        "day",
+        filled.alias("v_filled"),
+        F.col("v").isNull().cast("bigint").alias("was_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.J family: k-NN JOIN with label blocking
+# ---------------------------------------------------------------------------
+
+_KNN_JOIN_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label,
+           CAST(unnest(embedding) AS DOUBLE) AS val,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+), norms AS (
+    SELECT vec_id, SUM(val * val) AS nrm FROM v GROUP BY vec_id
+), dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.val * b.val) AS dot
+    FROM v a
+    JOIN v b ON a.label = b.label AND a.dim = b.dim
+            AND a.vec_id <> b.vec_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT a_id, b_id,
+           ROUND(dot / SQRT(na.nrm * nb.nrm), 6) AS cos_r
+    FROM dots
+    JOIN norms na ON na.vec_id = a_id
+    JOIN norms nb ON nb.vec_id = b_id
+)
+SELECT a_id, b_id, cos_r, rank FROM (
+    SELECT a_id, b_id, cos_r,
+           CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+                                   ORDER BY cos_r DESC, b_id) AS BIGINT)
+               AS rank
+    FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+@register("x_knn_join_blocked", oracle=_KNN_JOIN_ORACLE)
+def x_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: every vector gets its top-3 cosine neighbors — the
+    all-pairs version of similarity search that embedding dedup and
+    semantic clustering actually consume (``x_sim_knn*`` answer one
+    query; this answers all of them).
+
+    Blocking = the coarse partition (label — in production the IVF cell
+    / LSH bucket every vector is already assigned to): candidate pairs
+    form ONLY within a block, so the pair space is Σ|block|², never n².
+    Within a block the join is exact: a hash join on the block key with
+    the dot product as a ``zip_with``/``aggregate`` codegen fold (no
+    UDF), then one per-vector window for top-k. Cosines are rounded to
+    6 dp BEFORE ranking on both engines — double-summation order across
+    engines differs in the last ulps, and ranking on the rounded value
+    with a b_id tiebreaker makes the cross-engine order identical.
+
+    At 100 TB: the window partitions by vector id (no global sort); the
+    block join shuffles (block, vec) once; skewed blocks split via AQE.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    norm = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x)
+    )
+    side = e.select(
+        "label",
+        F.col("vec_id"),
+        F.col("embedding"),
+        norm.alias("nrm"),
+    )
+    a = side.select(
+        "label",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = side.select(
+        "label",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: dbl(x) * dbl(y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        a.join(b, "label")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos_r"), "b_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select("a_id", "b_id", "cos_r", "rank")
+    )

@@ -78,53 +78,58 @@ def _populate() -> None:
 # Explicit key order handed to the driver. The grading driver evaluates the
 # first 50 ``queries()`` keys per round, so each round rotates the keys that
 # most need fresh cross-engine evidence to the front; keys not listed keep
-# their registration (import) order after these. Round-3 window: the repaired
-# ``q_cast_types`` (r2's only hash miss — DecimalType output cell), then every
-# key that has never appeared in a driver window (round-2 additions: subquery
-# pair, multimodal, GA report composites, the 22-query TPC-H suite, skew ops,
-# streaming joins, ewma/pagerank/scd2/countmin), then the ops new this round.
-# Keys proven green in CORRECTNESS_r01/r02 sit after slot 50.
+# their registration (import) order after these. Round-4 window: the 12
+# round-3 additions that have never been inside a driver window, plus
+# ``x_sim_knn_ivf``/``x_sim_knn_lsh`` whose only driver contact (r1) predates
+# their full hash oracles, then every key NEW this round, then re-confirmation
+# slots for the keys whose latest driver evidence is oldest (round 1).
+# Keys green in CORRECTNESS_r02/r03 sit after slot 50.
 _DRIVER_ORDER: list[str] = [
-    # repaired this round (r2: rows+schema matched, hash missed on a raw
-    # DECIMAL(12,2) cell; now cast back to DOUBLE on both sides)
-    "q_cast_types",
-    # §2.D subqueries + extension singles never inside a window yet
-    "q_subquery_correlated", "q_subquery_exists",
+    # --- never driver-windowed (round-3 additions) -----------------------
+    "q_global_rank", "x_dedup_editdist", "x_embed_centroids",
+    "x_dedup_cc_star", "s_stream_outer", "q_rolling_wau", "x_profile",
+    "x_zorder", "q_join_band_broadcast", "q_cogroup_pandas",
+    "q_scan_xml", "q_recursive_cte",
+    # --- driver evidence stale: last seen r1 as no_oracle, full hash
+    #     oracles added round 2 but never driver-executed ------------------
+    "x_sim_knn_ivf", "x_sim_knn_lsh",
+    # --- NEW in round 4 (inserted here as they are built) ----------------
+    "x_sketch_hll_wau", "x_sketch_kll_quantiles", "x_sketch_theta_overlap",
+    "q_join_asof_nearest", "x_zonemap_skip", "x_ngram_counts",
+    "q_interpolate", "x_knn_join_blocked",
+    # --- re-confirmation: oldest driver evidence (round 1) ---------------
+    "q_sessionize", "q_flagship", "q_flagship2",
+    "q_funnel", "q_retention", "q_anomaly_zscore",
+    "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_hash", "q_fn_json",
+    "q_fn_array", "q_fn_map", "q_fn_variant", "q_fn_url", "q_fn_bitwise",
+    "q_join_inner", "q_join_left", "q_join_broadcast", "q_join_semi",
+    "q_groupby_agg", "q_count_distinct", "q_distinct_rows",
+    "q_rollup", "q_cube", "q_grouping_sets", "q_pivot",
+    "q_agg_filtered", "q_agg_stats", "q_agg_minmax_by",
+    "x_dedup_exact", "x_sim_knn", "x_text_stats", "x_lang_route",
+    "x_doc_join", "x_ngram_jaccard", "x_embed_cosine_dedup",
+    "x_tokenize", "x_lang_id", "x_quality_score", "x_fingerprint",
+    "x_validate", "x_cdc_chunks",
+    # --- slot 51+: keys hash-proven in CORRECTNESS_r02/r03 ---------------
+    "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",
     "q_attribution", "q_percentiles", "x_tfidf",
-    # GA report composites + maintenance ops (round-2 session 2)
     "q_bounce_rate", "q_entry_exit", "q_path_transitions", "q_gap_fill",
     "q_histogram", "q_correlation", "q_incremental_agg", "x_decontaminate",
-    # TPC-H decision-support suite, all 22 queries (ops/tpch.py)
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
     "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
     "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
     "q_tpch_q21", "q_tpch_q22",
-    # streaming joins (batch twins; real-stream equivalence in tests)
     "s_enrich", "s_stream_join",
-    # ordered-fold / iterative / maintenance ops (round-2 session 3)
     "q_ewma", "x_pagerank", "x_scd2", "x_countmin",
-    # skew-hardened variants (salted high-card distinct / hot-key join)
     "q_skew_distinct", "q_skew_join",
-    # new in round 3
     "s_cdc_apply", "x_partition_prune", "x_bloom_semi",
-    # slot 51+: round-3 additions past the window (driver-checked next
-    # rotation; strict-verified locally this round), then all keys
-    # already hash-proven in CORRECTNESS_r01/r02, in
-    "q_global_rank", "x_dedup_editdist", "x_embed_centroids",
-    "x_dedup_cc_star", "s_stream_outer", "q_rolling_wau", "x_profile",
-    "x_zorder", "q_join_band_broadcast", "q_cogroup_pandas",
-    "q_scan_xml", "q_recursive_cte",
-    # SURVEY §2 category order (scans, projection, joins, aggregates, ...)
     "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
     "q_project_rename", "q_filter_pred",
     "q_derive_expr", "q_case_when", "q_null_handling",
-    "q_join_inner", "q_join_left", "q_join_broadcast", "q_join_semi",
     "q_join_anti", "q_join_range", "q_join_asof",
-    "q_groupby_agg", "q_count_distinct", "q_approx_distinct",
-    "q_distinct_rows", "q_rollup", "q_cube", "q_grouping_sets",
-    "q_pivot", "q_agg_filtered", "q_agg_stats", "q_collect_sorted",
+    "q_approx_distinct", "q_collect_sorted",
     "q_window_rank", "q_window_lag", "q_running_sum",
     "q_window_range_frame", "q_first_last_touch", "q_ntile", "q_percent_rank",
     "q_orderby_limit", "q_topk_per_group", "q_union_all",
@@ -136,7 +141,6 @@ _DRIVER_ORDER: list[str] = [
     "x_sample_hash", "x_stratified_sample", "x_chunk_docs",
     "x_pack_sequences", "x_pii_scrub", "x_corpus_shard", "x_corpus_prep",
     "x_dedup_near", "x_dedup_simhash", "x_dedup_near_survivors",
-    "x_sim_knn_ivf", "x_sim_knn_lsh",
 ]
 
 

@@ -123,6 +123,11 @@ _BNLJ_OK = {
     "q_join_band_broadcast",
     "q_rolling_wau",
     "x_zorder",
+    # sketch composites: the day-grain sketch↔spine range join (≤#days
+    # rows of 4 KiB sketches) and the 1×1 exact-vs-estimate crossJoins
+    # are metadata-scale by construction — BNLJ is the right plan there
+    "x_sketch_hll_wau",
+    "x_sketch_theta_overlap",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
