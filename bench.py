@@ -88,6 +88,10 @@ HEADLINE = [
     "x_zonemap_skip",
     "x_knn_join_blocked",
     "x_ngram_counts",
+    "q_lateral_topk",
+    "x_cooccur_pmi",
+    "x_bm25",
+    "x_embed_quantize",
 ]
 
 

@@ -130,6 +130,22 @@ def _zonemap_stage(spark: SparkSession, sf_dir: str) -> Path:
         .sortWithinPartitions("o_totalprice", "o_orderkey")
         .write.parquet(str(stage))
     )
+    # zone stats are computed at WRITE time and persisted beside the
+    # data — the manifest discipline of Delta/Iceberg (and what parquet
+    # footers already hold). Readers never scan to learn the zones.
+    import json
+
+    zones = (
+        spark.read.parquet(str(stage))
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .collect()
+    )
+    (stage / "_zones.json").write_text(
+        json.dumps(
+            {"o_totalprice": [[r["f"], r["lo"], r["hi"]] for r in zones]}
+        )
+    )
     done.touch()
     return stage
 
@@ -139,19 +155,33 @@ def zonemap_pruned_scan(
 ) -> tuple[DataFrame, int, int]:
     """Read only the files whose [min,max] zone intersects [lo,hi].
 
-    Returns (pruned DataFrame, files selected, files total). The zone
-    map itself is one tiny aggregate over file names — at warehouse
-    scale it is the manifest/footer stats the table format already
-    stores; selection is metadata-scale (#files rows on the driver).
+    Zones come from the ``_zones.json`` manifest written at stage time
+    (at warehouse scale: the format's manifest / parquet footer stats) —
+    selection is a metadata-scale driver step, with a one-aggregate
+    fallback for layouts written before the manifest existed.
     """
-    full = spark.read.parquet(stage)
-    zones = (
-        full.groupBy(F.input_file_name().alias("f"))
-        .agg(F.min(column).alias("lo"), F.max(column).alias("hi"))
-        .collect()
+    import json
+
+    manifest = Path(stage) / "_zones.json"
+    if manifest.exists():
+        zones = [
+            {"f": f, "lo": zlo, "hi": zhi}
+            for f, zlo, zhi in json.loads(manifest.read_text())[column]
+        ]
+    else:  # pre-manifest layout: derive zones with one aggregate
+        zones = [
+            r.asDict()
+            for r in spark.read.parquet(stage)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(column).alias("lo"), F.max(column).alias("hi"))
+            .collect()
+        ]
+    hit = [z["f"] for z in zones if z["hi"] >= lo and z["lo"] <= hi]
+    pruned = (
+        spark.read.parquet(*hit)
+        if hit
+        else spark.read.parquet(stage).limit(0)
     )
-    hit = [r["f"] for r in zones if r["hi"] >= lo and r["lo"] <= hi]
-    pruned = spark.read.parquet(*hit) if hit else full.limit(0)
     return pruned, len(hit), len(zones)
 
 
@@ -443,4 +473,306 @@ def x_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
         .select("a_id", "b_id", "cos_r", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C/SQL surface: LATERAL correlated subquery join
+# ---------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) o
+"""
+
+
+@register("q_lateral_topk", oracle=_LATERAL_ORACLE)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by
+    price, written as the per-row subquery users actually type.
+
+    Catalyst's DecorrelateInnerQuery rewrites the LATERAL into exactly
+    the scalable hand-built plan — WindowGroupLimit (partial+final
+    top-k, no full sort) over orders, then one join back to customer —
+    so the convenient SQL costs nothing versus ``q_topk_per_group`` +
+    join. Identical SQL runs on both engines.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM __lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM __lat_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.J family: term co-occurrence with PMI
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH toks AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents
+    ) WHERE tok <> ''
+), n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+freq AS (
+    SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+    HAVING COUNT(*) * 20 >= (SELECT n FROM n_docs)
+), ft AS (
+    SELECT t.doc_id, t.tok, f.df FROM toks t JOIN freq f USING (tok)
+), pairs AS (
+    SELECT a.tok AS t1, b.tok AS t2,
+           ANY_VALUE(a.df) AS df1, ANY_VALUE(b.df) AS df2,
+           COUNT(*) AS n_ab
+    FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY a.tok, b.tok
+)
+SELECT t1, t2, n_ab,
+       ROUND(LN(CAST(n_ab AS DOUBLE) * (SELECT n FROM n_docs)
+                / (CAST(df1 AS DOUBLE) * df2)), 6) AS pmi
+FROM pairs
+WHERE n_ab * 100 >= (SELECT n FROM n_docs)
+"""
+
+
+@register("x_cooccur_pmi", oracle=_PMI_ORACLE)
+def x_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence PMI over the corpus — the association
+    statistic under collocation mining, topic seeding, and LM
+    vocabulary analysis: PMI(a,b) = ln(P(a,b) / (P(a)P(b))) at document
+    granularity.
+
+    Shape: dedup to the (doc, term) incidence set FIRST (one shuffle,
+    output bounded by docs × vocabulary), restrict to frequent terms
+    (df ≥ N/20 — the candidate cap that keeps the pair space
+    Σ per-doc frequent-terms², never |vocab|²), self-join within doc,
+    count pairs, close-form PMI. Same exact-integer inputs on both
+    engines; ln() rounded to 6 dp for cross-engine float safety.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.select("doc_id").distinct().count()
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") * 20 >= n_docs)
+    )
+    ft = toks.join(F.broadcast(freq), "tok")
+    a = ft.select("doc_id", F.col("tok").alias("t1"), F.col("df").alias("df1"))
+    b = ft.select("doc_id", F.col("tok").alias("t2"), F.col("df").alias("df2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.any_value("df1").alias("df1"),
+            F.any_value("df2").alias("df2"),
+            F.count(F.lit(1)).alias("n_ab"),
+        )
+        .where(F.col("n_ab") * 100 >= n_docs)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * n_docs
+            / (F.col("df1").cast("double") * F.col("df2"))
+        ),
+        6,
+    )
+    return pairs.select("t1", "t2", "n_ab", pmi.alias("pmi"))
+
+
+# ---------------------------------------------------------------------------
+# §2.J family: BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents
+    ) WHERE tok <> ''
+), doclen AS (
+    SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(CAST(len AS DOUBLE)) AS avg_len
+    FROM doclen
+), qterms AS (
+    SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 3
+    )
+), tf AS (
+    SELECT t.doc_id, t.tok, COUNT(*) AS tf
+    FROM toks t JOIN qterms q USING (tok)
+    GROUP BY 1, 2
+), df AS (
+    SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+)
+SELECT doc_id,
+       ROUND(SUM(
+           LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))
+       ), 6) AS bm25
+FROM tf
+JOIN df d USING (tok)
+JOIN doclen l USING (doc_id)
+CROSS JOIN stats s
+GROUP BY doc_id
+"""
+
+
+@register("x_bm25", oracle=_BM25_ORACLE)
+def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring for the corpus's 3 most frequent terms —
+    the ranked-retrieval upgrade of ``x_tfidf`` (saturating tf, length
+    normalization; k1=1.2, b=0.75, the Robertson defaults).
+
+    Everything reduces to small aggregates before any join: the
+    (doc, term) tf table is bounded by docs × |query|, df and corpus
+    stats are scalars/3-row frames (broadcast). The query-term choice
+    (top-3 by raw count, alpha tiebreak) is itself data-derived and
+    identical cross-engine, so the whole computation carries a full
+    hash oracle; ln rounded at 6 dp as usual.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    st = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("len").cast("double")).alias("avg_len"),
+    ).first()
+    n_docs, avg_len = st["n_docs"], st["avg_len"]
+    qterms = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(3)
+        .select("tok")
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf")
+        + 1.2 * (0.25 + 0.75 * F.col("len") / F.lit(avg_len))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.J family: embedding scalar quantization
+# ---------------------------------------------------------------------------
+
+_QUANTIZE_ORACLE = """
+WITH v AS (
+    SELECT vec_id,
+           CAST(unnest(embedding) AS DOUBLE) AS val,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+), rng AS (
+    SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM v GROUP BY dim
+), q AS (
+    SELECT v.vec_id, v.val,
+           LEAST(255, GREATEST(0,
+               CAST(ROUND((v.val - r.lo) / (r.hi - r.lo) * 255) AS INT)
+           )) AS code,
+           r.lo, r.hi
+    FROM v JOIN rng r USING (dim)
+)
+SELECT vec_id,
+       ROUND(MAX(ABS(val - (lo + CAST(code AS DOUBLE) / 255 * (hi - lo)))),
+             6) AS max_err,
+       CAST(SUM(code) AS BIGINT) AS code_sum
+FROM q
+GROUP BY vec_id
+"""
+
+
+@register("x_embed_quantize", oracle=_QUANTIZE_ORACLE)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus —
+    the compression step in front of every large vector index (4× over
+    float32) — with its reconstruction-error audit.
+
+    Per-dim [min,max] ranges (a 64-row broadcast) map each value to a
+    0..255 code; the audit dequantizes and reports each vector's max
+    absolute error plus its code checksum — both deterministic integer/
+    double arithmetic, so the whole pipeline hash-checks cross-engine.
+    Shape: posexplode → (dim) aggregate → broadcast join back → (vec)
+    aggregate; nothing wider than the corpus itself ever shuffles.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "val_f"),
+    ).select("vec_id", "dim", F.col("val_f").cast("double").alias("val"))
+    rng = v.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    q = v.join(F.broadcast(rng), "dim").select(
+        "vec_id",
+        "val",
+        "lo",
+        "hi",
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.round((F.col("val") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * 255).cast("int"),
+            ),
+        ).alias("code"),
+    )
+    err = F.abs(
+        F.col("val")
+        - (F.col("lo") + F.col("code").cast("double") / 255
+           * (F.col("hi") - F.col("lo")))
+    )
+    return q.groupBy("vec_id").agg(
+        F.round(F.max(err), 6).alias("max_err"),
+        F.sum("code").cast("bigint").alias("code_sum"),
     )

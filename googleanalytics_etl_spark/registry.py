@@ -97,6 +97,7 @@ _DRIVER_ORDER: list[str] = [
     "x_sketch_hll_wau", "x_sketch_kll_quantiles", "x_sketch_theta_overlap",
     "q_join_asof_nearest", "x_zonemap_skip", "x_ngram_counts",
     "q_interpolate", "x_knn_join_blocked",
+    "q_lateral_topk", "x_cooccur_pmi", "x_bm25", "x_embed_quantize",
     # --- re-confirmation: oldest driver evidence (round 1) ---------------
     "q_sessionize", "q_flagship", "q_flagship2",
     "q_funnel", "q_retention", "q_anomaly_zscore",

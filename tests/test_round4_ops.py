@@ -166,3 +166,106 @@ def test_sketch_composites_in_bound_at_both_sfs(spark, sf):
     theta = q["x_sketch_theta_overlap"](spark, sf).first()
     assert theta["in_bound"] == 1
     assert theta["overlap_exact"] > 0
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The LATERAL correlated subquery must compile to the scalable
+    top-k-per-group plan (WindowGroupLimit + one join) — never a
+    per-customer re-execution or a cartesian product."""
+    import contextlib
+    import io
+
+    df = queries()["q_lateral_topk"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # every customer contributes at most 2 rows
+    from pyspark.sql import functions as F
+
+    mx = (
+        df.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert mx <= 2
+
+
+def test_pmi_formula_spot_check(spark):
+    import math
+    import re
+    from collections import Counter
+
+    rows = queries()["x_cooccur_pmi"](spark, SF_SMALL).collect()
+    assert rows, "no co-occurring frequent pairs found"
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    n_docs = docs["doc_id"].nunique()
+    doc_terms = [
+        set(t for t in re.split(r"[^a-z]+", text.lower()) if t)
+        for text in docs["text"]
+    ]
+    df_counts: Counter = Counter()
+    for terms in doc_terms:
+        df_counts.update(terms)
+    # spot-check the 5 highest-PMI pairs against a direct recount
+    for r in sorted(rows, key=lambda r: -r["pmi"])[:5]:
+        t1, t2 = r["t1"], r["t2"]
+        n_ab = sum(1 for s in doc_terms if t1 in s and t2 in s)
+        assert n_ab == r["n_ab"]
+        want = round(
+            math.log(n_ab * n_docs / (df_counts[t1] * df_counts[t2])), 6
+        )
+        assert abs(want - r["pmi"]) <= 1e-6
+
+
+def test_bm25_spot_check_one_doc(spark):
+    import math
+    import re
+    from collections import Counter
+
+    scored = {
+        r["doc_id"]: r["bm25"]
+        for r in queries()["x_bm25"](spark, SF_SMALL).collect()
+    }
+    assert scored
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    toks = {
+        int(r["doc_id"]): [
+            t for t in re.split(r"[^a-z]+", r["text"].lower()) if t
+        ]
+        for _, r in docs.iterrows()
+    }
+    freq: Counter = Counter()
+    for ts in toks.values():
+        freq.update(ts)
+    qterms = [t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    n_docs = len(toks)
+    avg_len = sum(len(t) for t in toks.values()) / n_docs
+    df_t = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in qterms
+    }
+    doc_id = next(iter(scored))
+    ts = toks[doc_id]
+    want = 0.0
+    for t in qterms:
+        tf = ts.count(t)
+        if not tf:
+            continue
+        idf = math.log((n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1.0)
+        want += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ts) / avg_len))
+    assert abs(round(want, 6) - scored[doc_id]) <= 2e-6
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    """int8 scalar quantization error can never exceed half a step of
+    the widest dimension range (plus float slack)."""
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    widest = (vecs.max(axis=0) - vecs.min(axis=0)).max()
+    bound = widest / 255 / 2 + 1e-9
+    rows = queries()["x_embed_quantize"](spark, SF_SMALL).collect()
+    assert len(rows) == len(emb)
+    assert all(r["max_err"] <= bound for r in rows)
