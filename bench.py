@@ -92,6 +92,10 @@ HEADLINE = [
     "x_cooccur_pmi",
     "x_bm25",
     "x_embed_quantize",
+    "q_join_full",
+    "q_regression",
+    "x_repetition_score",
+    "x_feature_hash",
 ]
 
 

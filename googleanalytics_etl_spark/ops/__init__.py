@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     pipeline,
     projection,
     round4,
+    round4b,
     scans,
     setops,
     sketch_ops,
