@@ -737,3 +737,82 @@ def s_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "view_id", "purchase_id")
     )
+
+
+def transform_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming on the Spark 4 ``transformWithState``
+    API (``transformWithStateInPandas`` + ``StatefulProcessor``): a
+    per-user ValueState carrying (event count, exact value cents) across
+    micro-batches, emitting the running totals each time the user
+    appears. The successor API to ``applyInPandasWithState``
+    (`s_stateful_user`) — typed named state slots, timers, and TTL live
+    on the handle, and state is served by the RocksDB state store
+    (required by the API; conf restored after the run).
+
+    NOT a registered driver key: the transformWithState Python worker
+    speaks a protobuf protocol and this sandbox has no ``google.protobuf``
+    (no pip install allowed) — the worker crashes at import. Library
+    surface + a pytest that runs fully wherever protobuf exists and
+    skips (with this reason) here; same honest-environmental-stub policy
+    as the JDBC sink and multimodal decode. Semantics are covered by
+    `s_stateful_user`, which carries identical state logic on the
+    non-protobuf applyInPandasWithState API. The invariant the test
+    asserts where runnable: the LAST emission per user equals the batch
+    groupBy aggregate (state survived every micro-batch hop); cents are
+    exact integers so the comparison is bit-stable.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, cents = self._totals.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stage = _stage_events(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        emissions = (
+            _events_stream(spark, stage)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(emissions, name, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.table(name)

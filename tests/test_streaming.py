@@ -410,3 +410,37 @@ def test_stream_stream_outer_join_equals_batch(spark):
         "outer join must emit some watermark-certified null rows"
     )
     assert got == want
+
+
+def test_transform_with_state_totals(spark):
+    """Spark 4 transformWithState path (env-gated: the TWS Python worker
+    requires google.protobuf, absent in this sandbox — skip with reason
+    rather than pretend; s_stateful_user covers the same state logic on
+    the non-protobuf API)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState worker needs protobuf; not in sandbox",
+    )
+    from googleanalytics_etl_spark.io import load
+    from googleanalytics_etl_spark.ops.streaming import transform_state_totals
+
+    rows = transform_state_totals(spark, SF_SMALL).collect()
+    want = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in load(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    last: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        u = r["user_id"]
+        if u not in last or r["n_events"] > last[u][0]:
+            last[u] = (r["n_events"], r["total_cents"])
+    assert last == want
