@@ -96,6 +96,9 @@ HEADLINE = [
     "q_regression",
     "x_repetition_score",
     "x_feature_hash",
+    "x_graph_triangles",
+    "q_moving_median",
+    "x_anomaly_mad",
 ]
 
 

@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     projection,
     round4,
     round4b,
+    round4c,
     scans,
     setops,
     sketch_ops,
