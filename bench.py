@@ -99,6 +99,8 @@ HEADLINE = [
     "x_graph_triangles",
     "q_moving_median",
     "x_anomaly_mad",
+    "x_kmeans",
+    "q_cohort_ltv",
 ]
 
 

@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     round4,
     round4b,
     round4c,
+    round4d,
     scans,
     setops,
     sketch_ops,

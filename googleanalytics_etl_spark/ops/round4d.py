@@ -1,0 +1,244 @@
+"""Round-4 operators, fourth batch: Lloyd k-means over embeddings and
+cohort lifetime-value — an iterative ML primitive and a GA revenue
+composite.
+
+- ``x_kmeans`` — 3 fixed Lloyd iterations, k = 8, deterministic
+  init (vec_id 0..7). The scalable shape: centroids are always
+  driver-side literals folded into codegen (k×d doubles — bounded
+  metadata, the same contract as the bloom bitmap in ``x_bloom_semi``),
+  so each iteration is ONE pass over the vectors plus a k×d-sized
+  aggregate; the data is never shuffled by cluster.
+- ``q_cohort_ltv`` — cumulative revenue per signup cohort by age (the
+  LTV curve), completing the cohort family around ``q_retention``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_K = 8
+_ITERS = 3
+_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    """Build the 3-iteration CTE chain (the oracle mirrors the exact
+    construction: scaled-long centroid means, 6-dp-rounded distances,
+    cluster-id tiebreaker — see x_kmeans docstring for why each piece
+    is cross-engine deterministic)."""
+    assign = """
+, a{i} AS (
+    SELECT vec_id, cluster, dist_r FROM (
+        SELECT v.vec_id, c.cluster,
+               ROUND(SUM((v.val - c.cval) * (v.val - c.cval)), 6) AS dist_r,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY ROUND(SUM((v.val - c.cval) * (v.val - c.cval)), 6),
+                            c.cluster) AS rn
+        FROM v JOIN c{p} c ON v.dim = c.dim
+        GROUP BY v.vec_id, c.cluster
+    ) WHERE rn = 1
+)"""
+    update = """
+, c{i} AS (
+    SELECT a.cluster, v.dim,
+           CAST(SUM(CAST(ROUND(v.val * 10000000) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 10000000 AS cval
+    FROM v JOIN a{i} a ON a.vec_id = v.vec_id
+    GROUP BY a.cluster, v.dim
+)"""
+    sql = f"""
+WITH v AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cluster, dim, val AS cval FROM v WHERE vec_id < {_K}
+)"""
+    for i in range(1, _ITERS + 1):
+        sql += assign.format(i=i, p=i - 1)
+        if i < _ITERS:
+            sql += update.format(i=i)
+    sql += f"""
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist_r
+FROM a{_ITERS}
+"""
+    return sql
+
+
+@register("x_kmeans", oracle=_kmeans_oracle())
+def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus: k = 8, exactly 3
+    iterations, init = the vectors with vec_id 0..7. Returns the final
+    (vec_id, cluster, squared-distance) assignment.
+
+    Scale shape — the one that works at 100 TB: centroids live on the
+    driver as k×d literal arrays (bounded metadata, same contract as
+    the bloom bitmap collect in ``x_bloom_semi``) and are folded into
+    whole-stage codegen, so every iteration is ONE full pass over the
+    vectors (no shuffle of the data) plus one k×d-row aggregate for the
+    update. Cluster-assignment never materializes an n×k join.
+
+    Cross-engine determinism (every piece mirrored in the oracle SQL):
+
+    - centroid means are EXACT — per-dim sums of round(val·10⁷) longs
+      divided back out, so both engines iterate from identical
+      centroids (float addition order never matters);
+    - distances are rounded to 6 dp BEFORE the argmin, burying the
+      last-ulp summation-order drift (the ``x_knn_join_blocked``
+      technique), with the cluster id as tiebreaker;
+    - init is by vec_id, not randomness (Date.now/random are banned in
+      derivations; a production run would use k-means‖ seeding).
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+
+    # init: rows vec_id < k, collected to driver (k×d doubles)
+    init = (
+        e.where(F.col("vec_id") < _K)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids: dict[int, list[float]] = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in init
+    }
+
+    def assign(df: DataFrame) -> DataFrame:
+        """One codegen pass: squared distance to each literal centroid,
+        argmin via array_min over (dist_r, cluster) structs."""
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                "embedding",
+                                F.array(*[F.lit(x) for x in centroids[j]]),
+                                lambda x, y: (dbl(x) - y) * (dbl(x) - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        6,
+                    ).alias("dist_r"),
+                    F.lit(j).cast("bigint").alias("cluster"),
+                )
+                for j in sorted(centroids)
+            ]
+        )
+        best = F.array_min(cands)
+        return df.select(
+            "vec_id",
+            "embedding",
+            best["cluster"].alias("cluster"),
+            best["dist_r"].alias("dist_r"),
+        )
+
+    scaled = F.transform(
+        "embedding", lambda x: F.round(dbl(x) * 10_000_000).cast("long")
+    )
+    for it in range(1, _ITERS + 1):
+        assigned = assign(e)
+        if it == _ITERS:
+            return assigned.select("vec_id", "cluster", "dist_r")
+        # update: exact per-dim means from scaled longs (k×d rows out)
+        sums = (
+            assigned.select("cluster", F.posexplode(scaled).alias("dim", "sv"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c: dict[int, list[float]] = {}
+        for r in sums:
+            new_c.setdefault(r["cluster"], [0.0] * _DIM)[r["dim"]] = (
+                float(r["s"]) / r["n"] / 10_000_000
+            )
+        centroids = new_c
+    raise AssertionError("unreachable")
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_ltv — cumulative revenue per signup cohort by age
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY user_id
+), daily AS (
+    SELECT e.user_id, f.cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days,
+           CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+    FROM events e JOIN firsts f USING (user_id)
+    WHERE e.event_type = 'purchase'
+), per_age AS (
+    SELECT cohort_day, age_days,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers
+    FROM daily GROUP BY cohort_day, age_days
+), sized AS (
+    SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM firsts GROUP BY cohort_day
+)
+SELECT p.cohort_day, p.age_days, p.n_buyers,
+       CAST(SUM(p.cents) OVER (PARTITION BY p.cohort_day ORDER BY p.age_days)
+            AS DOUBLE) / 100 / s.cohort_size AS ltv_per_user
+FROM per_age p JOIN sized s USING (cohort_day)
+"""
+
+
+@register("q_cohort_ltv", oracle=_LTV_ORACLE)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: users grouped by first-seen day, purchase
+    revenue accumulated over cohort age and normalized per cohort
+    member — the revenue twin of ``q_retention``'s activity matrix.
+
+    Revenue is exact integer cents end to end; the running sum runs
+    over the (cohort, age) AGGREGATE — day-grain, metadata-scale — not
+    the fact table, and cohort assignment is one min-aggregate joined
+    back (broadcast at dimension scale). The only division is the final
+    fixed-shape cents/100/size on identical integers.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("age_days"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    per_age = daily.groupBy("cohort_day", "age_days").agg(
+        F.sum("cents").alias("cents"),
+        F.count_distinct("user_id").alias("n_buyers"),
+    )
+    sized = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_age.join(sized, "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "n_buyers",
+            (
+                F.sum("cents").over(w).cast("double")
+                / 100
+                / F.col("cohort_size")
+            ).alias("ltv_per_user"),
+        )
+    )
