@@ -431,7 +431,12 @@ def x_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the window partitions by vector id (no global sort); the
     block join shuffles (block, vec) once; skewed blocks split via AQE.
     """
-    e = load(spark, sf_dir, "embeddings")
+    return knn_join(load(spark, sf_dir, "embeddings"))
+
+
+def knn_join(e: DataFrame) -> DataFrame:
+    """Core of :func:`x_knn_join_blocked` over any (vec_id, embedding,
+    label) frame (stress tests feed scaled copies)."""
     dbl = lambda c: c.cast("double")  # noqa: E731
     norm = F.aggregate(
         "embedding", F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x)

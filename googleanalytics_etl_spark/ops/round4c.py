@@ -101,6 +101,12 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()  # support counts DISTINCT orders, not lineitem rows
     )
+    return triangle_stats(li)
+
+
+def triangle_stats(li: DataFrame) -> DataFrame:
+    """Core of :func:`x_graph_triangles` over any (l_orderkey,
+    l_partkey) incidence frame (stress tests feed scaled copies)."""
     a = li.alias("a")
     b = li.alias("b")
     edges = (

@@ -95,6 +95,12 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       derivations; a production run would use k-means‖ seeding).
     """
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assignments(e)
+
+
+def kmeans_assignments(e: DataFrame) -> DataFrame:
+    """Core of :func:`x_kmeans` over any (vec_id, embedding) frame
+    (stress tests feed scaled copies)."""
     dbl = lambda c: c.cast("double")  # noqa: E731
 
     # init: rows vec_id < k, collected to driver (k×d doubles)

@@ -316,3 +316,109 @@ def test_bloom_semi_selectivity_at_10x(spark, tmp_path):
     # selectivity invariance: the fixture's build side keeps the probe
     # survivor fraction constant under replication
     assert abs(got / (10 * total) - base / total) < 1e-9
+
+
+def _n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
+
+
+def test_triangles_8x_disjoint_copies(spark):
+    """Triangle counting at 8 disjoint copies of the sf0.1 co-purchase
+    graph: every copy is an isomorphic component, so nodes/edges/wedges/
+    triangles multiply EXACTLY by 8 and the clustering coefficient is
+    invariant — the orientation's per-node wedge bound is what makes
+    this complete without enumerating hub wedges."""
+    from googleanalytics_etl_spark.ops.round4c import triangle_stats
+
+    li = load(spark, SF_BENCH, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    base = triangle_stats(li).collect()[0]
+
+    copies = 8
+    part_stride, order_stride = 10_000_000, 1_000_000_000
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i).cast("long") * order_stride).alias(
+                "l_orderkey"
+            ),
+            (F.col("l_partkey") + F.lit(i).cast("long") * part_stride).alias(
+                "l_partkey"
+            ),
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    got = triangle_stats(big).collect()[0]
+    assert got["n_nodes"] == copies * base["n_nodes"]
+    assert got["n_edges"] == copies * base["n_edges"]
+    assert got["n_wedges"] == copies * base["n_wedges"]
+    assert got["n_triangles"] == copies * base["n_triangles"]
+    assert got["clustering_coeff"] == base["clustering_coeff"]
+
+
+def test_knn_join_4x_disjoint_labels(spark):
+    """Blocked k-NN join at 4 disjoint-label copies of sf0.1
+    embeddings: blocking means copies never cross, so the result is
+    exactly 4× the base rows with identical per-copy structure, and
+    the plan keeps the same exchange count (pair space grew 4×, not
+    16× — the Σ|block|² contract)."""
+    from googleanalytics_etl_spark.ops.round4 import knn_join
+
+    e = load(spark, SF_BENCH, "embeddings")
+    base_df = knn_join(e)
+    base = base_df.count()
+
+    copies = 4
+    vec_stride, label_stride = 10_000_000, 1000
+    parts = [
+        e.select(
+            (F.col("vec_id") + F.lit(i).cast("long") * vec_stride).alias("vec_id"),
+            "embedding",
+            (F.col("label") + F.lit(i * label_stride)).alias("label"),
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big_df = knn_join(big)
+    assert big_df.count() == copies * base
+    assert _n_exchanges(big_df) == _n_exchanges(base_df)
+
+
+def test_kmeans_4x_identical_copies(spark):
+    """Lloyd k-means at 4 copies of sf0.1 embeddings (copy 0 keeps its
+    vec_ids so the init set is unchanged): duplicated points leave the
+    exact scaled-long centroid means bit-identical, so every copy's
+    assignments equal the base run's — 4× the rows, same clusters, and
+    the centroids stayed driver-side literals (no new shuffle)."""
+    from googleanalytics_etl_spark.ops.round4d import kmeans_assignments
+
+    e = load(spark, SF_BENCH, "embeddings").select("vec_id", "embedding")
+    base = {
+        r["vec_id"]: (r["cluster"], r["dist_r"])
+        for r in kmeans_assignments(e).collect()
+    }
+
+    copies = 4
+    stride = 10_000_000
+    parts = [
+        e.select(
+            (F.col("vec_id") + F.lit(i).cast("long") * stride).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_r"])
+        for r in kmeans_assignments(big).collect()
+    }
+    assert len(got) == copies * len(base)
+    for i in range(copies):
+        for vid, want in base.items():
+            assert got[vid + i * stride] == want
