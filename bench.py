@@ -101,6 +101,7 @@ HEADLINE = [
     "x_anomaly_mad",
     "x_kmeans",
     "q_cohort_ltv",
+    "x_bloom_index",
 ]
 
 

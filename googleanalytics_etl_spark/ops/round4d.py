@@ -248,3 +248,149 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_bloom_index — file-level bloom-filter index for point lookups
+# ---------------------------------------------------------------------------
+
+_BIDX_FILES = 64
+_BIDX_ORACLE = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM events
+WHERE event_id IN (SELECT event_id FROM events
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 3)
+"""
+
+
+def _bloom_index_stage(spark: SparkSession, sf_dir: str):
+    """Time-range-partitioned copy of events + per-file event_id bloom
+    manifest, fingerprint-cached (write once per fixture; reads after
+    that touch only the manifest + matching files)."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .joins import _bloom_positions, _BLOOM_WORDS
+    from .round4 import SCRATCH
+
+    src = Path(sf_dir) / "events.parquet"
+    st = os.stat(src)
+    # fingerprint covers the indexed column: changing the index scheme
+    # must invalidate the cached manifest, not silently reuse it
+    fp = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{_BIDX_FILES}|event_id".encode()
+    ).hexdigest()[:16]
+    stage = SCRATCH / "bloomidx" / f"{Path(sf_dir).name}_{fp}"
+    manifest_path = stage / "_blooms.json"
+    if manifest_path.exists():
+        return stage, json.loads(manifest_path.read_text())
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .repartitionByRange(_BIDX_FILES, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(str(stage))
+    )
+    # one aggregate pass: per (file, word) bit_or of the k probe bits of
+    # every event_id in that file — ≤ files × 1024 rows of metadata out
+    pos = F.explode(F.array(*_bloom_positions(F.col("event_id")))).alias("p")
+    rows = (
+        spark.read.parquet(str(stage))
+        .select(F.input_file_name().alias("f"), "event_id")
+        .select("f", pos)
+        .select(
+            "f",
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), p % 64)").alias("bit"),
+        )
+        .groupBy("f", "w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    manifest: dict[str, dict[str, int]] = {}
+    for r in rows:
+        name = r["f"].rsplit("/", 1)[-1]
+        manifest.setdefault(name, {})[str(r["w"])] = r["word"]
+    assert all(len(v) <= _BLOOM_WORDS for v in manifest.values())
+    manifest_path.write_text(json.dumps(manifest))
+    return stage, manifest
+
+
+def bloom_index_lookup(
+    spark: SparkSession, sf_dir: str, keys: list[int]
+):
+    """Point lookup through the bloom index: returns (DataFrame of
+    matching rows, files_read, files_total). Files whose bitmap cannot
+    contain ANY key are never opened; an exact IN filter removes bloom
+    false positives."""
+    from .joins import _bloom_positions, _BLOOM_K
+
+    stage, manifest = _bloom_index_stage(spark, sf_dir)
+    # probe positions must match the Spark-side xxhash64 exactly — derive
+    # them with a tiny bounded Spark job (len(keys) rows), not Python
+    probes = (
+        spark.createDataFrame([(int(k),) for k in keys], "event_id bigint")
+        .select(F.array(*_bloom_positions(F.col("event_id"))).alias("ps"))
+        .collect()
+    )
+    key_probes = [r["ps"] for r in probes]
+
+    def file_matches(words: dict[str, int]) -> bool:
+        for ps in key_probes:
+            hit = all(
+                (words.get(str(p // 64), 0) >> (p % 64)) & 1 for p in ps
+            )
+            if hit:
+                return True
+        return False
+
+    selected = sorted(f for f, words in manifest.items() if file_matches(words))
+    total = len(manifest)
+    if not selected:
+        empty = spark.read.parquet(str(stage)).limit(0)
+        return empty, 0, total
+    df = spark.read.parquet(*[str(stage / f) for f in selected]).where(
+        F.col("event_id").isin([int(k) for k in keys])
+    )
+    return df, len(selected), total
+
+
+@register("x_bloom_index", oracle=_BIDX_ORACLE)
+def x_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level bloom-filter INDEX: the other half of data skipping.
+    Zone maps (``x_zonemap_skip``) prune range predicates on the sort
+    key; a HIGH-CARDINALITY point lookup needs a membership structure
+    instead. A per-file bloom bitmap is the lakehouse answer (Parquet
+    bloom filters, Delta/Iceberg file-skipping indexes): the write path
+    records each file's 8 KiB bitmap in a manifest; a point lookup
+    opens ONLY files whose bitmap can contain some key, then an exact
+    filter removes false positives — sound for any FP rate. The
+    reference-faithful use case is the hit-id check ("is this hit
+    already loaded?") that guards every incremental append
+    [REF-UNVERIFIED: SURVEY.md §2.A dedup-before-append] — at fact
+    scale that cannot afford a full scan per batch.
+
+    Lookup keys are data-derived but layout-uncorrelated (the 3
+    event_ids with the smallest md5 — a deterministic pseudo-random
+    pick both engines compute identically), so the oracle is a closed
+    SQL form and the keys land in arbitrary files. The per-file
+    bitmaps are built in ONE aggregate pass over the staged copy
+    (file × word grain, bounded metadata); probes reuse the
+    Kirsch-Mitzenmacher xxhash64 geometry of ``x_bloom_semi``. tests
+    assert the lookup opened a small minority of files and still
+    returned exactly the full scan's rows.
+    """
+    e = load(spark, sf_dir, "events")
+    keys = [
+        r["event_id"]
+        for r in e.select("event_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+        .limit(3)
+        .collect()
+    ]
+    df, _, _ = bloom_index_lookup(spark, sf_dir, keys)
+    return df.select("event_id", "user_id", "ts", "event_type", "value")

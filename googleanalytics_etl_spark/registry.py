@@ -101,7 +101,7 @@ _DRIVER_ORDER: list[str] = [
     "q_join_full", "q_agg_boolean", "q_window_misc", "q_regression",
     "x_repetition_score", "x_feature_hash",
     "x_graph_triangles", "q_moving_median", "x_anomaly_mad",
-    "x_kmeans", "q_cohort_ltv",
+    "x_kmeans", "q_cohort_ltv", "x_bloom_index",
     # --- re-confirmation: oldest driver evidence (round 1) ---------------
     "q_sessionize", "q_flagship", "q_flagship2",
     "q_funnel", "q_retention", "q_anomaly_zscore",

@@ -100,3 +100,39 @@ def test_cohort_ltv_recount(spark):
     for series in by_cohort.values():
         series.sort()
         assert all(b[1] >= a[1] for a, b in zip(series, series[1:]))
+
+
+def test_bloom_index_prunes_files_and_stays_sound(spark):
+    """The bloom index opens a minority of files for a point lookup and
+    still returns exactly the full-scan answer (FP-soundness via the
+    exact residual filter); a key absent from the data reads 0 rows."""
+    from googleanalytics_etl_spark.ops.round4d import (
+        _bloom_index_stage,
+        bloom_index_lookup,
+    )
+
+    e = load(spark, SF_SMALL, "events")
+    keys = [
+        r["event_id"]
+        for r in e.select("event_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+        .limit(3)
+        .collect()
+    ]
+    df, hit, total = bloom_index_lookup(spark, SF_SMALL, keys)
+    assert total >= 32
+    assert 0 < hit <= total // 4, f"bloom index opened {hit}/{total} files"
+    want = e.where(F.col("event_id").isin(keys)).count()
+    assert df.count() == want == 3
+
+    # absent key: bitmap may false-positive into opening a file or two,
+    # but the exact filter guarantees zero rows
+    absent = max(r["event_id"] for r in e.select("event_id").collect()) + 999
+    df2, hit2, _ = bloom_index_lookup(spark, SF_SMALL, [absent])
+    assert df2.count() == 0
+    assert hit2 <= total // 4  # an absent key should match almost nothing
+
+    # manifest is written once and reused (fingerprint cache)
+    stage, manifest = _bloom_index_stage(spark, SF_SMALL)
+    assert (stage / "_blooms.json").exists()
+    assert len(manifest) == total
