@@ -102,6 +102,8 @@ HEADLINE = [
     "x_kmeans",
     "q_cohort_ltv",
     "x_bloom_index",
+    "x_ann_recall",
+    "x_span_dup_profile",
 ]
 
 

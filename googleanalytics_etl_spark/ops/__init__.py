@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     round4b,
     round4c,
     round4d,
+    round4e,
     scans,
     setops,
     sketch_ops,
