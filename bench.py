@@ -104,6 +104,8 @@ HEADLINE = [
     "x_bloom_index",
     "x_ann_recall",
     "x_span_dup_profile",
+    "x_gram_matrix",
+    "q_percentile_disc",
 ]
 
 

@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     round4c,
     round4d,
     round4e,
+    round4f,
     scans,
     setops,
     sketch_ops,

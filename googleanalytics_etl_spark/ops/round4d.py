@@ -219,7 +219,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "cohort_day",
-            F.datediff(day, F.col("cohort_day")).alias("age_days"),
+            F.datediff(day, F.col("cohort_day")).cast("bigint").alias("age_days"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )

@@ -128,6 +128,10 @@ _BNLJ_OK = {
     # are metadata-scale by construction — BNLJ is the right plan there
     "x_sketch_hll_wau",
     "x_sketch_theta_overlap",
+    # the 5-row query panel broadcast (exact-vs-IVF audit) and the
+    # 1×1×1 stats/edges/triangles crossJoins — bounded build sides
+    "x_ann_recall",
+    "x_graph_triangles",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless

@@ -397,3 +397,49 @@ def test_paged_stream_offsets_replayable():
     for start, end, rows in spans:
         replay = list(r.readBetweenOffsets(start, end))
         assert replay == rows
+
+
+def test_streaming_source_to_upsert_sink_e2e(spark, tmp_path):
+    """The full reference loop, streaming form: paged stream source →
+    foreachBatch bucketed upsert sink. After the stream drains, the
+    target equals the batch event log exactly; replaying the whole
+    stream (fresh checkpoint, same source) appends ZERO rows — the
+    sink's key-level idempotency absorbs at-least-once delivery."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.io import load
+    from googleanalytics_etl_spark.sources.paged import read_paged_stream
+    from googleanalytics_etl_spark.sources.sinks import upsert_append
+
+    target = str(tmp_path / "hits")
+    appended: list[int] = []
+
+    def sink(batch_df, epoch_id):
+        appended.append(
+            upsert_append(batch_df.sparkSession, batch_df, target, "event_id")
+        )
+
+    def run_once(tag: str) -> None:
+        q = (
+            read_paged_stream(spark, SF_SMALL, chunks=5)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once("a")
+    want = load(spark, SF_SMALL, "events")
+    got = spark.read.parquet(target).drop("bucket")
+    assert got.count() == want.count()
+    assert sum(appended) == want.count()
+    assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
+
+    # full replay: new checkpoint, same source -> all rows already
+    # present, zero appended
+    before = appended[:]
+    run_once("b")
+    assert sum(appended[len(before):]) == 0
