@@ -168,3 +168,49 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(
         at(0.5, "p50_disc"), at(0.9, "p90_disc"), at(0.99, "p99_disc")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_langid_confusion — classifier evaluation as an operator
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from .extensions import _LANG_ID_ORACLE
+
+    return f"""
+WITH pred AS ({_LANG_ID_ORACLE})
+SELECT lang_fixture, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN lang_pred = lang_fixture THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS frac_correct
+FROM pred
+GROUP BY lang_fixture, lang_pred
+"""
+
+
+@register("x_langid_confusion", oracle=_langid_confusion_oracle())
+def x_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID classifier
+    (``x_lang_id``) against the fixture's true labels — classifier
+    EVALUATION as a first-class operator, the same evidence pattern as
+    ``x_ann_recall``: the driver hash certifies predictions, truth
+    join, and the per-cell counts end to end. ``frac_correct`` is 1.0
+    on diagonal cells and 0.0 off-diagonal by construction (one IEEE
+    division of exact counts), which double-checks the grouping.
+
+    Shape: the classifier is a codegen projection (no shuffle); the
+    confusion matrix is one |langs|²-bounded hash aggregate.
+    """
+    from .extensions import x_lang_id
+
+    pred = x_lang_id(spark, sf_dir)
+    return pred.groupBy("lang_fixture", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.when(F.col("lang_pred") == F.col("lang_fixture"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("frac_correct"),
+    )

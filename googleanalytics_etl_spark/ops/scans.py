@@ -307,3 +307,30 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(stage)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+_SCAN_ORC_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+@register("q_scan_orc", oracle=_SCAN_ORC_ORACLE)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest (Spark's second built-in columnar format — vectorized
+    reader, predicate pushdown, the warehouse interchange format next
+    to Parquet), staged from the parquet fixture and read back
+    losslessly. Completes the format matrix: Parquet, CSV, JSON lines,
+    XML, ORC. The oracle reads the same rows from the parquet view —
+    a lossless roundtrip through ORC hashes identically.
+    """
+    stage = str(_SCRATCH / f"orc_supplier_{Path(sf_dir).name}")
+    _stage_once(
+        lambda p: load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .orc(p),
+        stage,
+    )
+    return spark.read.orc(stage).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

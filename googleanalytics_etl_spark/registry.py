@@ -103,7 +103,7 @@ _DRIVER_ORDER: list[str] = [
     "x_graph_triangles", "q_moving_median", "x_anomaly_mad",
     "x_kmeans", "q_cohort_ltv", "x_bloom_index",
     "x_ann_recall", "x_span_dup_profile", "q_multi_pivot",
-    "x_gram_matrix", "q_percentile_disc",
+    "x_gram_matrix", "q_percentile_disc", "q_scan_orc", "x_langid_confusion",
     # --- re-confirmation: oldest driver evidence (round 1) ---------------
     "q_sessionize", "q_flagship", "q_flagship2",
     "q_funnel", "q_retention", "q_anomaly_zscore",
