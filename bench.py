@@ -106,6 +106,7 @@ HEADLINE = [
     "x_span_dup_profile",
     "x_gram_matrix",
     "q_percentile_disc",
+    "x_dedup_eval",
 ]
 
 

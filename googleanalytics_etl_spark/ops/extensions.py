@@ -198,10 +198,12 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ 0.5) over the
-    documents corpus with its planted duplicated tail; shared by
-    x_dedup_near and x_dedup_near_survivors."""
+def _minhash_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """MinHash-LSH building blocks over the documents corpus with its
+    planted duplicated tail: ``scored`` = every LSH candidate pair with
+    its exact hashed-shingle Jaccard (unfiltered), ``hsig`` = per-doc
+    distinct 32-bit shingle-hash sets. Shared by x_dedup_near,
+    x_dedup_near_survivors, and the x_dedup_eval accuracy composite."""
     d = load(spark, sf_dir, "documents")
     # inject a duplicated tail so near-dup pairs exist at every sf
     # contiguous-from-0 ids: filter instead of a global orderBy+limit
@@ -287,10 +289,20 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    scored = (
         pairs.join(s1, "doc_a")
         .join(s2, "doc_b")
         .withColumn("jaccard", F.round(jaccard, 6))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return {"scored": scored, "hsig": hsig}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ 0.5) — the
+    ≥ 0.5 filter over :func:`_minhash_parts`'s scored candidates."""
+    return (
+        _minhash_parts(spark, sf_dir)["scored"]
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -214,3 +214,129 @@ def x_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("frac_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_eval — MinHash-LSH precision/recall certification
+# ---------------------------------------------------------------------------
+
+
+def _dedup_eval_oracle() -> str:
+    from .extensions import _NEAR_CTES
+
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id < 10
+), {_NEAR_CTES},
+e AS (
+    SELECT doc_id, unnest(hsig) AS h FROM hset
+), blockable AS (
+    SELECT h FROM e GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50
+), tcand AS (
+    SELECT DISTINCT e1.doc_id AS doc_a, e2.doc_id AS doc_b
+    FROM e e1 JOIN blockable USING (h) JOIN e e2 USING (h)
+    WHERE e1.doc_id < e2.doc_id
+), truth AS (
+    SELECT doc_a, doc_b
+    FROM tcand
+    JOIN hset s1 ON s1.doc_id = doc_a
+    JOIN hset s2 ON s2.doc_id = doc_b
+    WHERE ROUND(CAST(len(list_intersect(s1.hsig, s2.hsig)) AS DOUBLE)
+                / len(list_distinct(list_concat(s1.hsig, s2.hsig))), 6)
+          >= 0.5
+), lsh_pos AS (
+    SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5
+), counts AS (
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM verified) AS n_candidates,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh_pos) AS n_positive,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM lsh_pos JOIN truth USING (doc_a, doc_b)) AS n_hit
+)
+SELECT n_candidates, n_positive, n_truth, n_hit,
+       CAST(n_positive AS DOUBLE) / n_candidates AS precision_cand,
+       CAST(n_hit AS DOUBLE) / n_truth AS recall
+FROM counts
+"""
+
+
+@register("x_dedup_eval", oracle=_dedup_eval_oracle())
+def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH accuracy certification — the dedup member of the
+    evidence trilogy (sketch bounds → ``x_sketch_*``, ANN recall →
+    ``x_ann_recall``, near-dup precision/recall → here). Both engines
+    recompute the LSH candidate set, its exact-Jaccard verification,
+    a blocked ground truth (pairs sharing any shingle-hash with
+    2 ≤ df ≤ 50, verified exactly at ≥ 0.5 — a true ≥0.5 pair with
+    EVERY common shingle above df 50 would be missed, which real
+    near-dups at this corpus size never are; the construction is
+    shared by both engines so the comparison is apples-to-apples),
+    and the overlap — one row of exact counts plus two IEEE ratios:
+    candidate precision (how much of the band join's output survives
+    verification) and recall against blocked truth.
+
+    Scale: reuses the banded-LSH plan (bucket-keyed shuffle, pair
+    space never n²); the truth side is the same inverted-index join
+    every dedup pass builds, df-capped to stay sparse.
+    """
+    from .extensions import _minhash_parts
+
+    parts = _minhash_parts(spark, sf_dir)
+    scored, hsig = parts["scored"], parts["hsig"]
+
+    e = hsig.select("doc_id", F.explode("hsig").alias("h"))
+    blockable = (
+        e.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("h")
+    )
+    e1 = e.join(blockable, "h").withColumnRenamed("doc_id", "doc_a")
+    e2 = e.withColumnRenamed("doc_id", "doc_b")
+    tcand = (
+        e1.join(e2, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    s1 = hsig.select(F.col("doc_id").alias("doc_a"), F.col("hsig").alias("sh_a"))
+    s2 = hsig.select(F.col("doc_id").alias("doc_b"), F.col("hsig").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    truth = (
+        tcand.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    scored = scored.localCheckpoint(eager=True)
+    lsh_pos = scored.where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    n_cand = scored.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_pos = lsh_pos.agg(F.count(F.lit(1)).alias("n_positive"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hit = lsh_pos.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_cand.crossJoin(n_pos)
+        .crossJoin(n_truth)
+        .crossJoin(n_hit)
+        .select(
+            "n_candidates",
+            "n_positive",
+            "n_truth",
+            "n_hit",
+            (F.col("n_positive").cast("double") / F.col("n_candidates")).alias(
+                "precision_cand"
+            ),
+            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )

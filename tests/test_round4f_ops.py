@@ -63,3 +63,20 @@ def test_percentile_disc_recount(spark):
             assert rows[t][col] == want, (t, col)
             # discrete percentile IS an observed value
             assert any(v == rows[t][col] for v, _ in vals)
+
+
+def test_dedup_eval_identities_and_quality(spark):
+    """Counting identities hold and the 4x4-band LSH recalls ≥0.9 of
+    blocked ground truth on the planted corpus (precision is the band
+    join's candidate yield — low by design; that's what verification
+    is for)."""
+    row = queries()["x_dedup_eval"](spark, SF_SMALL).collect()[0]
+    assert 0 < row["n_positive"] <= row["n_candidates"]
+    assert row["n_hit"] <= min(row["n_positive"], row["n_truth"])
+    assert row["precision_cand"] == pytest.approx(
+        row["n_positive"] / row["n_candidates"]
+    )
+    assert row["recall"] == pytest.approx(row["n_hit"] / row["n_truth"])
+    assert row["recall"] >= 0.9
+    # planted 10-doc duplicated tail guarantees at least 10 truth pairs
+    assert row["n_truth"] >= 10
