@@ -70,8 +70,12 @@ def x_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dim", "sv"),
     )
-    a = v.select("vec_id", F.col("dim").alias("i"), F.col("sv").alias("sa"))
-    b = v.select("vec_id", F.col("dim").alias("j"), F.col("sv").alias("sb"))
+    a = v.select(
+        "vec_id", F.col("dim").cast("bigint").alias("i"), F.col("sv").alias("sa")
+    )
+    b = v.select(
+        "vec_id", F.col("dim").cast("bigint").alias("j"), F.col("sv").alias("sb")
+    )
     return (
         a.join(b, "vec_id")
         .where(F.col("i") <= F.col("j"))
@@ -339,4 +343,40 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_explode_outer — generator null semantics
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_ORACLE = """
+WITH arr AS (
+    SELECT doc_id,
+           list_filter(str_split(text, ' '), w -> len(w) >= 8) AS longs
+    FROM documents
+), padded AS (
+    SELECT doc_id,
+           CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END AS longs
+    FROM arr
+)
+SELECT doc_id, unnest(longs) AS long_word FROM padded
+"""
+
+
+@register("q_explode_outer", oracle=_EXPLODE_OUTER_ORACLE)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator NULL semantics: ``explode_outer`` keeps a row (with a
+    NULL element) for documents whose long-word array is EMPTY — the
+    difference between "flatten and silently drop childless parents"
+    and the left-outer flatten an ETL join-back needs (plain
+    ``explode`` would delete those documents from the output). The
+    oracle emulates outer semantics by padding empty lists with
+    ``[NULL]`` before unnest — the exact rewrite Spark's generator
+    does internally. Codegen Generate node, shuffle-free.
+    """
+    d = load(spark, sf_dir, "documents")
+    longs = F.filter(F.split("text", " "), lambda w: F.length(w) >= 8)
+    return d.select(
+        "doc_id", F.explode_outer(longs).alias("long_word")
     )
