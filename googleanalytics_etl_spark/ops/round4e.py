@@ -186,27 +186,30 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_ORACLE = """
 WITH grams AS (
     SELECT doc_id,
-           unnest(CASE WHEN len(str_split(text, ' ')) >= 5 THEN
-               list_transform(range(len(str_split(text, ' ')) - 4),
-                   i -> str_split(text, ' ')[i + 1] || ' ' ||
-                        str_split(text, ' ')[i + 2] || ' ' ||
-                        str_split(text, ' ')[i + 3] || ' ' ||
-                        str_split(text, ' ')[i + 4] || ' ' ||
-                        str_split(text, ' ')[i + 5])
-           ELSE [text] END) AS gram
+           CAST('0x' || substr(md5(unnest(
+               CASE WHEN len(str_split(text, ' ')) >= 5 THEN
+                   list_transform(range(len(str_split(text, ' ')) - 4),
+                       i -> str_split(text, ' ')[i + 1] || ' ' ||
+                            str_split(text, ' ')[i + 2] || ' ' ||
+                            str_split(text, ' ')[i + 3] || ' ' ||
+                            str_split(text, ' ')[i + 4] || ' ' ||
+                            str_split(text, ' ')[i + 5])
+               ELSE [text] END)), 1, 15) AS BIGINT) AS h
     FROM documents
+), dg AS (
+    SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS c
+    FROM grams GROUP BY doc_id, h
 ), df AS (
-    SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
-    FROM grams GROUP BY gram
+    SELECT h, CAST(COUNT(*) AS BIGINT) AS ndocs FROM dg GROUP BY h
 )
-SELECT g.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+SELECT dg.doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.ndocs >= 2 THEN c ELSE 0 END) AS BIGINT)
            AS n_shared,
-       CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-           / COUNT(*) AS dup_span_frac
-FROM grams g JOIN df d USING (gram)
-GROUP BY g.doc_id
+       CAST(SUM(CASE WHEN d.ndocs >= 2 THEN c ELSE 0 END) AS DOUBLE)
+           / SUM(c) AS dup_span_frac
+FROM dg JOIN df d USING (h)
+GROUP BY dg.doc_id
 """
 
 
@@ -220,10 +223,11 @@ def x_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``x_decontaminate`` (which profiles overlap against a held-out
     benchmark set, not the corpus itself).
 
-    Shape: one explode → gram document-frequency hash agg → join back
-    → per-doc counting agg. The df table is the only shuffle-heavy
-    stage and is exactly the inverted index every dedup pass already
-    builds; all ratios are exact integer rationals.
+    Shape: grams are hashed to 64-bit longs IN the projection, so no
+    string gram ever enters a shuffle; occurrences are pre-aggregated
+    to (doc, gram-hash) grain before the document-frequency join,
+    which then moves only long pairs. All ratios are exact integer
+    rationals.
     """
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
@@ -241,18 +245,26 @@ def x_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array(F.col("text")))
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
-    df_tbl = g.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("ndocs")
+    # the hash is ENGINE-INTERNAL (only doc-level counts reach the
+    # output), so Spark uses native xxhash64 while the oracle uses an
+    # md5 prefix — both are injective-up-to-collision maps of the same
+    # grams, so the df counts agree without the hashes ever matching
+    h = F.xxhash64(F.col("gram"))
+    dg = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    shared = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    df_tbl = dg.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    shared = F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0))
     return (
-        g.join(df_tbl, "gram")
+        dg.join(df_tbl, "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("c").alias("n_grams"),
             shared.cast("bigint").alias("n_shared"),
-            (shared.cast("double") / F.count(F.lit(1))).alias("dup_span_frac"),
+            (shared.cast("double") / F.sum("c")).alias("dup_span_frac"),
         )
     )
 

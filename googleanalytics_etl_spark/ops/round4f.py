@@ -238,7 +238,7 @@ WITH corpus AS (
 e AS (
     SELECT doc_id, unnest(hsig) AS h FROM hset
 ), blockable AS (
-    SELECT h FROM e GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50
+    SELECT h FROM e GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 20
 ), tcand AS (
     SELECT DISTINCT e1.doc_id AS doc_a, e2.doc_id AS doc_b
     FROM e e1 JOIN blockable USING (h) JOIN e e2 USING (h)
@@ -275,8 +275,8 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``x_ann_recall``, near-dup precision/recall → here). Both engines
     recompute the LSH candidate set, its exact-Jaccard verification,
     a blocked ground truth (pairs sharing any shingle-hash with
-    2 ≤ df ≤ 50, verified exactly at ≥ 0.5 — a true ≥0.5 pair with
-    EVERY common shingle above df 50 would be missed, which real
+    2 ≤ df ≤ 20, verified exactly at ≥ 0.5 — a true ≥0.5 pair with
+    EVERY common shingle above df 20 would be missed, which real
     near-dups at this corpus size never are; the construction is
     shared by both engines so the comparison is apples-to-apples),
     and the overlap — one row of exact counts plus two IEEE ratios:
@@ -296,7 +296,7 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     blockable = (
         e.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+        .where((F.col("df") >= 2) & (F.col("df") <= 20))
         .select("h")
     )
     e1 = e.join(blockable, "h").withColumnRenamed("doc_id", "doc_a")

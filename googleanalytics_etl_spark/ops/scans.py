@@ -334,3 +334,47 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(stage).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+_SCAN_TEXT_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS cents
+FROM events
+"""
+
+
+@register("q_scan_text", oracle=_SCAN_TEXT_ORACLE)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured text ingest + regex field extraction — the access-log
+    parsing shape (``spark.read.text`` → ``regexp_extract`` per field):
+    events are staged as pipe-delimited log lines, read back as raw
+    strings, and re-parsed into typed columns entirely in codegen. The
+    roundtrip oracle proves the parse is lossless (value goes through
+    exact cents so no float-formatting drift can enter the hash).
+    Completes the ingest matrix's unstructured corner: Parquet, ORC,
+    CSV, JSON, XML, raw text.
+    """
+    stage = str(_SCRATCH / f"text_events_{Path(sf_dir).name}")
+    _stage_once(
+        lambda p: load(spark, sf_dir, "events")
+        .select(
+            F.concat_ws(
+                "|",
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("long"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(p),
+        stage,
+    )
+    line = F.col("value")
+    pat = r"^(\d+)\|(\d+)\|([a-z]+)\|(-?\d+)$"
+    return spark.read.text(stage).select(
+        F.regexp_extract(line, pat, 1).cast("bigint").alias("event_id"),
+        F.regexp_extract(line, pat, 2).cast("bigint").alias("user_id"),
+        F.regexp_extract(line, pat, 3).alias("event_type"),
+        F.regexp_extract(line, pat, 4).cast("bigint").alias("cents"),
+    )

@@ -104,7 +104,7 @@ _DRIVER_ORDER: list[str] = [
     "x_kmeans", "q_cohort_ltv", "x_bloom_index",
     "x_ann_recall", "x_span_dup_profile", "q_multi_pivot",
     "x_gram_matrix", "q_percentile_disc", "q_scan_orc", "x_langid_confusion",
-    "x_dedup_eval", "q_explode_outer",
+    "x_dedup_eval", "q_explode_outer", "q_scan_text",
     # --- re-confirmation: oldest driver evidence (round 1) ---------------
     "q_sessionize", "q_flagship", "q_flagship2",
     "q_funnel", "q_retention", "q_anomaly_zscore",
