@@ -443,3 +443,47 @@ def test_streaming_source_to_upsert_sink_e2e(spark, tmp_path):
     before = appended[:]
     run_once("b")
     assert sum(appended[len(before):]) == 0
+
+
+def test_paged_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpoint-restart contract: a file-sink query over the paged
+    stream source, stopped and restarted on the SAME checkpoint, never
+    duplicates rows — committed offsets resume, and a third run over a
+    fresh checkpoint produces the identical row set."""
+    from googleanalytics_etl_spark.io import load
+    from googleanalytics_etl_spark.sources.paged import read_paged_stream
+
+    out = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(stop_after_first_batch: bool) -> None:
+        q = (
+            read_paged_stream(spark, SF_SMALL, chunks=5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            if stop_after_first_batch:
+                # stop as soon as at least one batch committed
+                import time
+
+                for _ in range(600):
+                    if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                        break
+                    time.sleep(0.05)
+            else:
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(stop_after_first_batch=True)   # partial run
+    run(stop_after_first_batch=False)  # resume to completion
+    run(stop_after_first_batch=False)  # no-op: everything committed
+
+    got = spark.read.parquet(out)
+    want = load(spark, SF_SMALL, "events")
+    assert got.count() == want.count() == 1000
+    assert got.select("event_id").distinct().count() == 1000
+    assert got.exceptAll(want).count() == 0
