@@ -531,7 +531,7 @@ def _sweep_runs(kind: str) -> Path:
 
 
 def _cdc_merge_loop(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, retain_versions: bool = False
 ) -> tuple[dict[int, str], list[dict]]:
     """The micro-batch MERGE loop behind ``s_cdc_apply``.
 
@@ -541,6 +541,12 @@ def _cdc_merge_loop(
     older version dirs, which is the file-pruning); ``epochs`` records
     per-batch ``{"touched": [...], "manifest": {...}}`` snapshots so
     tests can assert untouched buckets are literally the same files.
+
+    ``retain_versions=True`` keeps superseded bucket files on disk and
+    prepends a seed epoch — every epoch's manifest then remains
+    readable, which is exactly Delta/Iceberg TIME TRAVEL (a version =
+    a manifest of files; retention makes old versions addressable).
+    :func:`cdc_state_at` reads any retained epoch.
     """
     stage = _stage_events(spark, sf_dir)
     run_dir = _sweep_runs("cdc")
@@ -579,6 +585,8 @@ def _cdc_merge_loop(
     manifest = bucket_dirs(seed_dir)
     state = {"epoch": 0}
     epochs: list[dict] = []
+    if retain_versions:
+        epochs.append({"touched": [], "manifest": dict(manifest)})
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -620,9 +628,12 @@ def _cdc_merge_loop(
             manifest[b] = path
         # copy-on-write hygiene: the just-replaced bucket files are
         # unreadable via the manifest from here on — delete them so
-        # scratch stays O(|state|), not O(|state| × versions)
-        for old in superseded:
-            shutil.rmtree(old, ignore_errors=True)
+        # scratch stays O(|state|), not O(|state| × versions). With
+        # retention on (time travel), old versions stay addressable and
+        # a production system would age them out by retention policy.
+        if not retain_versions:
+            for old in superseded:
+                shutil.rmtree(old, ignore_errors=True)
         epochs.append({"touched": touched, "manifest": dict(manifest)})
 
     q = (
@@ -816,3 +827,12 @@ def transform_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(provider_key, prev)
     return spark.table(name)
+
+
+def cdc_state_at(spark: SparkSession, epoch: dict) -> DataFrame:
+    """TIME TRAVEL read: the keyed state exactly as of one retained
+    epoch of :func:`_cdc_merge_loop` (run with ``retain_versions=True``)
+    — a version IS its bucket→file manifest, so reading a version is
+    just reading those files. Tombstones are retained in state (as in
+    the MERGE loop) so downstream readers apply their own filter."""
+    return spark.read.parquet(*epoch["manifest"].values())

@@ -444,3 +444,60 @@ def test_transform_with_state_totals(spark):
         if u not in last or r["n_events"] > last[u][0]:
             last[u] = (r["n_events"], r["total_cents"])
     assert last == want
+
+
+def test_cdc_time_travel_every_epoch_exact(spark):
+    """retain_versions=True turns the CDC manifest into time travel:
+    the state read at EVERY epoch equals an independent batch recompute
+    of "latest record per key as of that epoch's chunk boundary" —
+    Delta/Iceberg version reads, reproduced from the bucket manifests."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.io import load
+    from googleanalytics_etl_spark.ops.streaming import (
+        _cdc_merge_loop,
+        cdc_state_at,
+    )
+
+    manifest, epochs = _cdc_merge_loop(spark, SF_SMALL, retain_versions=True)
+    assert len(epochs) == 6  # seed + 5 micro-batches
+
+    log = load(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cutoff = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+    # chunk boundaries exactly as _stage_events computes them
+    b = log.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    span = (hi - lo) / 5
+    bounds = [lo + i * span for i in range(1, 5)] + [hi]
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    def latest(df):
+        return (
+            df.groupBy("user_id")
+            .agg(F.max_by(F.struct(*cols), "event_id").alias("s"))
+            .select("s.*")
+        )
+
+    for i, epoch in enumerate(epochs):
+        got = cdc_state_at(spark, epoch).select(
+            "user_id", "event_id"
+        ).collect()
+        if i == 0:
+            visible = log.where(F.col("ts") < cutoff)
+        else:
+            upper = bounds[i - 1]
+            seen = (F.col("ts") <= F.lit(upper)) if i == 5 else (
+                F.col("ts") < F.lit(upper)
+            )
+            visible = log.where(
+                (F.col("ts") < cutoff) | ((F.col("ts") >= cutoff) & seen)
+            )
+        want = latest(visible.select(cols)).select(
+            "user_id", "event_id"
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), (
+            f"epoch {i}: {len(got)} vs {len(want)} rows"
+        )
