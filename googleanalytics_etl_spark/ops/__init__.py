@@ -33,6 +33,7 @@ from . import (  # noqa: F401
     round4d,
     round4e,
     round4f,
+    round5,
     scans,
     setops,
     sketch_ops,

@@ -118,7 +118,10 @@ _DRIVER_ORDER: list[str] = [
     "x_doc_join", "x_ngram_jaccard", "x_embed_cosine_dedup",
     "x_tokenize", "x_lang_id", "x_quality_score", "x_fingerprint",
     "x_validate", "x_cdc_chunks",
-    # --- slot 51+: keys hash-proven in CORRECTNESS_r02/r03 ---------------
+    # --- slot 51+: built late round 4, first in line for the round-5
+    #     window (local differential + emulation evidence until then) --
+    "q_join_asof_tolerance", "x_top_movers", "x_ngram_novelty",
+    # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",
     "q_attribution", "q_percentiles", "x_tfidf",

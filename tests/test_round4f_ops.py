@@ -80,3 +80,77 @@ def test_dedup_eval_identities_and_quality(spark):
     assert row["recall"] >= 0.9
     # planted 10-doc duplicated tail guarantees at least 10 truth pairs
     assert row["n_truth"] >= 10
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    """Every non-null match is within the 2h tolerance; every nulled
+    purchase either has no prior view or one older than 2h (checked
+    against a Python replay of the backward as-of)."""
+    rows = queries()["q_join_asof_tolerance"](spark, SF_SMALL).collect()
+    assert rows
+    e = load(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in sorted(e, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    got = {r["event_id"]: r for r in rows}
+    n_fresh = 0
+    for uid, seq in by_user.items():
+        last_view = None
+        for r in seq:
+            if r["event_type"] == "view":
+                last_view = r["ts"]
+            elif r["event_type"] == "purchase":
+                g = got[r["event_id"]]
+                fresh = (
+                    last_view is not None
+                    and (r["ts"] - last_view).total_seconds() <= 7200
+                )
+                assert g["has_fresh_view"] == int(fresh), r["event_id"]
+                assert g["recent_view_ts"] == (last_view if fresh else None)
+                n_fresh += int(fresh)
+    assert 0 < n_fresh < len(got)  # tolerance actually separates cases
+
+
+def test_top_movers_recount(spark):
+    import datetime as dt
+
+    rows = queries()["x_top_movers"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    e = load(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    hi = max(r["ts"] for r in e)
+    cur: dict = {}
+    prev: dict = {}
+    for r in e:
+        if r["event_type"] != "purchase":
+            continue
+        cents = round(r["value"] * 100)
+        if r["ts"] > hi - dt.timedelta(days=7):
+            cur[r["user_id"]] = cur.get(r["user_id"], 0) + cents
+        elif r["ts"] > hi - dt.timedelta(days=14):
+            prev[r["user_id"]] = prev.get(r["user_id"], 0) + cents
+    deltas = {
+        u: cur.get(u, 0) - prev.get(u, 0) for u in set(cur) | set(prev)
+    }
+    order = sorted(deltas, key=lambda u: (-abs(deltas[u]), u))[: len(rows)]
+    assert [r["user_id"] for r in rows] == order
+    for r in rows:
+        assert r["delta"] == pytest.approx(deltas[r["user_id"]] / 100)
+
+
+def test_ngram_novelty_invariants(spark):
+    rows = sorted(
+        queries()["x_ngram_novelty"](spark, SF_SMALL).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    # day 0 (first ingest day present) has novelty 1.0 by construction
+    assert rows[0]["novelty_frac"] == 1.0
+    for r in rows:
+        assert 0 <= r["n_first_seen"] <= r["n_grams"]
+        assert r["novelty_frac"] == pytest.approx(r["n_first_seen"] / r["n_grams"])
+    # novelty decays: later days repeat earlier grams somewhere
+    assert any(r["novelty_frac"] < 1.0 for r in rows[1:])
