@@ -222,3 +222,103 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (new.cast("double") / F.count(F.lit(1))).alias("novelty_frac"),
         )
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH sides AS (
+    SELECT event_id, NULLIF(event_type, 'error') AS etype
+    FROM events
+), dim AS (
+    SELECT * FROM (VALUES
+        ('view', 10), ('click', 20), ('purchase', 30), ('signup', 40),
+        (NULL, -1)
+    ) d(etype, weight)
+)
+SELECT s.event_id, s.etype, d.weight
+FROM sides s JOIN dim d ON s.etype IS NOT DISTINCT FROM d.etype
+"""
+
+
+@register("q_join_null_safe", oracle=_NULLSAFE_ORACLE)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): error
+    events carry a NULL key (NULLIF) and must still match the dim's
+    NULL row — the semantics a plain equi-join silently drops (NULL =
+    NULL is NULL, so every error event would vanish). The canonical
+    trap in dimension lookups with an explicit "unknown" member.
+
+    Spark: ``eqNullSafe`` keeps the join a HASH join (null-safe
+    equality is still an equi-key — no nested-loop fallback); the dim
+    broadcasts.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("etype"),
+    )
+    dim = spark.createDataFrame(
+        [("view", 10), ("click", 20), ("purchase", 30), ("signup", 40),
+         (None, -1)],
+        "etype string, weight int",
+    )
+    return (
+        e.join(F.broadcast(dim), e.etype.eqNullSafe(dim.etype))
+        .select(e.event_id, e.etype, dim.weight)
+    )
+
+
+_TWA_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+           LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+    FROM events
+), segs AS (
+    SELECT user_id, cents, t_next - t AS dt
+    FROM seq WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dt) AS DOUBLE)
+           / CAST(SUM(dt) AS DOUBLE) / 100 AS twa_value
+FROM segs
+GROUP BY user_id
+"""
+
+
+@register("q_time_weighted_avg", oracle=_TWA_ORACLE)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average of each user's value signal: every
+    observation holds until the next one, so its weight is the gap
+    duration (the metric a plain AVG misrepresents whenever sampling
+    is irregular — one long-lived reading should dominate a burst of
+    short ones).
+
+    Exactness: cents × µs-gap products are integers summed as
+    DECIMAL(38,0) (a per-user year of µs weights ≈ 3·10¹³ × cents
+    ≈ 10⁵ → 10¹⁸ per segment, decimal headroom to 10³⁸); the only
+    float math is the final fixed-shape division pair. One window
+    (lead) and one aggregate, both partitioned by user.
+    """
+    e = load(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            (
+                F.sum(F.col("cents").cast("decimal(38,0)") * dt).cast("double")
+                / F.sum(dt).cast("double")
+                / 100
+            ).alias("twa_value"),
+        )
+    )

@@ -121,6 +121,7 @@ _DRIVER_ORDER: list[str] = [
     # --- slot 51+: built late round 4, first in line for the round-5
     #     window (local differential + emulation evidence until then) --
     "q_join_asof_tolerance", "x_top_movers", "x_ngram_novelty",
+    "q_join_null_safe", "q_time_weighted_avg",
     # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",

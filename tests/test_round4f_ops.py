@@ -154,3 +154,39 @@ def test_ngram_novelty_invariants(spark):
         assert r["novelty_frac"] == pytest.approx(r["n_first_seen"] / r["n_grams"])
     # novelty decays: later days repeat earlier grams somewhere
     assert any(r["novelty_frac"] < 1.0 for r in rows[1:])
+
+
+def test_null_safe_join_keeps_error_events(spark):
+    """eqNullSafe matches the NULL dim member: every error event lands
+    on weight -1; a plain equi-join would drop all of them."""
+    rows = queries()["q_join_null_safe"](spark, SF_SMALL).collect()
+    e = load(spark, SF_SMALL, "events").collect()
+    n_err = sum(1 for r in e if r["event_type"] == "error")
+    assert len(rows) == len(e)  # every event matched exactly once
+    assert sum(1 for r in rows if r["weight"] == -1) == n_err > 0
+    assert all((r["etype"] is None) == (r["weight"] == -1) for r in rows)
+
+
+def test_time_weighted_avg_matches_python(spark):
+    rows = {r["user_id"]: r for r in queries()["q_time_weighted_avg"](spark, SF_SMALL).collect()}
+    e = load(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in sorted(e, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, seq in by_user.items():
+        if len(seq) < 2:
+            assert uid not in rows
+            continue
+        num = 0
+        den = 0
+        for a, b in zip(seq, seq[1:]):
+            dt = round((b["ts"] - a["ts"]).total_seconds() * 1e6)
+            num += round(a["value"] * 100) * dt
+            den += dt
+        assert rows[uid]["n_segments"] == len(seq) - 1
+        assert rows[uid]["twa_value"] == pytest.approx(num / den / 100)
+        # TWA lies inside the observed value range
+        vals = [r["value"] for r in seq[:-1]]
+        assert min(vals) - 1e-9 <= rows[uid]["twa_value"] <= max(vals) + 1e-9
