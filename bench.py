@@ -107,6 +107,12 @@ HEADLINE = [
     "x_gram_matrix",
     "q_percentile_disc",
     "x_dedup_eval",
+    # round 5 pre-work: data-mixing / semantic-dedup additions
+    "x_mixture_sample",
+    "x_token_entropy",
+    "x_semdedup",
+    "x_containment",
+    "x_approx_topk",
 ]
 
 

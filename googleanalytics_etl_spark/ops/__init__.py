@@ -34,6 +34,8 @@ from . import (  # noqa: F401
     round4e,
     round4f,
     round5,
+    round5b,
+    round5c,
     scans,
     setops,
     sketch_ops,

@@ -1,0 +1,529 @@
+"""Round-5 pre-work, second batch: the data-mixing / quality-signal /
+tokenizer-training operators a 100 TB curation pipeline runs between
+dedup and shipping shards.
+
+- ``x_mixture_sample`` — temperature-scaled source mixing (α = 0.5):
+  the "data mixture" step every LLM corpus goes through — upweight
+  rare domains, downsample dominant ones — realized as a two-pass
+  stats-then-deterministic-hash-sample plan with NO driver collect.
+- ``x_token_entropy`` — per-document Shannon entropy of the token
+  distribution: the low-entropy (boilerplate/spam) quality filter.
+- ``x_winsorize`` — per-group winsorized mean (clip at p05/p95 picked
+  by exact discrete rank): the robust-metric aggregation pattern.
+- ``x_neighbor_jaccard`` — audience-overlap Jaccard between event
+  types from distinct (user, type) sets: the co-occurrence graph
+  node-similarity kernel (shared-neighbor / min-wise overlap).
+- ``x_bpe_merge`` — BPE first-merge candidates: adjacent symbol-pair
+  frequencies over the word-frequency table (the inner loop of
+  tokenizer training), aggregated vocab-first so the pair explosion
+  runs over |vocab|, not |corpus|.
+- ``x_semdedup`` — SemDeDup-style semantic dedup: coarse-quantize
+  every vector to its nearest seed centroid (the IVF assignment),
+  then intra-cluster cosine pairs ≥ τ pick survivors — pair space is
+  Σ|cluster|², never n².
+
+Cross-engine determinism follows registry.py conventions: exact
+DECIMAL(18,4) sums for anything order-sensitive, ROUND(…, 6) before
+any float threshold, explicit unique tiebreakers on every rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from .extensions import cosine
+
+
+# ---------------------------------------------------------------------------
+# x_mixture_sample — temperature-scaled source mixing
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SQRT(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,4)) AS sq
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(sq) AS DOUBLE) AS z, SUM(n_docs) AS n_total FROM counts
+), rates AS (
+    SELECT source, n_docs,
+           ROUND(CAST(sq AS DOUBLE) / z, 6) AS weight,
+           LEAST(1.0, ROUND(0.5 * n_total * (CAST(sq AS DOUBLE) / z) / n_docs,
+                            4)) AS rate
+    FROM counts, tot
+), thr AS (
+    SELECT source, n_docs, weight, rate,
+           CAST(FLOOR(rate * 65536) AS BIGINT) AS t
+    FROM rates
+)
+SELECT d.source, r.n_docs, r.weight, r.rate,
+       CAST(SUM(CASE WHEN r.rate >= 1.0
+                     OR CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                             AS BIGINT) < r.t
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents d JOIN thr r USING (source)
+GROUP BY d.source, r.n_docs, r.weight, r.rate
+"""
+
+
+@register("x_mixture_sample", oracle=_MIXTURE_ORACLE)
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (α = 0.5, target = 50 % of
+    corpus): weight each source ∝ √n so rare domains are upweighted,
+    derive a per-source keep-rate, and select rows with a deterministic
+    md5-prefix threshold (replay-stable under retries, unlike
+    ``df.sample``).
+
+    Plan shape: stats pass (per-source counts — a ~|sources|-row agg),
+    weights derived on that TINY frame (cross-join with its 1-row
+    total: metadata-scale, broadcast), then the selection pass re-scans
+    the fact with the rate table BROADCAST back — two linear scans, one
+    shuffle on ``source``, no driver collect. The √n sum is
+    order-sensitive in doubles, so each √n is quantized to exact
+    DECIMAL(18,4) before the sum (registry convention).
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sqrt(F.count(F.lit(1)).cast("double"))
+        .cast("decimal(18,4)")
+        .alias("sq"),
+    )
+    tot = counts.agg(
+        F.sum("sq").cast("double").alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("sq").cast("double") / F.col("z"), 6).alias("weight"),
+        F.least(
+            F.lit(1.0),
+            F.round(
+                0.5
+                * F.col("n_total")
+                * (F.col("sq").cast("double") / F.col("z"))
+                / F.col("n_docs"),
+                4,
+            ),
+        ).alias("rate"),
+    )
+    thr = rates.withColumn(
+        "t", F.floor(F.col("rate") * 65536).cast("long")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    picked = (
+        d.join(F.broadcast(thr), "source")
+        .withColumn(
+            "keep",
+            F.when((F.col("rate") >= 1.0) | (hv < F.col("t")), 1).otherwise(0),
+        )
+        .groupBy("source", "n_docs", "weight", "rate")
+        .agg(F.sum("keep").cast("long").alias("n_sampled"))
+    )
+    return picked.select("source", "n_docs", "weight", "rate", "n_sampled")
+
+
+# ---------------------------------------------------------------------------
+# x_token_entropy — per-document token-distribution entropy
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(LOG2(CAST(SUM(c) AS DOUBLE))
+             - CAST(SUM(CAST(c * LOG2(CAST(c AS DOUBLE)) AS DECIMAL(18,4)))
+                    AS DOUBLE) / SUM(c),
+             6) AS entropy
+FROM tf
+GROUP BY doc_id
+"""
+
+
+@register("x_token_entropy", oracle=_ENTROPY_ORACLE)
+def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    boilerplate/spam signal (low entropy = repetitive text) used as a
+    quality gate next to :func:`x_quality_score`.
+
+    Uses the algebraic identity H = log2(n) − (Σ c·log2 c)/n so the
+    whole thing is two hash aggregates over exploded tokens — no
+    per-doc sort, no window. The Σ c·log2 c partial sums are quantized
+    to DECIMAL(18,4) per term so Spark's partial/final aggregation
+    order and DuckDB's agree exactly (registry convention: doubles are
+    never summed as doubles).
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    term = (F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).cast(
+        "decimal(18,4)"
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(term).cast("double") / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_winsorize — winsorized group means (clip at exact-rank p05/p95)
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH ranked AS (
+    SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+), bounds AS (
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                    THEN o_totalprice END) AS lo,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                    THEN o_totalprice END) AS hi,
+           CAST(MAX(n) AS BIGINT) AS n_orders
+    FROM ranked GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority, b.n_orders,
+       ROUND(b.lo, 2) AS p05, ROUND(b.hi, 2) AS p95,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)
+                           AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS win_avg
+FROM orders o JOIN bounds b USING (o_orderpriority)
+GROUP BY o.o_orderpriority, b.n_orders, b.lo, b.hi
+"""
+
+
+@register("x_winsorize", oracle=_WINSORIZE_ORACLE)
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order value per priority class: clip at the
+    exact-rank p05/p95 (discrete picks — actual data values, so the
+    bounds are bit-identical cross-engine, unlike interpolated
+    percentiles) and average the clipped column with an exact decimal
+    sum.
+
+    Two shuffles on the 5-value group key: the rank window (which
+    streams — no per-group materialization) and the final agg; the
+    bounds frame is ~|groups| rows and is BROADCAST back onto the
+    fact scan. This is the outlier-robust aggregation recipe for
+    revenue-style heavy-tailed metrics.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    cw = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(cw).cast("long").alias("n"),
+    )
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("hi"),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_orders", "lo", "hi")
+        .agg(
+            F.round(
+                F.sum(clipped.cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("win_avg")
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("lo", 2).alias("p05"),
+            F.round("hi", 2).alias("p95"),
+            "win_avg",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_neighbor_jaccard — audience-overlap Jaccard between event types
+# ---------------------------------------------------------------------------
+
+_NJACCARD_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1
+), inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM pairs a JOIN pairs b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       ROUND(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+
+@register("x_neighbor_jaccard", oracle=_NJACCARD_ORACLE)
+def x_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity of event-type audiences (distinct-user sets):
+    the shared-neighbor node-similarity kernel of co-occurrence graphs
+    (users≍documents, types≍shingles — the same shape MinHash
+    approximates; here the type cardinality is tiny so it's exact).
+
+    The distinct (user, type) projection collapses the fact table
+    FIRST (one shuffle) so the self-join runs on the deduped edge set
+    keyed by user — per-user fanout is |types per user|² ≤ 25, never
+    event-count². Sizes are a ~|types|-row agg joined back broadcast.
+    """
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select("user_id", "event_type").distinct()
+    sizes = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = pairs.select("user_id", F.col("event_type").alias("type_a"))
+    b = pairs.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_merge — BPE first-merge candidate pairs (vocab-first)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH vocab AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    WHERE length(tok) >= 2
+    GROUP BY tok
+), pairs AS (
+    SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                 i -> substring(tok, i, 2))) AS pair,
+           wc
+    FROM vocab
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+"""
+
+
+@register("x_bpe_merge", oracle=_BPE_ORACLE)
+def x_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 BPE merge candidates: corpus frequency of every adjacent
+    character pair, the inner statistic of byte-pair-encoding tokenizer
+    training.
+
+    Scale trick (the reason real BPE trainers are feasible): aggregate
+    to the WORD-FREQUENCY table first — pair explosion then runs over
+    |vocab| distinct words (≈√corpus by Heaps' law), each weighted by
+    its count, instead of every token occurrence. Two hash aggregates
+    + in-array pair assembly (JVM codegen ``transform``/``sequence``,
+    no UDF), TakeOrdered(30) with a total tiebreak — no global sort.
+    """
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup — centroid-bucketed semantic dedup
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = """
+WITH em AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS emb
+    FROM embeddings WHERE vec_id < 10
+), seeds AS (
+    SELECT vec_id AS seed_id, emb AS semb FROM em WHERE vec_id < 8
+), assign AS (
+    SELECT vec_id, seed_id AS cluster
+    FROM (
+        SELECT e.vec_id, s.seed_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(e.emb, s.semb), 6)
+                            DESC, s.seed_id) AS rn
+        FROM em e, seeds s
+    ) WHERE rn = 1
+), dup_pairs AS (
+    SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b
+    FROM assign x
+    JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN em ea ON ea.vec_id = x.vec_id
+    JOIN em eb ON eb.vec_id = y.vec_id
+    WHERE ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.92
+)
+SELECT a.cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COALESCE(MAX(p.n_pairs), 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(MAX(p.n_removed), 0) AS BIGINT) AS n_removed
+FROM assign a
+LEFT JOIN (
+    SELECT cluster, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT vec_b) AS n_removed
+    FROM dup_pairs GROUP BY cluster
+) p ON p.cluster = a.cluster
+GROUP BY a.cluster
+"""
+
+
+@register("x_semdedup", oracle=_SEMDEDUP_ORACLE)
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-quantize every
+    embedding to its nearest of 8 seed centroids (the IVF cluster
+    assignment — at 100 TB these come from :func:`x_kmeans`), then find
+    cosine-≥0.92 pairs ONLY within a cluster and count survivors
+    (keep-lowest-id policy, same as the MinHash family).
+
+    A duplicated tail (vec_id < 10 re-inserted at +1e6, identical
+    vectors — organic max cosine ≈ 0.48) gives the operator planted
+    positives: an identical pair always lands in the same cluster, so
+    cluster blocking loses none of them. Pair space is Σ|cluster|²,
+    never n²; the seed set is ~k rows and BROADCAST into both the
+    assignment and nothing else — the intra-cluster self-join shuffles
+    on the cluster id. Output: per-cluster member/dup-pair/removed
+    counts (8 rows).
+    """
+    base = load(spark, sf_dir, "embeddings")
+    em = base.select("vec_id", "embedding").unionByName(
+        base.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    seeds = em.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+    )
+    scored = em.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "seed_id",
+        F.round(cosine(F.col("embedding"), F.col("semb")), 6).alias("sim"),
+    )
+    pick = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("seed_id")
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster"), "embedding")
+    )
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    dup = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= 0.92)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.countDistinct("vec_b").cast("long").alias("n_removed"),
+        )
+    )
+    members = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        members.join(dup, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

@@ -122,6 +122,9 @@ _DRIVER_ORDER: list[str] = [
     #     window (local differential + emulation evidence until then) --
     "q_join_asof_tolerance", "x_top_movers", "x_ngram_novelty",
     "q_join_null_safe", "q_time_weighted_avg",
+    "x_mixture_sample", "x_token_entropy", "x_winsorize",
+    "x_neighbor_jaccard", "x_bpe_merge", "x_semdedup",
+    "q_interval_merge", "x_containment", "x_approx_topk",
     # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",
