@@ -113,6 +113,8 @@ HEADLINE = [
     "x_semdedup",
     "x_containment",
     "x_approx_topk",
+    "x_bigram_logprob",
+    "x_diverse_sample",
 ]
 
 

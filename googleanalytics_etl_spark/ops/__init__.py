@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     round5,
     round5b,
     round5c,
+    round5d,
     scans,
     setops,
     sketch_ops,

@@ -314,22 +314,34 @@ def x_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (users≍documents, types≍shingles — the same shape MinHash
     approximates; here the type cardinality is tiny so it's exact).
 
-    The distinct (user, type) projection collapses the fact table
-    FIRST (one shuffle) so the self-join runs on the deduped edge set
-    keyed by user — per-user fanout is |types per user|² ≤ 25, never
-    event-count². Sizes are a ~|types|-row agg joined back broadcast.
+    NO self-join: one shuffle on ``user_id`` collapses the fact to a
+    sorted per-user type-set array, then both the per-type sizes AND
+    the in-row pair expansion (|types per user|² ≤ 25, assembled by a
+    codegen ``transform`` lattice inside the row) reuse that frame —
+    the pair counting that a naive plan does with a user-keyed
+    self-join (a second full exchange of the edge set) happens without
+    moving the data again. Sizes are a ~|types|-row agg joined back
+    broadcast.
     """
     ev = load(spark, sf_dir, "events")
-    pairs = ev.select("user_id", "event_type").distinct()
-    sizes = pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
     )
-    a = pairs.select("user_id", F.col("event_type").alias("type_a"))
-    b = pairs.select("user_id", F.col("event_type").alias("type_b"))
+    sizes = per_user.select(F.explode("ts").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # in-row ordered pairs: flatten(transform(i, transform(j>i, (ts[i], ts[j]))))
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ts) - 1),"
+        " i -> transform(sequence(i + 1, size(ts)),"
+        " j -> struct(ts[i - 1] AS type_a, ts[j - 1] AS type_b))))"
+    )
     inter = (
-        a.join(b, "user_id")
-        .where(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
+        per_user.where(F.size("ts") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
     sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))

@@ -106,6 +106,7 @@ _PYTHON_OK = {
     "x_multimodal",
     "x_media_frames",
     "s_stateful_user",
+    "x_approx_topk",  # declared: per-partition Misra-Gries mapInPandas
 }
 # declared-benign nested-loop joins: every build side is a broadcast
 # TINY relation — single-row (query vector / corpus-count aggregate /
@@ -134,6 +135,11 @@ _BNLJ_OK = {
     "x_ann_recall",
     "x_graph_triangles",
     "x_dedup_eval",
+    # 1-row total-count crossJoins (mixture rate table, MG threshold)
+    # and the ≤8-row seed-centroid broadcast in the SemDeDup assignment
+    "x_mixture_sample",
+    "x_approx_topk",
+    "x_semdedup",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
