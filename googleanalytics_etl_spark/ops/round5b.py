@@ -494,7 +494,15 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
     )
-    seeds = em.where(F.col("vec_id") < 8).select(
+    return semdedup_counts(em)
+
+
+def semdedup_counts(em: DataFrame, n_seeds: int = 8) -> DataFrame:
+    """Library form of :func:`x_semdedup`: coarse-quantize ``(vec_id,
+    embedding)`` rows to their nearest of the first ``n_seeds`` vectors
+    (by vec_id), count cosine-≥0.92 intra-cluster pairs and removed
+    (keep-lowest-id) members per cluster."""
+    seeds = em.where(F.col("vec_id") < n_seeds).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
     )
     scored = em.crossJoin(F.broadcast(seeds)).select(
