@@ -501,9 +501,26 @@ def semdedup_counts(em: DataFrame, n_seeds: int = 8) -> DataFrame:
     """Library form of :func:`x_semdedup`: coarse-quantize ``(vec_id,
     embedding)`` rows to their nearest of the first ``n_seeds`` vectors
     (by vec_id), count cosine-≥0.92 intra-cluster pairs and removed
-    (keep-lowest-id) members per cluster."""
+    (keep-lowest-id) members per cluster.
+
+    Pair-stage perf: each vector's L2 norm is computed ONCE in the
+    assignment stage and carried alongside, so the Σ|cluster|² pair
+    filter evaluates a single dot-product fold per pair instead of the
+    three folds inside :func:`cosine` — dot/(norm_a·norm_b) is the
+    identical double arithmetic (sqrt hoisted, not changed), so the
+    round-6 threshold and the oracle are unaffected. The assignment —
+    read by the member count and both self-join sides — materializes
+    once via eager localCheckpoint.
+    """
     seeds = em.where(F.col("vec_id") < n_seeds).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
     )
     scored = em.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
@@ -517,18 +534,37 @@ def semdedup_counts(em: DataFrame, n_seeds: int = 8) -> DataFrame:
     assign = (
         scored.withColumn("rn", F.row_number().over(pick))
         .where(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cluster"), "embedding")
+        .select(
+            "vec_id",
+            F.col("seed_id").alias("cluster"),
+            "embedding",
+            norm.alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
     )
     a = assign.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = assign.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     dup = (
         a.join(b, "cluster")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .where(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= 0.92)
+        .where(F.round(dot / (F.col("na") * F.col("nb")), 6) >= 0.92)
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),

@@ -145,7 +145,10 @@ WITH corpus AS (
     SELECT doc_id + 2000000,
            str_split(text, ' ')[1 : GREATEST(len(str_split(text, ' ')) // 2, 3)]
     FROM documents WHERE doc_id < 10
-), sh AS ({_SHINGLE_SQL}
+), sh0 AS ({_SHINGLE_SQL}
+), sh AS (
+    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS shingle
+    FROM sh0
 ), sizes AS (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
 ), df AS (
@@ -191,6 +194,14 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate list. A true pair sharing no rare shingle is missed by
     construction — the documented recall criterion of df-blocked
     candidate generation (cf. ``x_dedup_eval``'s truth side).
+
+    Perf shape: shingles are md5-hashed to 60-bit LONGS before any
+    shuffle (x_dedup_eval's lesson — the df agg, candidate join, and
+    intersection join all move/compare 8-byte keys, never ~25-char
+    strings; the hash is mirrored in the oracle), and the hashed
+    shingle stage — read by four consumers (sizes, df, candidates,
+    intersection) — is materialized ONCE via eager localCheckpoint
+    (released by the ContextCleaner, unlike a session-pinned persist).
     """
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
@@ -202,8 +213,15 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 2_000_000).alias("doc_id"), half.alias("words")
         )
     )
-    sh = corpus.select(
-        "doc_id", F.explode(word_shingles(F.col("words"))).alias("shingle")
+    h = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    sh = (
+        corpus.select(
+            "doc_id", F.explode(word_shingles(F.col("words"))).alias("shingle")
+        )
+        .select("doc_id", h.alias("shingle"))
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     rare = (
