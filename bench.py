@@ -115,6 +115,7 @@ HEADLINE = [
     "x_approx_topk",
     "x_bigram_logprob",
     "x_diverse_sample",
+    "x_dedup_incremental",
 ]
 
 

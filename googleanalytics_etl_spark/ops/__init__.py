@@ -37,6 +37,7 @@ from . import (  # noqa: F401
     round5b,
     round5c,
     round5d,
+    round5e,
     scans,
     setops,
     sketch_ops,
