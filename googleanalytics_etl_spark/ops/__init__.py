@@ -38,6 +38,7 @@ from . import (  # noqa: F401
     round5c,
     round5d,
     round5e,
+    round5f,
     scans,
     setops,
     sketch_ops,
