@@ -116,6 +116,7 @@ HEADLINE = [
     "x_bigram_logprob",
     "x_diverse_sample",
     "x_dedup_incremental",
+    "x_curation_e2e",
 ]
 
 

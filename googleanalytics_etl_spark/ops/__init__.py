@@ -39,6 +39,7 @@ from . import (  # noqa: F401
     round5d,
     round5e,
     round5f,
+    round5g,
     scans,
     setops,
     sketch_ops,

@@ -127,7 +127,7 @@ _DRIVER_ORDER: list[str] = [
     "q_interval_merge", "x_containment", "x_approx_topk",
     "x_bigram_logprob", "x_diverse_sample", "x_dp_groupby",
     "q_scan_evolving", "q_scan_binaryfile", "x_dedup_incremental",
-    "s_topk_complete", "q_scan_malformed",
+    "s_topk_complete", "q_scan_malformed", "x_curation_e2e",
     # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",
