@@ -40,6 +40,7 @@ from . import (  # noqa: F401
     round5e,
     round5f,
     round5g,
+    round5h,
     scans,
     setops,
     sketch_ops,
