@@ -41,6 +41,7 @@ from . import (  # noqa: F401
     round5f,
     round5g,
     round5h,
+    round5i,
     scans,
     setops,
     sketch_ops,

@@ -129,6 +129,7 @@ _DRIVER_ORDER: list[str] = [
     "q_scan_evolving", "q_scan_binaryfile", "x_dedup_incremental",
     "s_topk_complete", "q_scan_malformed", "x_curation_e2e",
     "x_bigram_heldout", "x_shard_balance",
+    "x_weighted_sample", "q_pivot_dynamic",
     # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",
