@@ -42,6 +42,7 @@ from . import (  # noqa: F401
     round5g,
     round5h,
     round5i,
+    round5j,
     scans,
     setops,
     sketch_ops,
