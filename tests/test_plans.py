@@ -140,6 +140,11 @@ _BNLJ_OK = {
     "x_mixture_sample",
     "x_approx_topk",
     "x_semdedup",
+    # 1-row broadcasts: vocab-size (smoothed LM), elected merge pair
+    # (BPE round), global row count (equi-depth bucket arithmetic)
+    "x_bigram_heldout",
+    "x_bpe_apply",
+    "x_equidepth_hist",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
