@@ -131,6 +131,36 @@ GROUP BY 1, 2
 """
 
 
+def staged_events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the event log as a hive ``event_date=YYYY-MM-DD/`` layout,
+    staging it once per fixture (fingerprint-cached on the source file's
+    identity). Shared by the static-pruning (``x_partition_prune``) and
+    dynamic-pruning (``x_dpp_join``) operators."""
+    import hashlib
+    import os
+    import shutil
+
+    src = Path(sf_dir) / "events.parquet"
+    st = os.stat(src)
+    fingerprint = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|bydate".encode()
+    ).hexdigest()[:16]
+    stage = _SCRATCH / "part_stage" / f"{Path(sf_dir).name}_{fingerprint}"
+    done = stage / "_STAGED"
+    if not done.exists():
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("event_date", F.col("ts").cast("timestamp").cast("date"))
+            .repartition("event_date")  # one shuffle -> one file per day dir
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(str(stage))
+        )
+        done.touch()
+    return spark.read.parquet(str(stage))
+
+
 @register("x_partition_prune", oracle=_PARTITION_PRUNE_ORACLE)
 def x_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned layout + static partition pruning.
@@ -149,36 +179,61 @@ def x_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py asserts the pruned scan shape (PartitionFilters
     non-empty, pushed count < total partitions).
     """
-    import hashlib
-    import os
-    import shutil
-    from pathlib import Path
-
-    src = Path(sf_dir) / "events.parquet"
-    st = os.stat(src)
-    fingerprint = hashlib.md5(
-        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|bydate".encode()
-    ).hexdigest()[:16]
-    scratch = Path(__file__).resolve().parents[2] / ".scratch"
-    stage = scratch / "part_stage" / f"{Path(sf_dir).name}_{fingerprint}"
-    done = stage / "_STAGED"
-    if not done.exists():
-        shutil.rmtree(stage, ignore_errors=True)
-        (
-            load(spark, sf_dir, "events")
-            .withColumn("event_date", F.col("ts").cast("timestamp").cast("date"))
-            .repartition("event_date")  # one shuffle -> one file per day dir
-            .write.partitionBy("event_date")
-            .mode("overwrite")
-            .parquet(str(stage))
-        )
-        done.touch()
-
-    part = spark.read.parquet(str(stage)).where(
+    part = staged_events_by_date(spark, sf_dir).where(
         F.col("event_date").between("2024-01-08", "2024-01-14")
     )
     return part.groupBy("event_date", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        fsum("value", "total_value"),
+    )
+
+
+_DPP_ORACLE = f"""
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum("value", "total_value")}
+FROM events
+WHERE dayofweek(CAST(CAST(ts AS TIMESTAMP) AS DATE)) = 2
+GROUP BY 1
+"""
+
+
+@register("x_dpp_join", oracle=_DPP_ORACLE)
+def x_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact is the date-partitioned event
+    layout, the dimension is a calendar spine filtered to Tuesdays — a
+    predicate on a NON-partition attribute, so static pruning
+    (``x_partition_prune``) cannot fire. At runtime Spark broadcasts
+    the filtered dim and injects its partition-key values as a
+    ``dynamicpruning`` subquery INTO the fact scan's PartitionFilters:
+    only the 5 Tuesday directories of the month are listed or read.
+
+    This is the star-join scan-killer at 100 TB — "revenue on
+    promo-week days" touches promo-week partitions only, without the
+    ETL author enumerating dates. tests/test_plans.py asserts the
+    ``dynamicpruning`` expression is present in the scan.
+
+    The spine generates from the fixture's covered month (a codegen
+    ``sequence`` of dates — no driver loop). Weekday conventions differ
+    per engine (Spark dayofweek: Sunday=1 ⇒ Tuesday=3; DuckDB:
+    Sunday=0 ⇒ Tuesday=2) — each side uses its own constant for the
+    same calendar day, verified by the hash oracle.
+    """
+    fact = staged_events_by_date(spark, sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-31").cast("date"),
+            )
+        ).alias("d")
+    )
+    tuesdays = spine.where(F.dayofweek("d") == 3)  # Spark: Sunday=1
+    joined = fact.join(
+        F.broadcast(tuesdays), fact["event_date"] == tuesdays["d"]
+    )
+    return joined.groupBy("event_date").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
         fsum("value", "total_value"),
     )
 

@@ -96,3 +96,27 @@ def test_bpe_apply_merge_changes_statistics(spark):
     assert ctx  # the new symbol really has contexts
     # and the elected pair itself vanished from the post-merge stats
     assert merge not in post
+
+
+def test_dpp_join_injects_dynamic_pruning(spark):
+    """The Tuesday dim filter must reach the partitioned fact scan as a
+    dynamicpruning subquery (runtime partition pruning), and the result
+    must cover exactly the month's 5 Tuesdays."""
+    import contextlib
+    import io
+
+    df = queries()["x_dpp_join"](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan.lower()
+    days = sorted(r["event_date"].isoformat() for r in df.select("event_date").distinct().collect())
+    assert days == [
+        "2024-01-02",
+        "2024-01-09",
+        "2024-01-16",
+        "2024-01-23",
+        "2024-01-30",
+    ]
