@@ -236,3 +236,81 @@ def test_mixture_sample_rates_invariant_under_replication(spark):
         frac = r["n_sampled"] / r["n_docs"]
         # binomial σ ≈ √(r(1−r)/n) ≈ 0.022 at n = 500 per source: allow 4σ
         assert abs(frac - r["rate"]) < 0.09
+
+
+def test_dedup_incremental_4x_batch(spark):
+    """4× the incoming batch (disjoint new-doc ids, same planted
+    copies): per-day work scales with the batch, the corpus side is
+    untouched, and every planted copy in every replica still matches
+    its original at Jaccard 1.0."""
+    from googleanalytics_etl_spark.ops.round5e import _km_sigs
+
+    d = load(spark, SF_SMALL, "documents")
+    corpus = d.where(F.col("source") != "src19").select(
+        "doc_id", "text", F.lit("c").alias("side")
+    )
+    reps = 4
+    parts = []
+    for i in range(reps):
+        parts.append(
+            d.where(F.col("source") == "src19").select(
+                (F.col("doc_id") + F.lit(i).cast("long") * 20_000_000).alias("doc_id"),
+                "text",
+            )
+        )
+        parts.append(
+            d.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + F.lit(3_000_000 + i * 20_000_000).cast("long")).alias("doc_id"),
+                "text",
+            )
+        )
+    newb = _union(parts).select("doc_id", "text", F.lit("n").alias("side"))
+    banded, hset = _km_sigs(corpus.unionByName(newb))
+    bn = banded.where(F.col("side") == "n").select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    bo = banded.select(
+        F.col("doc_id").alias("old_id"), F.col("side").alias("oside"), "band", "bucket"
+    )
+    cand = (
+        bn.join(bo, ["band", "bucket"])
+        .where(
+            (F.col("oside") == "c")
+            | ((F.col("oside") == "n") & (F.col("old_id") < F.col("new_id")))
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    s1 = hset.select(F.col("doc_id").alias("new_id"), F.col("hsig").alias("h_new"))
+    s2 = hset.select(F.col("doc_id").alias("old_id"), F.col("hsig").alias("h_old"))
+    inter = F.size(F.array_intersect("h_new", "h_old"))
+    union = F.size(F.array_distinct(F.concat("h_new", "h_old")))
+    verified = (
+        cand.join(s1, "new_id")
+        .join(s2, "old_id")
+        .select("new_id", "old_id", (inter.cast("double") / union).alias("j"))
+        .where(F.col("j") >= 0.5)
+    )
+    # every planted replica found a partner at jaccard 1.0
+    planted = verified.where(
+        (F.col("new_id") % 20_000_000 >= 3_000_000)
+        & (F.col("new_id") % 20_000_000 < 3_000_005)
+    )
+    perfect = planted.where(F.col("j") >= 0.999).select("new_id").distinct().count()
+    assert perfect == 5 * reps
+
+
+def test_curation_e2e_funnel_at_sf01(spark):
+    """The curation funnel at the 10× corpus: stage monotonicity holds,
+    planted dups are dropped, and the per-lang cap binds (n_sampled ≤
+    100 per lang with at least one lang saturated)."""
+    rows = queries()["x_curation_e2e"](spark, SF_BENCH).collect()
+    assert sum(r["n_raw"] for r in rows) == load(
+        spark, SF_BENCH, "documents"
+    ).count() + 10
+    for r in rows:
+        assert (
+            r["n_raw"] >= r["n_quality"] >= r["n_unique"] >= r["n_clean"] >= r["n_sampled"]
+        )
+        assert r["n_sampled"] <= 100
+    assert any(r["n_sampled"] == 100 for r in rows)
