@@ -43,6 +43,7 @@ from . import (  # noqa: F401
     round5h,
     round5i,
     round5j,
+    round5k,
     scans,
     setops,
     sketch_ops,
