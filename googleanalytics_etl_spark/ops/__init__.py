@@ -44,6 +44,7 @@ from . import (  # noqa: F401
     round5i,
     round5j,
     round5k,
+    round5l,
     scans,
     setops,
     sketch_ops,

@@ -497,6 +497,48 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_counts(em)
 
 
+def seed_assign(em: DataFrame, n_seeds: int = 8) -> DataFrame:
+    """Coarse quantization shared by the SemDeDup and hard-negative
+    operators: assign every ``(vec_id, embedding, …)`` row to its
+    nearest of the first ``n_seeds`` vectors (round-6 cosine, seed-id
+    tiebreak), carrying the embedding and its hoisted L2 norm. Extra
+    input columns pass through. Checkpointed eagerly — every caller
+    reads the assignment from several plan branches."""
+    seeds = em.where(F.col("vec_id") < n_seeds).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    passthrough = [c for c in em.columns if c not in ("vec_id", "embedding")]
+    scored = em.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        *passthrough,
+        "seed_id",
+        F.round(cosine(F.col("embedding"), F.col("semb")), 6).alias("sim"),
+    )
+    pick = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("seed_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("seed_id").alias("cluster"),
+            "embedding",
+            *passthrough,
+            norm.alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def semdedup_counts(em: DataFrame, n_seeds: int = 8) -> DataFrame:
     """Library form of :func:`x_semdedup`: coarse-quantize ``(vec_id,
     embedding)`` rows to their nearest of the first ``n_seeds`` vectors
@@ -512,36 +554,7 @@ def semdedup_counts(em: DataFrame, n_seeds: int = 8) -> DataFrame:
     read by the member count and both self-join sides — materializes
     once via eager localCheckpoint.
     """
-    seeds = em.where(F.col("vec_id") < n_seeds).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
-    )
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    scored = em.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "seed_id",
-        F.round(cosine(F.col("embedding"), F.col("semb")), 6).alias("sim"),
-    )
-    pick = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("seed_id")
-    )
-    assign = (
-        scored.withColumn("rn", F.row_number().over(pick))
-        .where(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("seed_id").alias("cluster"),
-            "embedding",
-            norm.alias("nrm"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    assign = seed_assign(em, n_seeds)
     a = assign.select(
         "cluster",
         F.col("vec_id").alias("vec_a"),
