@@ -241,3 +241,49 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "funnel_state string",
         )
     )
+
+
+_ARROW_MAP_ORACLE = """
+SELECT event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       length(event_type) AS type_len
+FROM events
+WHERE value IS NOT NULL
+"""
+
+
+@register("q_arrow_map", oracle=_ARROW_MAP_ORACLE)
+def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python boundary — raw
+    ``pyarrow.RecordBatch`` in/out, no pandas materialization at all
+    (no index building, no object-dtype boxing for strings). Completes
+    the Python-surface matrix: scalar UDF, pandas UDF, grouped /
+    co-grouped map, mapInPandas, UDTF, and now Arrow-native batches.
+    The transform is deliberately trivial (exact cents + a string
+    length via ``pyarrow.compute``) so the oracle pins the BOUNDARY —
+    types crossing Arrow unharmed — rather than the math.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_batch(batches):
+        for batch in batches:
+            value = batch.column("value")
+            keep = pc.is_valid(value)
+            cents = pc.cast(pc.round(pc.multiply(value, 100.0)), pa.int64())
+            out = pa.RecordBatch.from_arrays(
+                [
+                    batch.column("event_id"),
+                    cents,
+                    pc.cast(
+                        pc.utf8_length(batch.column("event_type")), pa.int32()
+                    ),
+                ],
+                ["event_id", "cents", "type_len"],
+            )
+            yield out.filter(keep)
+
+    e = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    return e.mapInArrow(
+        per_batch, "event_id bigint, cents bigint, type_len int"
+    )

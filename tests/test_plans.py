@@ -107,6 +107,7 @@ _PYTHON_OK = {
     "x_media_frames",
     "s_stateful_user",
     "x_approx_topk",  # declared: per-partition Misra-Gries mapInPandas
+    "q_arrow_map",  # declared: Arrow-native mapInArrow boundary surface
 }
 # declared-benign nested-loop joins: every build side is a broadcast
 # TINY relation — single-row (query vector / corpus-count aggregate /
@@ -145,6 +146,10 @@ _BNLJ_OK = {
     "x_bigram_heldout",
     "x_bpe_apply",
     "x_equidepth_hist",
+    # 1-row min/max-bounds broadcast (Hilbert scaling, like x_zorder)
+    # and the 1-row query-vector broadcast in the fusion's cosine leg
+    "x_hilbert",
+    "x_rrf_fusion",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless

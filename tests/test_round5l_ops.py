@@ -87,3 +87,20 @@ def test_hard_negatives_are_the_hardest_in_cell(spark):
             ),
         )
         assert got[anchor]["neg_id"] == best
+
+
+def test_arrow_map_boundary(spark):
+    """mapInArrow roundtrip: exact cents and string lengths survive the
+    Arrow boundary; NULL values are filtered batch-side."""
+    rows = queries()["q_arrow_map"](spark, SF_SMALL).collect()
+    ev = load(spark, SF_SMALL, "events").select(
+        "event_id", "value", "event_type"
+    ).collect()
+    want = {
+        e["event_id"]: (round(e["value"] * 100), len(e["event_type"]))
+        for e in ev
+        if e["value"] is not None
+    }
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (r["cents"], r["type_len"]) == want[r["event_id"]]
