@@ -118,8 +118,11 @@ _DRIVER_ORDER: list[str] = [
     "x_doc_join", "x_ngram_jaccard", "x_embed_cosine_dedup",
     "x_tokenize", "x_lang_id", "x_quality_score", "x_fingerprint",
     "x_validate", "x_cdc_chunks",
-    # --- slot 51+: built late round 4, first in line for the round-5
-    #     window (local differential + emulation evidence until then) --
+    # --- slot 51+: built late round 4, FIRST IN LINE for the round-5
+    #     window rotation (strict-verifier evidence only until then;
+    #     next session: move this whole block to the top so the driver
+    #     issues their first CORRECTNESS rows, and retire the round-4
+    #     window keys behind slot 50 once their r04 rows land) --------
     "q_join_asof_tolerance", "x_top_movers", "x_ngram_novelty",
     "q_join_null_safe", "q_time_weighted_avg",
     "x_mixture_sample", "x_token_entropy", "x_winsorize",
