@@ -117,6 +117,8 @@ HEADLINE = [
     "x_diverse_sample",
     "x_dedup_incremental",
     "x_curation_e2e",
+    "x_hilbert",
+    "x_hard_negatives",
 ]
 
 

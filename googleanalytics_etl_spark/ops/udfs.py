@@ -276,7 +276,7 @@ def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     batch.column("event_id"),
                     cents,
                     pc.cast(
-                        pc.utf8_length(batch.column("event_type")), pa.int32()
+                        pc.utf8_length(batch.column("event_type")), pa.int64()
                     ),
                 ],
                 ["event_id", "cents", "type_len"],
@@ -285,5 +285,5 @@ def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
     return e.mapInArrow(
-        per_batch, "event_id bigint, cents bigint, type_len int"
+        per_batch, "event_id bigint, cents bigint, type_len bigint"
     )
