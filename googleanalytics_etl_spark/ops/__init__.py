@@ -45,6 +45,7 @@ from . import (  # noqa: F401
     round5j,
     round5k,
     round5l,
+    round5m,
     scans,
     setops,
     sketch_ops,

@@ -1,0 +1,263 @@
+"""Round-5 pre-work, thirteenth batch: forward as-of join, filter-rule
+attribution, and graph degree distribution.
+
+- ``q_join_asof_forward`` — the FORWARD direction completing the as-of
+  family (backward ``q_join_asof``, nearest ``q_join_asof_nearest``,
+  tolerance ``q_join_asof_tolerance``): each purchase looks at the
+  NEXT view — the time-to-next-engagement metric. Same single-window
+  recipe, with the frame reversed (MIN over following rows).
+- ``x_filter_attribution`` — which quality rule kills how much data:
+  per rule, its SOLO kill count (docs only that rule drops) and the
+  cumulative funnel when rules apply in order. The audit that stops
+  teams from shipping a rule that silently deletes a language.
+- ``x_graph_degree_dist`` — degree distribution of the co-purchase
+  graph (log2-bucketed): the first statistic anyone computes on a
+  graph, and the input to the triangle/CC cost models in graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+# ---------------------------------------------------------------------------
+# q_join_asof_forward — next-event lookup (single window pass)
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+SELECT event_id, user_id, ts, next_view_ts,
+       CASE WHEN next_view_ts IS NOT NULL
+            THEN CAST(epoch_us(next_view_ts) - epoch_us(ts) AS BIGINT)
+       END AS us_to_next
+FROM (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_view_ts
+    FROM events
+)
+WHERE event_type = 'purchase'
+"""
+
+
+@register("q_join_asof_forward", oracle=_ASOF_FWD_ORACLE)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every purchase, the user's NEXT view and the
+    exact microsecond gap to it (time-to-next-engagement — does buying
+    keep people around?). Completes the as-of matrix: backward /
+    nearest / tolerance / forward, all as ONE window pass over the
+    user_id partitioning — a running MIN over FOLLOWING rows here — no
+    self-join, no per-row probe, the only shuffle is the user co-location
+    every sessionization query already pays.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    gap = F.when(
+        nxt.isNotNull(),
+        (F.unix_micros(nxt) - F.unix_micros(F.col("ts"))).cast("long"),
+    )
+    return (
+        e.withColumn("next_view_ts", nxt)
+        .withColumn("us_to_next", gap)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "next_view_ts", "us_to_next")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_filter_attribution — per-rule kill accounting
+# ---------------------------------------------------------------------------
+
+_FILTER_ATTR_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           len(list_filter(str_split(text, ' '), t -> t <> '')) AS n_tok,
+           len(list_distinct(list_filter(str_split(text, ' '),
+                                         t -> t <> ''))) AS n_typ,
+           length(text) AS n_chars
+    FROM documents
+), flags AS (
+    SELECT doc_id,
+           (n_tok < 25) AS f_short,
+           (n_tok > 900) AS f_long,
+           (CAST(n_typ AS DOUBLE) / n_tok < 0.35) AS f_repetitive,
+           (CAST(n_chars AS DOUBLE) / n_tok > 9.0) AS f_longwords
+    FROM base
+)
+SELECT rule, solo_kills, cumulative_kills, survivors
+FROM (
+    SELECT 1 AS ord, 'short' AS rule,
+           CAST(SUM(CASE WHEN f_short AND NOT f_long AND NOT f_repetitive
+                          AND NOT f_longwords THEN 1 ELSE 0 END) AS BIGINT)
+               AS solo_kills,
+           CAST(SUM(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT)
+               AS cumulative_kills,
+           CAST(SUM(CASE WHEN NOT f_short THEN 1 ELSE 0 END) AS BIGINT)
+               AS survivors
+    FROM flags
+    UNION ALL
+    SELECT 2, 'long',
+           CAST(SUM(CASE WHEN f_long AND NOT f_short AND NOT f_repetitive
+                          AND NOT f_longwords THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN f_short OR f_long THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT f_short AND NOT f_long THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 3, 'repetitive',
+           CAST(SUM(CASE WHEN f_repetitive AND NOT f_short AND NOT f_long
+                          AND NOT f_longwords THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN f_short OR f_long OR f_repetitive
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT f_short AND NOT f_long AND NOT f_repetitive
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 4, 'longwords',
+           CAST(SUM(CASE WHEN f_longwords AND NOT f_short AND NOT f_long
+                          AND NOT f_repetitive THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN f_short OR f_long OR f_repetitive
+                          OR f_longwords THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN NOT f_short AND NOT f_long AND NOT f_repetitive
+                          AND NOT f_longwords THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+) ORDER BY ord
+"""
+
+
+@register("x_filter_attribution", oracle=_FILTER_ATTR_ORACLE)
+def x_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule attribution for a 4-rule quality filter (too-short,
+    too-long, repetitive, long-words): per rule, the SOLO kill count
+    (docs ONLY that rule flags — its unique contribution) and the
+    CUMULATIVE kill/survivor funnel in rule order. Marginal-vs-solo is
+    the report that catches a redundant rule (solo ≈ 0) or a runaway
+    one before a corpus ships.
+
+    All four flags compute in ONE row-local pass (no shuffle); the
+    report is four conditional aggregates over the flag frame —
+    Catalyst shares the scan across the UNION branches via exchange
+    reuse at fixture scale and a real pipeline would pre-aggregate the
+    16-cell flag cube (2⁴) first.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_typ"),
+        F.length("text").alias("n_chars"),
+    )
+    flags = base.select(
+        "doc_id",
+        (F.col("n_tok") < 25).alias("f_short"),
+        (F.col("n_tok") > 900).alias("f_long"),
+        (F.col("n_typ").cast("double") / F.col("n_tok") < 0.35).alias(
+            "f_repetitive"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_tok") > 9.0).alias(
+            "f_longwords"
+        ),
+    ).localCheckpoint(eager=True)
+
+    rules = ["f_short", "f_long", "f_repetitive", "f_longwords"]
+    names = {"f_short": "short", "f_long": "long", "f_repetitive": "repetitive",
+             "f_longwords": "longwords"}
+    parts = []
+    for i, r in enumerate(rules):
+        others = [o for o in rules if o != r]
+        solo = F.sum(
+            F.when(
+                F.col(r)
+                & ~F.col(others[0])
+                & ~F.col(others[1])
+                & ~F.col(others[2]),
+                1,
+            ).otherwise(0)
+        ).cast("long")
+        upto = rules[: i + 1]
+        cum_pred = F.col(upto[0])
+        for o in upto[1:]:
+            cum_pred = cum_pred | F.col(o)
+        cum = F.sum(F.when(cum_pred, 1).otherwise(0)).cast("long")
+        surv = F.sum(F.when(~cum_pred, 1).otherwise(0)).cast("long")
+        parts.append(
+            flags.agg(
+                F.lit(i + 1).alias("ord"),
+                F.lit(names[r]).alias("rule"),
+                solo.alias("solo_kills"),
+                cum.alias("cumulative_kills"),
+                surv.alias("survivors"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("ord").select(
+        "rule", "solo_kills", "cumulative_kills", "survivors"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_graph_degree_dist — log2-bucketed degree distribution
+# ---------------------------------------------------------------------------
+
+_DEGREE_ORACLE = """
+WITH edges AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), deg AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS d
+    FROM edges GROUP BY l_partkey
+)
+SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS d_min,
+       CAST(MAX(d) AS BIGINT) AS d_max,
+       CAST(SUM(d) AS BIGINT) AS edges_covered
+FROM deg
+GROUP BY 1
+"""
+
+
+@register("x_graph_degree_dist", oracle=_DEGREE_ORACLE)
+def x_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph's part side,
+    log2-bucketed — the heavy-tail profile that decides every
+    downstream graph plan: it is what makes the triangle counter's
+    degree orientation (ops/round4c.py) and the CC large-star bound
+    (graph.py) work, and at 100 TB it is the statistic that predicts
+    which keys need skew handling BEFORE a join runs.
+
+    Two hash aggregates (edge dedup, degree count) + one ~log-range
+    bucket aggregate; ⌊log2 d⌋ computed as binary-string length − 1 —
+    exact integer arithmetic, immune to the LN/LN(2) last-ulp flip at
+    powers of two.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # ⌊log2 d⌋ as bit length - 1: pure integer, no last-ulp FLOOR flips
+    # at powers of two (LN(8)/LN(2) can land either side of 3.0)
+    bucket = (F.length(F.bin("d")) - 1).cast("long")
+    return deg.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        F.sum("d").cast("long").alias("edges_covered"),
+    )

@@ -1,0 +1,74 @@
+"""Round-5 batch-13: forward as-of, filter attribution, degree dist."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from conftest import SF_SMALL
+
+from pyspark.sql import functions as F
+
+from googleanalytics_etl_spark.io import load
+from googleanalytics_etl_spark.registry import queries
+
+
+def test_asof_forward_recount(spark):
+    rows = {r["event_id"]: r for r in queries()["q_join_asof_forward"](spark, SF_SMALL).collect()}
+    ev = load(spark, SF_SMALL, "events").selectExpr(
+        "event_id", "user_id", "cast(ts as timestamp) as ts", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e["user_id"]].append(e)
+    n_purchases = 0
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        for i, e in enumerate(evs):
+            if e["event_type"] != "purchase":
+                continue
+            n_purchases += 1
+            nxt = min(
+                (x["ts"] for x in evs[i + 1 :] if x["event_type"] == "view"),
+                default=None,
+            )
+            r = rows[e["event_id"]]
+            assert r["next_view_ts"] == nxt
+            if nxt is not None:
+                from datetime import timedelta
+
+                # exact integer µs — float total_seconds() loses precision
+                assert r["us_to_next"] == (nxt - e["ts"]) // timedelta(
+                    microseconds=1
+                )
+                assert r["us_to_next"] > 0
+            else:
+                assert r["us_to_next"] is None
+    assert len(rows) == n_purchases
+
+
+def test_filter_attribution_funnel(spark):
+    rows = {r["rule"]: r for r in queries()["x_filter_attribution"](spark, SF_SMALL).collect()}
+    n = load(spark, SF_SMALL, "documents").count()
+    assert set(rows) == {"short", "long", "repetitive", "longwords"}
+    order = ["short", "long", "repetitive", "longwords"]
+    prev = 0
+    for name in order:
+        r = rows[name]
+        assert r["cumulative_kills"] >= prev  # funnel is monotone
+        assert r["cumulative_kills"] + r["survivors"] == n
+        assert 0 <= r["solo_kills"] <= r["cumulative_kills"] or r["solo_kills"] >= 0
+        prev = r["cumulative_kills"]
+    # the ruleset actually bites on the fixture
+    assert rows["longwords"]["cumulative_kills"] > 0
+
+
+def test_degree_dist_totals(spark):
+    rows = queries()["x_graph_degree_dist"](spark, SF_SMALL).collect()
+    li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_nodes = li.select("l_partkey").distinct().count()
+    n_edges = li.count()
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    assert sum(r["edges_covered"] for r in rows) == n_edges
+    for r in rows:
+        lo, hi = 2 ** r["bucket"], 2 ** (r["bucket"] + 1) - 1
+        assert lo <= r["d_min"] <= r["d_max"] <= hi
