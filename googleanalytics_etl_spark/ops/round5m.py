@@ -261,3 +261,72 @@ def x_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("long").alias("d_max"),
         F.sum("d").cast("long").alias("edges_covered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_normalized — normalization-exact dedup (the pre-MinHash stage)
+# ---------------------------------------------------------------------------
+
+_NORM_DEDUP_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    -- mutated tail: case flips, doubled spaces, trailing punctuation —
+    -- byte-level distinct, normalization-identical
+    SELECT doc_id + 4000000,
+           upper(substring(text, 1, 1)) || substring(text, 2) || '  !!'
+    FROM documents WHERE doc_id < 10
+), norm AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS nkey
+    FROM corpus
+)
+SELECT doc_id, nkey,
+       CAST(MIN(doc_id) OVER (PARTITION BY nkey) AS BIGINT) AS survivor,
+       CAST(COUNT(*) OVER (PARTITION BY nkey) AS BIGINT) AS group_size
+FROM norm
+"""
+
+
+@register("x_dedup_normalized", oracle=_NORM_DEDUP_ORACLE)
+def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-exact dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, THEN hash — the cheap canonicalization stage
+    every curation pipeline runs between byte-exact dedup (misses case
+    and punctuation variants) and MinHash (overkill for them). The
+    planted tail mutates docs 0-9 with case flips, doubled spaces and
+    trailing punctuation: byte-distinct, normalization-identical — each
+    must collapse into its original's group with the original as
+    survivor (min doc_id).
+
+    One row-local normalize+md5 projection (lower → strip → collapse →
+    TRIM — the trim matters: stripped trailing punctuation leaves a
+    dangling space that would split otherwise-identical texts); the only
+    shuffle is the 16-byte digest window — text never moves, same as
+    x_dedup_exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    mutated = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+            F.lit("  !!"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    nkey = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+            )
+        ).cast("binary")
+    )
+    w = Window.partitionBy("nkey")
+    return (
+        corpus.select("doc_id", nkey.alias("nkey"))
+        .withColumn("survivor", F.min("doc_id").over(w).cast("long"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+    )

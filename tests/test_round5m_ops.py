@@ -72,3 +72,19 @@ def test_degree_dist_totals(spark):
     for r in rows:
         lo, hi = 2 ** r["bucket"], 2 ** (r["bucket"] + 1) - 1
         assert lo <= r["d_min"] <= r["d_max"] <= hi
+
+
+def test_dedup_normalized_collapses_mutants(spark):
+    rows = {r["doc_id"]: r for r in queries()["x_dedup_normalized"](spark, SF_SMALL).collect()}
+    # each mutated doc (case flip + doubled spaces + punctuation) joins
+    # its original's group; the original survives
+    for i in range(10):
+        m = rows[i + 4_000_000]
+        o = rows[i]
+        assert m["nkey"] == o["nkey"]
+        assert m["survivor"] == i and o["survivor"] == i
+        assert m["group_size"] >= 2
+    # no accidental cross-doc collapses: group sizes are 1 outside the
+    # planted pairs (fixture texts are distinct after normalization)
+    big = [r for r in rows.values() if r["group_size"] > 2]
+    assert not big
