@@ -330,3 +330,83 @@ def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("survivor", F.min("doc_id").over(w).cast("long"))
         .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x_pack_audit — packing-efficiency report over x_pack_sequences
+# ---------------------------------------------------------------------------
+
+_PACK_AUDIT_ORACLE = """
+WITH packs AS (
+    SELECT source,
+           CAST(FLOOR(cum_before / 512) AS BIGINT) AS pack_id,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM (
+        SELECT source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+    )
+    GROUP BY source, pack_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(pack_tokens) AS BIGINT) AS min_pack,
+       CAST(MAX(pack_tokens) AS BIGINT) AS max_pack,
+       ROUND(CAST(SUM(pack_tokens) AS DOUBLE) / (COUNT(*) * 512), 6)
+           AS utilization
+FROM packs
+GROUP BY source
+"""
+
+
+@register("x_pack_audit", oracle=_PACK_AUDIT_ORACLE)
+def x_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the ``x_pack_sequences`` layout:
+    per source, pack count, exact token totals, min/max pack fill, and
+    utilization vs the 512-token budget. Packing buys throughput only
+    if the bins are actually full — this is the report that says so
+    (utilization ≪ 1 means the greedy cursor is leaving capacity on
+    the table and a length-aware order would pay for itself).
+
+    Reuses the pack op's exact cum-sum grouping (same window, same
+    budget), then two tiny aggregates — pack grain, then source grain.
+    """
+    from .pipeline import _PACK_BUDGET
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    cum = (
+        F.coalesce(
+            F.sum("n_tokens").over(
+                Window.partitionBy("source")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    )
+    packs = (
+        d.select("source", "doc_id", toks.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(cum / _PACK_BUDGET).cast("long"))
+        .groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").cast("long").alias("pack_tokens"))
+    )
+    return packs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        F.min("pack_tokens").cast("long").alias("min_pack"),
+        F.max("pack_tokens").cast("long").alias("max_pack"),
+        F.round(
+            F.sum("pack_tokens").cast("double")
+            / (F.count(F.lit(1)) * _PACK_BUDGET),
+            6,
+        ).alias("utilization"),
+    )

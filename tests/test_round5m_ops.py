@@ -88,3 +88,21 @@ def test_dedup_normalized_collapses_mutants(spark):
     # planted pairs (fixture texts are distinct after normalization)
     big = [r for r in rows.values() if r["group_size"] > 2]
     assert not big
+
+
+def test_pack_audit_consistent_with_pack_sequences(spark):
+    audit = {r["source"]: r for r in queries()["x_pack_audit"](spark, SF_SMALL).collect()}
+    packs = queries()["x_pack_sequences"](spark, SF_SMALL).collect()
+    per = defaultdict(list)
+    for p in packs:
+        per[p["source"]].append(p["pack_tokens"])
+    for src, toks in per.items():
+        a = audit[src]
+        assert a["n_packs"] == len(toks)
+        assert a["total_tokens"] == sum(toks)
+        assert a["min_pack"] == min(toks)
+        assert a["max_pack"] == max(toks)
+        assert 0 < a["utilization"]
+        # greedy cursor never leaves a pack (except the last) below budget
+        # minus one max doc; sanity: overall utilization is substantial
+        assert a["utilization"] > 0.5
