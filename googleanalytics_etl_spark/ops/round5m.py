@@ -410,3 +410,146 @@ def x_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_union_evolving — schema-drift union (allowMissingColumns)
+# ---------------------------------------------------------------------------
+
+_UNION_EVOLVE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(o_orderpriority) AS BIGINT) AS with_priority,
+       CAST(COUNT(o_custkey) AS BIGINT) AS with_custkey
+FROM (
+    SELECT o_orderstatus, o_orderpriority, NULL AS o_custkey
+    FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01'
+    UNION ALL
+    SELECT o_orderstatus, NULL, o_custkey
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
+GROUP BY o_orderstatus
+"""
+
+
+@register("q_union_evolving", oracle=_UNION_EVOLVE_ORACLE)
+def q_union_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift UNION: two extracts with different column sets
+    (the early feed carries priority, the late feed custkey) combined
+    with ``unionByName(allowMissingColumns=True)`` — each side's
+    missing columns NULL-fill, BY NAME, never by position. The API
+    counterpart of ``q_scan_evolving``'s storage-level mergeSchema:
+    positional ``union`` silently mis-aligns drifted feeds (the classic
+    corrupted-append); by-name union is the safe default this engine
+    standardizes on (every composite here uses unionByName).
+    """
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    early = o.where(F.col("o_orderdate") < cut).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    late = o.where(F.col("o_orderdate") >= cut).select(
+        "o_orderstatus", "o_custkey"
+    )
+    u = early.unionByName(late, allowMissingColumns=True)
+    return u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_orderpriority").cast("long").alias("with_priority"),
+        F.count("o_custkey").cast("long").alias("with_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_source_overlap — inter-source shingle containment matrix
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH sh AS (
+    SELECT DISTINCT source,
+           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+    FROM (
+        SELECT source,
+               unnest(list_distinct(
+                   CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+                       list_transform(range(len(str_split(text, ' ')) - 2),
+                           i -> str_split(text, ' ')[i + 1] || ' ' ||
+                                str_split(text, ' ')[i + 2] || ' ' ||
+                                str_split(text, ' ')[i + 3])
+                   ELSE [text] END)) AS shingle
+        FROM documents WHERE source IN ('src0','src1','src2','src3','src4')
+    )
+), sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source
+), inter AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6)
+           AS overlap
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+@register("x_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE)
+def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: for every pair of the first 5
+    sources, the shared distinct-3-gram count and the containment
+    overlap (shared / smaller side) — the dataset-level audit behind
+    "are these two crawls the same corpus?" and the source-level
+    upstream of doc-grain decontamination (``x_decontaminate``).
+
+    Shingles hash to 60-bit longs and dedup to (source, h) grain FIRST
+    — the pair join runs on the per-source distinct sets keyed by hash,
+    so its width is the true overlap, never doc × doc. |sources|² pairs
+    of set intersections at the hash grain is the Theta-sketch shape
+    (sketches.py) computed exactly; at 100 sources × 100 TB the sketch
+    path replaces the exact join, same report schema.
+    """
+    srcs = ["src0", "src1", "src2", "src3", "src4"]
+    d = load(spark, sf_dir, "documents").where(F.col("source").isin(srcs))
+    from .extensions import word_shingles
+
+    h = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    sh = (
+        d.select(
+            "source",
+            F.explode(word_shingles(F.split("text", " "))).alias("shingle"),
+        )
+        .select("source", h.alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("overlap"),
+        )
+    )

@@ -106,3 +106,39 @@ def test_pack_audit_consistent_with_pack_sequences(spark):
         # greedy cursor never leaves a pack (except the last) below budget
         # minus one max doc; sanity: overall utilization is substantial
         assert a["utilization"] > 0.5
+
+
+def test_union_evolving_nullfills_by_name(spark):
+    rows = queries()["q_union_evolving"](spark, SF_SMALL).collect()
+    o = load(spark, SF_SMALL, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    pre = o.where(F.col("o_orderdate") < cut).count()
+    post = o.where(F.col("o_orderdate") >= cut).count()
+    assert sum(r["n"] for r in rows) == pre + post
+    # each side's exclusive column is non-null exactly on its rows
+    assert sum(r["with_priority"] for r in rows) == pre
+    assert sum(r["with_custkey"] for r in rows) == post
+    assert pre > 0 and post > 0
+
+
+def test_source_overlap_recount(spark):
+    rows = queries()["x_source_overlap"](spark, SF_SMALL).collect()
+    docs = load(spark, SF_SMALL, "documents").where(
+        F.col("source").isin(["src0", "src1", "src2", "src3", "src4"])
+    ).select("source", "text").collect()
+    per = defaultdict(set)
+    for d in docs:
+        ws = d["text"].split(" ")
+        sh = (
+            {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            if len(ws) >= 3
+            else {d["text"]}
+        )
+        per[d["source"]] |= sh
+    assert len(rows) == 10  # C(5,2) pairs
+    for r in rows:
+        a, b = per[r["src_a"]], per[r["src_b"]]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["n_common"] == len(a & b)
+        want = round(len(a & b) / min(len(a), len(b)), 6)
+        assert abs(r["overlap"] - want) < 1e-9
