@@ -553,3 +553,90 @@ def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s_session_dynamic — session windows with a PER-EVENT gap expression
+# ---------------------------------------------------------------------------
+
+_SESSION_DYN_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             + CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END
+               * CAST(1000000 AS BIGINT) AS en
+    FROM events
+), swept AS (
+    SELECT *,
+           MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_en
+    FROM e
+), grouped AS (
+    SELECT *,
+           SUM(CASE WHEN prev_max_en IS NULL OR prev_max_en < s
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS UNBOUNDED PRECEDING) AS grp
+    FROM swept
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       CAST(make_timestamp(MAX(en)) AS TIMESTAMP) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM grouped
+GROUP BY user_id, grp
+"""
+
+
+@register("s_session_dynamic", oracle=_SESSION_DYN_ORACLE)
+def s_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap — purchases hold a
+    session open for 60 minutes, everything else 30 (``session_window``
+    with an expression gap, the Spark feature fixed-gap sessionizers
+    can't emulate): post-purchase browsing belongs to the buying
+    session even after a long pause.
+
+    The oracle is the interval-union sweep (``q_interval_merge``) with
+    per-event interval ends — the exact batch semantics of dynamic
+    session merging (a session's end is the MAX of its members'
+    ``ts + gap(event)``; a new session starts when the running max ends
+    strictly before the next event). Cross-checking Spark's built-in
+    stateful operator against that independent window construction is
+    the point of the oracle. Streaming path: identical query under
+    ``readStream`` + watermark, per the s_session/batch-equivalence
+    pattern (tests assert the built-in and the sweep agree row-for-row).
+    """
+    e = load(spark, sf_dir, "events")
+    # session_window's gap expression must be CalendarIntervalType —
+    # INTERVAL literals parse as DayTimeIntervalType, so build the gap
+    # with make_interval (mins is its 6th argument)
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, 0,"
+        " CASE WHEN event_type = 'purchase' THEN 60 ELSE 30 END, 0)"
+    )
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), gap),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias(
+                "session_start"
+            ),
+            F.col("session_window.end").cast("timestamp_ntz").alias(
+                "session_end"
+            ),
+            "n_events",
+            "cents",
+        )
+    )

@@ -137,7 +137,7 @@ _DRIVER_ORDER: list[str] = [
     "x_rrf_fusion", "x_hard_negatives", "q_arrow_map",
     "q_join_asof_forward", "x_filter_attribution", "x_graph_degree_dist",
     "x_dedup_normalized", "x_pack_audit",
-    "q_union_evolving", "x_source_overlap",
+    "q_union_evolving", "x_source_overlap", "s_session_dynamic",
     # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",

@@ -142,3 +142,65 @@ def test_source_overlap_recount(spark):
         assert r["n_common"] == len(a & b)
         want = round(len(a & b) / min(len(a), len(b)), 6)
         assert abs(r["overlap"] - want) < 1e-9
+
+
+def test_session_dynamic_purchase_extends_sessions(spark):
+    """Dynamic-gap sessions: the 60-min purchase gap must MERGE some
+    event pairs a fixed 30-min gap would split — strictly fewer (or
+    equal) sessions than the fixed-gap count, and strictly fewer on
+    this fixture."""
+    dyn = queries()["s_session_dynamic"](spark, SF_SMALL)
+    n_dyn = dyn.count()
+    fixed = queries()["s_session"](spark, SF_SMALL)
+    n_fixed = fixed.count()
+    assert n_dyn < n_fixed
+    # session invariants: end > start, events >= 1
+    for r in dyn.collect():
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+
+
+def test_session_dynamic_streaming_equivalence(spark):
+    """The same dynamic-gap query under readStream (5 real micro-batches,
+    watermarked) converges to the batch result — the built-in stateful
+    operator's streaming path, not just its batch twin."""
+    import uuid
+
+    from googleanalytics_etl_spark.ops.streaming import (
+        _events_stream,
+        _run_to_memory,
+        _stage_events,
+    )
+
+    stage = _stage_events(spark, SF_SMALL)
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, 0,"
+        " CASE WHEN event_type = 'purchase' THEN 60 ELSE 30 END, 0)"
+    )
+    agg = (
+        _events_stream(spark, stage)
+        .withWatermark("ts", "10 hours")
+        .groupBy("user_id", F.session_window(F.col("ts"), gap))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "cents",
+        )
+    )
+    name = f"sdyn_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg, name, "complete")
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["cents"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["cents"])
+        for r in queries()["s_session_dynamic"](spark, SF_SMALL).collect()
+    }
+    assert got == want
