@@ -640,3 +640,119 @@ def s_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fn_timezone — civil-time conversion (UTC event log → local reporting)
+# ---------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+SELECT local_hour, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT EXTRACT(hour FROM CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'
+                   AT TIME ZONE 'America/New_York') AS local_hour
+    FROM events
+)
+GROUP BY local_hour
+"""
+
+
+@register("q_fn_timezone", oracle=_TZ_ORACLE)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Civil-time conversion: the UTC event log bucketed by
+    America/New_York local hour (`from_utc_timestamp` ↔ DuckDB's
+    double `AT TIME ZONE`) — the "what hour do users actually browse"
+    report every UTC-normalized warehouse eventually needs. Both
+    engines resolve the IANA zone database, so the oracle also pins
+    tzdata agreement; the fixture's January window sits entirely in
+    EST (DST transitions would shift two hours of the histogram — the
+    reason civil-time reports must NEVER be computed with a fixed
+    offset).
+    """
+    e = load(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(
+        F.col("ts").cast("timestamp"), "America/New_York"
+    )
+    return (
+        e.select(F.hour(local).cast("long").alias("local_hour"))
+        .groupBy("local_hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_vocab_coverage — tokenizer-sizing coverage curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH tf AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+), ranked AS (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r,
+           SUM(n) OVER (ORDER BY n DESC, tok
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(n) OVER () AS total
+    FROM tf
+)
+SELECT k, vocab_tokens, total_tokens,
+       ROUND(CAST(vocab_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+FROM (
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(MAX(CASE WHEN r <= k THEN cum END) AS BIGINT) AS vocab_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens
+    FROM ranked, (SELECT unnest([10, 100, 1000]) AS k)
+    GROUP BY k
+)
+"""
+
+
+@register("x_vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-k most frequent types cover, at k = 10 / 100 /
+    1000 — the Zipf statistic that sizes a tokenizer's vocab budget
+    (and the denominator of every OOV-rate projection). One corpus
+    count aggregate; the curve itself is a window over the ~|vocab|-row
+    frequency table (at web scale: the x_approx_topk sketch feeds the
+    head and the tail is bounded analytically).
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    ow = W.orderBy(F.col("n").desc(), "tok")
+    ranked = tf.select(
+        "n",
+        F.row_number().over(ow).alias("r"),
+        F.sum("n").over(ow.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(W.partitionBy()).alias("total"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.max(F.when(F.col("r") <= F.col("k"), F.col("cum")))
+            .cast("long")
+            .alias("vocab_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "k",
+            "vocab_tokens",
+            "total_tokens",
+            F.round(
+                F.col("vocab_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -204,3 +204,30 @@ def test_session_dynamic_streaming_equivalence(spark):
         for r in queries()["s_session_dynamic"](spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_timezone_shift_is_exact(spark):
+    rows = {r["local_hour"]: r["n"] for r in queries()["q_fn_timezone"](spark, SF_SMALL).collect()}
+    utc = {
+        r["h"]: r["n"]
+        for r in load(spark, SF_SMALL, "events")
+        .selectExpr("hour(cast(ts as timestamp)) as h")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # January ⇒ EST (UTC-5) everywhere: the histogram is a pure rotation
+    assert sum(rows.values()) == sum(utc.values())
+    for h, n in utc.items():
+        assert rows[(h - 5) % 24] == n
+
+
+def test_vocab_coverage_curve(spark):
+    rows = {r["k"]: r for r in queries()["x_vocab_coverage"](spark, SF_SMALL).collect()}
+    assert set(rows) == {10, 100, 1000}
+    # coverage is monotone in k, ends ≤ 1, and the head dominates
+    # (Zipfian fixture: top-10 already covers a large share)
+    assert rows[10]["coverage"] <= rows[100]["coverage"] <= rows[1000]["coverage"] <= 1.0
+    assert rows[10]["coverage"] > 0.2
+    tot = rows[10]["total_tokens"]
+    assert rows[100]["total_tokens"] == tot and rows[1000]["total_tokens"] == tot
