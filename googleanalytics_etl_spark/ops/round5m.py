@@ -756,3 +756,116 @@ def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_train_val_test — deterministic 3-way split with per-stratum accounting
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@register("x_train_val_test", oracle=_SPLIT_ORACLE)
+def x_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by md5-prefix
+    ranges ('00'-'cb' / 'cc'-'e5' / 'e6'-'ff' ≈ 204/26/26 of 256) with
+    per-(split, lang) accounting. The properties ``df.randomSplit``
+    cannot give: replay-stable under retries and repartitioning,
+    DISJOINT by construction (prefix ranges cannot overlap), and
+    membership computable row-locally forever after — a doc's split is
+    a pure function of its id, so later pipeline stages never need a
+    membership join. Same hash-prefix discipline as ``x_sample_hash``.
+    """
+    d = load(spark, sf_dir, "documents")
+    from .pipeline import key_hash
+
+    h2 = key_hash(F.col("doc_id")).substr(1, 2)
+    split = (
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_rfm_features — per-user feature assembly (the feature-store shape)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH horizon AS (
+    SELECT MAX(CAST(ts AS TIMESTAMP)) AS h FROM events
+)
+SELECT user_id,
+       CAST(date_diff('day',
+                      CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE),
+                      CAST(h AS DATE)) AS BIGINT) AS recency_days,
+       CAST(COUNT(*) AS BIGINT) AS frequency,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ROUND(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS monetary_cents,
+       CAST(COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+           AS active_days,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS n_purchases
+FROM events, horizon
+GROUP BY user_id, h
+"""
+
+
+@register("x_rfm_features", oracle=_RFM_ORACLE)
+def x_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM feature assembly — recency (days since last event,
+    against the corpus horizon), frequency, monetary value (exact
+    purchase cents), active-day count, purchase count: the canonical
+    churn/LTV feature block, computed as ONE hash aggregate over the
+    event log (the distinct-day count rides the same shuffle). The
+    horizon is a broadcast 1-row aggregate, so the whole feature build
+    is a single pass — the shape a feature store materializes nightly
+    at 100 TB, incrementally via ``q_incremental_agg``'s partial-merge
+    contract (every column here is partial-mergeable: max, sum, count,
+    distinct-day via per-day partials).
+    """
+    e = load(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    horizon = e.agg(F.max(ts).alias("h"))
+    return (
+        e.crossJoin(F.broadcast(horizon))
+        .groupBy("user_id", "h")
+        .agg(
+            F.datediff(
+                F.col("h").cast("date"), F.max(ts).cast("date")
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+            F.countDistinct(ts.cast("date")).cast("long").alias("active_days"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+        .drop("h")
+    )

@@ -138,7 +138,7 @@ _DRIVER_ORDER: list[str] = [
     "q_join_asof_forward", "x_filter_attribution", "x_graph_degree_dist",
     "x_dedup_normalized", "x_pack_audit",
     "q_union_evolving", "x_source_overlap", "s_session_dynamic",
-    "q_fn_timezone", "x_vocab_coverage",
+    "q_fn_timezone", "x_vocab_coverage", "x_train_val_test", "x_rfm_features",
     # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",

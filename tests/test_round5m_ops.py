@@ -231,3 +231,49 @@ def test_vocab_coverage_curve(spark):
     assert rows[10]["coverage"] > 0.2
     tot = rows[10]["total_tokens"]
     assert rows[100]["total_tokens"] == tot and rows[1000]["total_tokens"] == tot
+
+
+def test_train_val_test_split_proportions_and_disjointness(spark):
+    rows = queries()["x_train_val_test"](spark, SF_SMALL).collect()
+    tot = sum(r["n"] for r in rows)
+    assert tot == load(spark, SF_SMALL, "documents").count()
+    by_split = defaultdict(int)
+    for r in rows:
+        by_split[r["split"]] += r["n"]
+    assert set(by_split) == {"train", "val", "test"}
+    # expected 204/26/26 of 256 ≈ 79.7/10.2/10.2 %, binomial tolerance
+    assert abs(by_split["train"] / tot - 204 / 256) < 0.06
+    assert abs(by_split["val"] / tot - 26 / 256) < 0.05
+    assert abs(by_split["test"] / tot - 26 / 256) < 0.05
+    # replay: assignment is a pure function of doc_id
+    import hashlib
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "lang").collect()
+    want = defaultdict(int)
+    for d in docs:
+        h2 = hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:2]
+        s = "train" if h2 < "cc" else ("val" if h2 < "e6" else "test")
+        want[(s, d["lang"])] += 1
+    got = {(r["split"], r["lang"]): r["n"] for r in rows}
+    assert got == dict(want)
+
+
+def test_rfm_features_recount(spark):
+    got = {r["user_id"]: r for r in queries()["x_rfm_features"](spark, SF_SMALL).collect()}
+    ev = load(spark, SF_SMALL, "events").selectExpr(
+        "user_id", "cast(ts as timestamp) as ts", "event_type", "value"
+    ).collect()
+    horizon = max(e["ts"] for e in ev).date()
+    per = defaultdict(list)
+    for e in ev:
+        per[e["user_id"]].append(e)
+    assert set(got) == set(per)
+    for uid, evs in per.items():
+        r = got[uid]
+        assert r["recency_days"] == (horizon - max(e["ts"] for e in evs).date()).days
+        assert r["frequency"] == len(evs)
+        assert r["monetary_cents"] == sum(
+            round(e["value"] * 100) for e in evs if e["event_type"] == "purchase"
+        )
+        assert r["active_days"] == len({e["ts"].date() for e in evs})
+        assert r["n_purchases"] == sum(1 for e in evs if e["event_type"] == "purchase")
