@@ -150,6 +150,10 @@ _BNLJ_OK = {
     # and the 1-row query-vector broadcast in the fusion's cosine leg
     "x_hilbert",
     "x_rrf_fusion",
+    # 1-row horizon broadcast (RFM recency) and the 3-row k-threshold
+    # spine in the coverage curve
+    "x_rfm_features",
+    "x_vocab_coverage",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
