@@ -277,3 +277,22 @@ def test_rfm_features_recount(spark):
         )
         assert r["active_days"] == len({e["ts"].date() for e in evs})
         assert r["n_purchases"] == sum(1 for e in evs if e["event_type"] == "purchase")
+
+
+def test_cross_operator_token_accounting(spark):
+    """Consistency web: three independent operators must agree on the
+    corpus's total token-occurrence count — the coverage curve's
+    denominator, the heavy-hitter threshold base, and a direct count."""
+    cov = queries()["x_vocab_coverage"](spark, SF_SMALL).collect()[0]
+    direct = (
+        load(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .count()
+    )
+    assert cov["total_tokens"] == direct
+    # heavy hitters: every reported count obeys the n/(k+1) threshold
+    # against the SAME total
+    hh = queries()["x_approx_topk"](spark, SF_SMALL).collect()
+    for r in hh:
+        assert r["n"] * 51 > direct
