@@ -869,3 +869,128 @@ def x_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_psi_drift — population stability index between time periods
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH labeled AS (
+    SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                THEN 'early' ELSE 'late' END AS period,
+           event_type,
+           LEAST(CAST(FLOOR(value / 20.0) AS BIGINT), 4) AS bucket
+    FROM events WHERE value IS NOT NULL
+), counts AS (
+    SELECT event_type, bucket,
+           CAST(SUM(CASE WHEN period = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_early,
+           CAST(SUM(CASE WHEN period = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late
+    FROM labeled GROUP BY event_type, bucket
+), tot AS (
+    SELECT event_type, SUM(n_early) AS te, SUM(n_late) AS tl
+    FROM counts GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(CAST(SUM(CAST(
+           ((n_early + 0.5) / (te + 2.5) - (n_late + 0.5) / (tl + 2.5))
+           * LN(((n_early + 0.5) / (te + 2.5))
+                / ((n_late + 0.5) / (tl + 2.5)))
+           AS DECIMAL(18,8))) AS DOUBLE), 6) AS psi
+FROM counts c JOIN tot USING (event_type)
+GROUP BY c.event_type
+"""
+
+
+@register("x_psi_drift", oracle=_PSI_ORACLE)
+def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the month's first and second
+    half, per event type over 5 fixed value buckets — THE production
+    drift alarm for model inputs (rule of thumb: psi > 0.25 ⇒
+    retrain). Laplace-smoothed shares (+0.5 per bucket) keep empty
+    buckets finite; per-term products are DECIMAL(18,8)-quantized
+    before the exact sum so the index is bit-stable cross-engine.
+
+    One labeled scan → (type, bucket) hash aggregate carrying BOTH
+    period counts (no self-join of the two periods) → a ~|types·buckets|
+    row reduction. At 100 TB the nightly drift check costs one pass.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    labeled = e.select(
+        F.when(F.col("ts").cast("timestamp_ntz") < cut, "early")
+        .otherwise("late")
+        .alias("period"),
+        "event_type",
+        F.least(F.floor(F.col("value") / 20.0).cast("long"), F.lit(4)).alias(
+            "bucket"
+        ),
+    )
+    counts = labeled.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("period") == "early", 1).otherwise(0))
+        .cast("long")
+        .alias("n_early"),
+        F.sum(F.when(F.col("period") == "late", 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
+    )
+    pe = (F.col("n_early") + 0.5) / (F.col("te") + 2.5)
+    pl = (F.col("n_late") + 0.5) / (F.col("tl") + 2.5)
+    term = ((pe - pl) * F.log(pe / pl)).cast("decimal(18,8)")
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_user_coherent_sample — all-or-none per-entity sampling
+# ---------------------------------------------------------------------------
+
+_COHERENT_ORACLE = """
+WITH sampled AS (
+    SELECT user_id, event_id, event_type
+    FROM events
+    WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '1a'
+)
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS n_purchases
+FROM sampled
+"""
+
+
+@register("x_user_coherent_sample", oracle=_COHERENT_ORACLE)
+def x_user_coherent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY-coherent sampling: hash the USER, not the event — a
+    sampled user keeps every event, an unsampled user contributes none.
+    Row-level sampling (``x_sample_hash``) silently destroys every
+    session/funnel/retention metric computed downstream (half a user's
+    events ⇒ broken gaps, phantom bounces); the coherent form preserves
+    all within-user structure exactly, at the price of coarser sample-
+    size control (user-count granularity). Same md5-prefix determinism,
+    row-local predicate, no shuffle, composable into disjoint cohorts.
+    """
+    e = load(spark, sf_dir, "events")
+    from .pipeline import key_hash
+
+    keep = key_hash(F.col("user_id")).substr(1, 2) < "1a"
+    s = e.where(keep)
+    return s.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("n_purchases"),
+    )

@@ -139,6 +139,7 @@ _DRIVER_ORDER: list[str] = [
     "x_dedup_normalized", "x_pack_audit",
     "q_union_evolving", "x_source_overlap", "s_session_dynamic",
     "q_fn_timezone", "x_vocab_coverage", "x_train_val_test", "x_rfm_features",
+    "x_psi_drift", "x_user_coherent_sample",
     # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",

@@ -296,3 +296,61 @@ def test_cross_operator_token_accounting(spark):
     hh = queries()["x_approx_topk"](spark, SF_SMALL).collect()
     for r in hh:
         assert r["n"] * 51 > direct
+
+
+def test_psi_drift_recount(spark):
+    import math
+
+    got = {r["event_type"]: r for r in queries()["x_psi_drift"](spark, SF_SMALL).collect()}
+    ev = load(spark, SF_SMALL, "events").selectExpr(
+        "cast(ts as timestamp) as ts", "event_type", "value"
+    ).collect()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cells = defaultdict(lambda: [0, 0])
+    for e in ev:
+        if e["value"] is None:
+            continue
+        period = 0 if e["ts"].isoformat() < "2024-01-16" else 1
+        b = min(int(e["value"] // 20), 4)
+        cells[(e["event_type"], b)][period] += 1
+    types = {t for t, _b in cells}
+    for t in types:
+        te = sum(v[0] for (tt, _b), v in cells.items() if tt == t)
+        tl = sum(v[1] for (tt, _b), v in cells.items() if tt == t)
+        s = Decimal(0)
+        nb = 0
+        for (tt, _b), (ne, nl) in cells.items():
+            if tt != t:
+                continue
+            nb += 1
+            pe = (ne + 0.5) / (te + 2.5)
+            pl = (nl + 0.5) / (tl + 2.5)
+            s += Decimal((pe - pl) * math.log(pe / pl)).quantize(
+                Decimal("0.00000001"), rounding=ROUND_HALF_UP
+            )
+        r = got[t]
+        assert r["n_buckets"] == nb
+        assert abs(r["psi"] - float(s)) < 1e-6
+        assert r["psi"] >= 0  # PSI is a (smoothed) f-divergence
+
+
+def test_user_coherent_sample_is_all_or_none(spark):
+    r = queries()["x_user_coherent_sample"](spark, SF_SMALL).collect()[0]
+    import hashlib
+
+    ev = load(spark, SF_SMALL, "events").select("user_id", "event_type").collect()
+    per_user = defaultdict(lambda: [0, 0])
+    for e in ev:
+        per_user[e["user_id"]][0] += 1
+        per_user[e["user_id"]][1] += e["event_type"] == "purchase"
+    kept = {
+        u for u in per_user
+        if hashlib.md5(str(u).encode()).hexdigest()[:2] < "1a"
+    }
+    assert r["n_users"] == len(kept)
+    assert r["n_events"] == sum(per_user[u][0] for u in kept)
+    assert r["n_purchases"] == sum(per_user[u][1] for u in kept)
+    # coherence: sampled users contribute EVERY event (counts match the
+    # full per-user totals, no partial users possible by construction)
+    assert 0 < r["n_users"] < len(per_user)
