@@ -994,3 +994,142 @@ def x_user_coherent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_threshold_curve — pairs-vs-threshold tuning curve
+# ---------------------------------------------------------------------------
+
+_DEDUP_CURVE_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id < 10
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+               list_transform(range(len(str_split(text, ' ')) - 2),
+                   i -> str_split(text, ' ')[i + 1] || ' ' ||
+                        str_split(text, ' ')[i + 2] || ' ' ||
+                        str_split(text, ' ')[i + 3])
+               ELSE [text] END) AS shingles
+    FROM corpus
+), hs AS (
+    SELECT doc_id,
+           list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h1s,
+           list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) AS h2s
+    FROM sh
+), sigs AS (
+    SELECT doc_id,
+           list_transform(range(16), i ->
+               list_min(list_transform(range(len(h1s)),
+                   j -> h1s[j + 1] + i * h2s[j + 1]))) AS sig
+    FROM hs
+), banded AS (
+    SELECT doc_id, band,
+           CAST(sig[4 * band + 1] AS VARCHAR) || ':' ||
+           CAST(sig[4 * band + 2] AS VARCHAR) || ':' ||
+           CAST(sig[4 * band + 3] AS VARCHAR) || ':' ||
+           CAST(sig[4 * band + 4] AS VARCHAR) AS bucket
+    FROM sigs, range(4) t(band)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+), hset AS (
+    SELECT doc_id, list_distinct(h1s) AS hsig FROM hs
+), verified AS (
+    SELECT ROUND(CAST(len(list_intersect(s1.hsig, s2.hsig)) AS DOUBLE)
+                 / len(list_distinct(list_concat(s1.hsig, s2.hsig))), 6)
+               AS jaccard
+    FROM cand
+    JOIN hset s1 ON s1.doc_id = doc_a
+    JOIN hset s2 ON s2.doc_id = doc_b
+)
+SELECT t AS threshold,
+       CAST(SUM(CASE WHEN jaccard >= t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pairs
+FROM verified, (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
+GROUP BY t
+"""
+
+
+@register("x_dedup_threshold_curve", oracle=_DEDUP_CURVE_ORACLE)
+def x_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: how many verified candidate pairs
+    survive at Jaccard ≥ 0.5 / 0.6 / 0.7 / 0.8 / 0.9 — the report that
+    picks a production threshold (too low eats legitimate near-misses,
+    too high leaks templated spam) BEFORE committing a corpus-wide
+    delete. One extra ~5-row spine join over the already-verified
+    candidate scores (``x_dedup_near``'s machinery, shared stage cache)
+    — the expensive signatures are computed once, the curve is free.
+    """
+    from .extensions import _minhash_parts
+
+    scored = _minhash_parts(spark, sf_dir)["scored"]
+    ts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+        ).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(ts))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_time_decay — exponential recency-weighted aggregates
+# ---------------------------------------------------------------------------
+
+_TIME_DECAY_ORACLE = """
+WITH horizon AS (
+    SELECT MAX(CAST(ts AS TIMESTAMP)) AS h FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(
+           value * EXP(-0.1 * date_diff('day',
+                                        CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                                        CAST(h AS DATE)))
+           AS DECIMAL(18,6))) AS DOUBLE), 4) AS decayed_value
+FROM events, horizon
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("x_time_decay", oracle=_TIME_DECAY_ORACLE)
+def x_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay aggregation: Σ value·e^(−λ·age_days)
+    with λ = 0.1 against the corpus horizon — the recency weighting
+    under trending-content ranks, decayed LTV, and freshness-biased
+    sampling. Unlike ``q_ewma`` (an ORDERED fold, one value per step)
+    this is an unordered weighted SUM, so it stays one commutative
+    hash aggregate — each term decimal-quantized (day-grain ages make
+    e^(−λ·age) one of ~30 doubles, bit-identical cross-engine) and
+    summed exactly.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ts = F.col("ts").cast("timestamp")
+    horizon = e.agg(F.max(ts).alias("h"))
+    age = F.datediff(F.col("h").cast("date"), ts.cast("date"))
+    term = (F.col("value") * F.exp(-0.1 * age)).cast("decimal(18,6)")
+    return (
+        e.crossJoin(F.broadcast(horizon))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(term).cast("double"), 4).alias("decayed_value"),
+        )
+    )

@@ -140,6 +140,7 @@ _DRIVER_ORDER: list[str] = [
     "q_union_evolving", "x_source_overlap", "s_session_dynamic",
     "q_fn_timezone", "x_vocab_coverage", "x_train_val_test", "x_rfm_features",
     "x_psi_drift", "x_user_coherent_sample",
+    "x_dedup_threshold_curve", "x_time_decay",
     # --- keys hash-proven in CORRECTNESS_r02/r03 -------------------------
     "q_cast_types", "q_subquery_correlated", "q_subquery_exists",
     "x_multimodal", "x_media_frames", "x_dedup_clusters",

@@ -354,3 +354,51 @@ def test_user_coherent_sample_is_all_or_none(spark):
     # coherence: sampled users contribute EVERY event (counts match the
     # full per-user totals, no partial users possible by construction)
     assert 0 < r["n_users"] < len(per_user)
+
+
+def test_dedup_threshold_curve_is_monotone_and_consistent(spark):
+    rows = {r["threshold"]: r["n_pairs"] for r in queries()["x_dedup_threshold_curve"](spark, SF_SMALL).collect()}
+    assert sorted(rows) == [0.5, 0.6, 0.7, 0.8, 0.9]
+    # survival is monotone non-increasing in the threshold
+    vals = [rows[t] for t in sorted(rows)]
+    assert vals == sorted(vals, reverse=True)
+    # consistency with x_dedup_near (threshold 0.5 = its pair count)
+    near = queries()["x_dedup_near"](spark, SF_SMALL).count()
+    assert rows[0.5] == near
+    # the planted identical pairs survive every threshold
+    assert rows[0.9] >= 10
+
+
+def test_time_decay_recount(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {r["event_type"]: r for r in queries()["x_time_decay"](spark, SF_SMALL).collect()}
+    ev = load(spark, SF_SMALL, "events").selectExpr(
+        "cast(ts as timestamp) as ts", "event_type", "value"
+    ).collect()
+    horizon = max(e["ts"] for e in ev).date()
+    sums = defaultdict(lambda: [0, Decimal(0)])
+    for e in ev:
+        if e["value"] is None:
+            continue
+        age = (horizon - e["ts"].date()).days
+        t = Decimal(e["value"] * math.exp(-0.1 * age)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        sums[e["event_type"]][0] += 1
+        sums[e["event_type"]][1] += t
+    for typ, (n, s) in sums.items():
+        r = got[typ]
+        assert r["n"] == n
+        # Python's exp differs from the JVM/C exp in the last ulp, which
+        # can flip the 1e-6 per-term quantization either way — allow the
+        # accumulated slack (the ENGINES agree exactly; this recount is
+        # an independent approximation, cf. the log2 lesson in
+        # test_round5d_ops)
+        assert abs(r["decayed_value"] - float(s)) < 1e-3
+        # decayed value is bounded by the undecayed sum
+        undecayed = sum(
+            e["value"] for e in ev if e["event_type"] == typ and e["value"] is not None
+        )
+        assert r["decayed_value"] <= undecayed + 1e-9
