@@ -154,6 +154,9 @@ _BNLJ_OK = {
     # spine in the coverage curve
     "x_rfm_features",
     "x_vocab_coverage",
+    # 5-row threshold spine over cached pairs; 1-row decay horizon
+    "x_dedup_threshold_curve",
+    "x_time_decay",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
