@@ -1049,7 +1049,7 @@ WITH corpus AS (
     JOIN hset s1 ON s1.doc_id = doc_a
     JOIN hset s2 ON s2.doc_id = doc_b
 )
-SELECT t AS threshold,
+SELECT CAST(t AS DOUBLE) AS threshold,
        CAST(SUM(CASE WHEN jaccard >= t THEN 1 ELSE 0 END) AS BIGINT)
            AS n_pairs
 FROM verified, (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
