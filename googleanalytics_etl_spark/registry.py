@@ -175,8 +175,41 @@ _DRIVER_ORDER: list[str] = [
 ]
 
 
+# PREPARED ROUND-5 WINDOW — exactly the 50 keys built late in round 4
+# that have never had a driver CORRECTNESS row (strict-verifier evidence
+# only). Next session: activate with `_WINDOW_OVERRIDE = _ROUND5_WINDOW`
+# below; the remaining keys keep their `_DRIVER_ORDER` relative order
+# after slot 50 (the round-4 window keys will then carry their r04 rows).
+_ROUND5_WINDOW: list[str] = [
+    "q_join_asof_tolerance", "x_top_movers", "x_ngram_novelty",
+    "q_join_null_safe", "q_time_weighted_avg",
+    "x_mixture_sample", "x_token_entropy", "x_winsorize",
+    "x_neighbor_jaccard", "x_bpe_merge", "x_semdedup",
+    "q_interval_merge", "x_containment", "x_approx_topk",
+    "x_bigram_logprob", "x_diverse_sample", "x_dp_groupby",
+    "q_scan_evolving", "q_scan_binaryfile", "x_dedup_incremental",
+    "s_topk_complete", "q_scan_malformed", "x_curation_e2e",
+    "x_bigram_heldout", "x_shard_balance", "x_weighted_sample",
+    "q_pivot_dynamic", "x_equidepth_hist", "x_bpe_apply", "x_dpp_join",
+    "x_hilbert", "x_rrf_fusion", "x_hard_negatives", "q_arrow_map",
+    "q_join_asof_forward", "x_filter_attribution", "x_graph_degree_dist",
+    "x_dedup_normalized", "x_pack_audit", "q_union_evolving",
+    "x_source_overlap", "s_session_dynamic", "q_fn_timezone",
+    "x_vocab_coverage", "x_train_val_test", "x_rfm_features",
+    "x_psi_drift", "x_user_coherent_sample", "x_dedup_threshold_curve",
+    "x_time_decay",
+]
+
+# Round 4 keeps the round-3/4 window active; flip to _ROUND5_WINDOW at
+# the start of round 5 (see COVERAGE.md "Round-5 rotation plan").
+_WINDOW_OVERRIDE: list[str] | None = None
+
+
 def _ordered() -> list[str]:
     listed = [k for k in _DRIVER_ORDER if k in REGISTRY]
+    if _WINDOW_OVERRIDE is not None:
+        head = [k for k in _WINDOW_OVERRIDE if k in REGISTRY]
+        listed = head + [k for k in listed if k not in set(head)]
     rest = [k for k in REGISTRY if k not in set(listed)]
     return listed + rest
 
