@@ -115,3 +115,28 @@ def test_mg_partition_summary_guarantee():
     for tok, c in Counter(stream).items():
         if c * (_MG_CAPACITY + 1) > n:
             assert tok in survivors, tok
+
+
+def test_interval_merge_agrees_with_session_windows(spark):
+    """Cross-operator consistency: a 30-min activity interval union is
+    EXACTLY the fixed-gap session structure — per user, the number of
+    merged intervals must equal s_session's session count, and total
+    covered time = Σ (session_end − session_start). Two independent
+    constructions (running-max sweep vs the built-in session_window)
+    of one concept."""
+    from collections import defaultdict
+
+    iv = {r["user_id"]: r for r in queries()["q_interval_merge"](spark, SF_SMALL).collect()}
+    sess = queries()["s_session"](spark, SF_SMALL).collect()
+    per = defaultdict(lambda: [0, 0])
+    for s in sess:
+        per[s["user_id"]][0] += 1
+        from datetime import timedelta
+
+        per[s["user_id"]][1] += (s["session_end"] - s["session_start"]) // timedelta(
+            microseconds=1
+        )
+    assert set(iv) == set(per)
+    for uid, (n, covered) in per.items():
+        assert iv[uid]["n_intervals"] == n
+        assert iv[uid]["covered_us"] == covered
