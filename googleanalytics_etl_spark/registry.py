@@ -200,9 +200,10 @@ _ROUND5_WINDOW: list[str] = [
     "x_time_decay",
 ]
 
-# Round 4 keeps the round-3/4 window active; flip to _ROUND5_WINDOW at
-# the start of round 5 (see COVERAGE.md "Round-5 rotation plan").
-_WINDOW_OVERRIDE: list[str] | None = None
+# Round 5: the driver window is the 50 keys that have never had a
+# driver CORRECTNESS row (strict-verifier + judge evidence only).
+# Every other key keeps its r01–r04 driver row (see COVERAGE.md).
+_WINDOW_OVERRIDE: list[str] | None = _ROUND5_WINDOW
 
 
 def _ordered() -> list[str]:
