@@ -80,6 +80,45 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_DISTINCT_BOUND_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       CAST(1 AS BIGINT) AS in_bound
+FROM events GROUP BY event_type
+"""
+
+
+@register("q_approx_distinct_bound", oracle=_APPROX_DISTINCT_BOUND_ORACLE)
+def q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible accuracy contract for ``q_approx_distinct`` — the
+    exact-twin + hardcoded-bound construction from sketch_ops.py: the
+    exact distinct count (full SQL oracle on both engines) alongside an
+    ``in_bound`` flag asserting the HLL++ estimate (rsd = 2%) landed
+    within 6% (3 sigma) of it. The oracle hardcodes ``in_bound = 1``,
+    so a driver hash-match certifies BOTH the exact computation and the
+    sketch's error bound on this data. Estimates are deterministic for
+    a given input (HLL merge is partition-order-independent), so the
+    flag is stable across runs."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("_est"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_users_exact"))
+                <= 0.06 * F.col("n_users_exact")
+            )
+            .cast("bigint")
+            .alias("in_bound"),
+        )
+    )
+
+
 _DISTINCT_ROWS_ORACLE = """
 SELECT DISTINCT user_id, event_type FROM events
 """

@@ -379,26 +379,21 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.J family: k-NN JOIN with label blocking
 # ---------------------------------------------------------------------------
 
-_KNN_JOIN_ORACLE = """
-WITH v AS (
-    SELECT vec_id, label,
-           CAST(unnest(embedding) AS DOUBLE) AS val,
-           generate_subscripts(embedding, 1) AS dim
-    FROM embeddings
-), norms AS (
-    SELECT vec_id, SUM(val * val) AS nrm FROM v GROUP BY vec_id
-), dots AS (
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.val * b.val) AS dot
-    FROM v a
-    JOIN v b ON a.label = b.label AND a.dim = b.dim
-            AND a.vec_id <> b.vec_id
-    GROUP BY 1, 2
+def _knn_join_oracle() -> str:
+    from .round5b import ivf_oracle_ctes
+
+    return f"""
+WITH em AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+){ivf_oracle_ctes()}, aug AS (
+    SELECT e.vec_id, e.label, e.emb, a.cluster
+    FROM em e JOIN assign a USING (vec_id)
 ), scored AS (
-    SELECT a_id, b_id,
-           ROUND(dot / SQRT(na.nrm * nb.nrm), 6) AS cos_r
-    FROM dots
-    JOIN norms na ON na.vec_id = a_id
-    JOIN norms nb ON nb.vec_id = b_id
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_r
+    FROM aug a
+    JOIN aug b ON a.label = b.label AND a.cluster = b.cluster
+              AND a.vec_id <> b.vec_id
 )
 SELECT a_id, b_id, cos_r, rank FROM (
     SELECT a_id, b_id, cos_r,
@@ -411,25 +406,30 @@ WHERE rank <= 3
 """
 
 
-@register("x_knn_join_blocked", oracle=_KNN_JOIN_ORACLE)
+@register("x_knn_join_blocked", oracle=_knn_join_oracle())
 def x_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN JOIN: every vector gets its top-3 cosine neighbors — the
-    all-pairs version of similarity search that embedding dedup and
-    semantic clustering actually consume (``x_sim_knn*`` answer one
-    query; this answers all of them).
+    """Blocked k-NN JOIN: every vector gets its top-3 cosine neighbors
+    among same-label vectors in its IVF cell — the all-pairs version of
+    similarity search that embedding dedup and semantic clustering
+    actually consume (``x_sim_knn*`` answer one query; this answers all
+    of them).
 
-    Blocking = the coarse partition (label — in production the IVF cell
-    / LSH bucket every vector is already assigned to): candidate pairs
-    form ONLY within a block, so the pair space is Σ|block|², never n².
-    Within a block the join is exact: a hash join on the block key with
-    the dot product as a ``zip_with``/``aggregate`` codegen fold (no
-    UDF), then one per-vector window for top-k. Cosines are rounded to
-    6 dp BEFORE ranking on both engines — double-summation order across
-    engines differs in the last ulps, and ranking on the rounded value
-    with a b_id tiebreaker makes the cross-engine order identical.
+    Blocking = (label, IVF cell) where the cell comes from
+    :func:`~..round5b.ivf_seeds` with **k = ⌈√n⌉** Lloyd-refined
+    centroids: candidate pairs form ONLY within a block, so the pair
+    space is Σ|block|² ≈ n^1.5/|labels| at ANY corpus size — blocking
+    on the 10 fixed labels alone would degenerate to n²/10 the moment
+    n grows. Within a block the join is exact: a hash join on the
+    block key with the dot product as a ``zip_with``/``aggregate``
+    codegen fold (no UDF), then one per-vector window for top-k.
+    Cosines are rounded to 6 dp BEFORE ranking on both engines —
+    double-summation order across engines differs in the last ulps,
+    and ranking on the rounded value with a b_id tiebreaker makes the
+    cross-engine order identical.
 
     At 100 TB: the window partitions by vector id (no global sort); the
-    block join shuffles (block, vec) once; skewed blocks split via AQE.
+    block join shuffles (block, vec) once; skewed blocks split via AQE;
+    the k×d seed table stays broadcast metadata.
     """
     return knn_join(load(spark, sf_dir, "embeddings"))
 
@@ -437,40 +437,37 @@ def x_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_join(e: DataFrame) -> DataFrame:
     """Core of :func:`x_knn_join_blocked` over any (vec_id, embedding,
     label) frame (stress tests feed scaled copies)."""
-    dbl = lambda c: c.cast("double")  # noqa: E731
-    norm = F.aggregate(
-        "embedding", F.lit(0.0), lambda acc, x: acc + dbl(x) * dbl(x)
-    )
-    side = e.select(
+    from .round5b import seed_assign
+
+    assign = seed_assign(e.select("vec_id", "embedding", "label"))
+    a = assign.select(
         "label",
-        F.col("vec_id"),
-        F.col("embedding"),
-        norm.alias("nrm"),
-    )
-    a = side.select(
-        "label",
+        "cluster",
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b = side.select(
+    b = assign.select(
         "label",
+        "cluster",
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: dbl(x) * dbl(y)),
+        F.zip_with(
+            "va", "vb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     scored = (
-        a.join(b, "label")
+        a.join(b, ["label", "cluster"])
         .where(F.col("a_id") != F.col("b_id"))
         .select(
             "a_id",
             "b_id",
-            F.round(dot / F.sqrt(F.col("na") * F.col("nb")), 6).alias("cos_r"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_r"),
         )
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("cos_r"), "b_id")

@@ -263,17 +263,24 @@ WHERE event_id IN (SELECT event_id FROM events
 """
 
 
+_BIDX_PAGE = 8  # data files per manifest page (directory)
+
+
 def _bloom_index_stage(spark: SparkSession, sf_dir: str):
-    """Time-range-partitioned copy of events + per-file event_id bloom
-    manifest, fingerprint-cached (write once per fixture; reads after
-    that touch only the manifest + matching files)."""
+    """Time-range-partitioned copy of events under ``stage/data/pg=N/``
+    plus a PAGED per-file bloom manifest — a parquet dataset at
+    ``stage/_blooms/pg=N/`` with one sidecar directory per data page,
+    rows at (file, word) grain. Fingerprint-cached (write once per
+    fixture). The manifest is never materialized on the driver: at
+    100 TB, files × 8 KiB of bitmaps is GBs of metadata, so lookups
+    scan the manifest DISTRIBUTED (each split reads one page's
+    sidecar) and only matching file names reach the driver."""
     import hashlib
-    import json
     import os
     import shutil
     from pathlib import Path
 
-    from .joins import _bloom_positions, _BLOOM_WORDS
+    from .joins import _bloom_positions
     from .round4 import SCRATCH
 
     src = Path(sf_dir) / "events.parquet"
@@ -281,55 +288,62 @@ def _bloom_index_stage(spark: SparkSession, sf_dir: str):
     # fingerprint covers the indexed column: changing the index scheme
     # must invalidate the cached manifest, not silently reuse it
     fp = hashlib.md5(
-        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{_BIDX_FILES}|event_id".encode()
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{_BIDX_FILES}|{_BIDX_PAGE}|event_id|paged".encode()
     ).hexdigest()[:16]
     stage = SCRATCH / "bloomidx" / f"{Path(sf_dir).name}_{fp}"
-    manifest_path = stage / "_blooms.json"
-    if manifest_path.exists():
-        return stage, json.loads(manifest_path.read_text())
+    done = stage / "_MANIFEST_DONE"
+    if done.exists():
+        return stage
     shutil.rmtree(stage, ignore_errors=True)
     (
         load(spark, sf_dir, "events")
         .select("event_id", "user_id", "ts", "event_type", "value")
         .repartitionByRange(_BIDX_FILES, "ts", "event_id")
         .sortWithinPartitions("ts", "event_id")
-        .write.parquet(str(stage))
+        .withColumn("pg", F.spark_partition_id() / _BIDX_PAGE)
+        .withColumn("pg", F.col("pg").cast("int"))
+        .write.partitionBy("pg")
+        .parquet(str(stage / "data"))
     )
     # one aggregate pass: per (file, word) bit_or of the k probe bits of
-    # every event_id in that file — ≤ files × 1024 rows of metadata out
+    # every event_id in that file — ≤ files × 1024 rows of metadata,
+    # written straight back out as the paged manifest (no collect)
+    rel = F.regexp_extract(F.input_file_name(), r"(pg=\d+/[^/]+)$", 1)
     pos = F.explode(F.array(*_bloom_positions(F.col("event_id")))).alias("p")
-    rows = (
-        spark.read.parquet(str(stage))
-        .select(F.input_file_name().alias("f"), "event_id")
-        .select("f", pos)
+    (
+        spark.read.parquet(str(stage / "data"))
+        .select(rel.alias("relpath"), "event_id")
+        .select("relpath", pos)
         .select(
-            "f",
+            "relpath",
             (F.col("p") / 64).cast("int").alias("w"),
             F.expr("shiftleft(CAST(1 AS BIGINT), p % 64)").alias("bit"),
         )
-        .groupBy("f", "w")
+        .groupBy("relpath", "w")
         .agg(F.bit_or("bit").alias("word"))
-        .collect()
+        .withColumn(
+            "pg", F.regexp_extract("relpath", r"pg=(\d+)", 1).cast("int")
+        )
+        .write.partitionBy("pg")
+        .parquet(str(stage / "_blooms"))
     )
-    manifest: dict[str, dict[str, int]] = {}
-    for r in rows:
-        name = r["f"].rsplit("/", 1)[-1]
-        manifest.setdefault(name, {})[str(r["w"])] = r["word"]
-    assert all(len(v) <= _BLOOM_WORDS for v in manifest.values())
-    manifest_path.write_text(json.dumps(manifest))
-    return stage, manifest
+    done.touch()
+    return stage
 
 
 def bloom_index_lookup(
     spark: SparkSession, sf_dir: str, keys: list[int]
 ):
-    """Point lookup through the bloom index: returns (DataFrame of
-    matching rows, files_read, files_total). Files whose bitmap cannot
-    contain ANY key are never opened; an exact IN filter removes bloom
-    false positives."""
-    from .joins import _bloom_positions, _BLOOM_K
+    """Point lookup through the paged bloom index: returns (DataFrame
+    of matching rows, files_read, files_total). The manifest match runs
+    as a distributed scan over the sidecar pages — the driver receives
+    ONLY the matching file names (bounded by lookup selectivity) plus
+    one scalar count, never the full bitmap set. Files whose bitmap
+    cannot contain ANY key are never opened; an exact IN filter removes
+    bloom false positives."""
+    from .joins import _bloom_positions
 
-    stage, manifest = _bloom_index_stage(spark, sf_dir)
+    stage = _bloom_index_stage(spark, sf_dir)
     # probe positions must match the Spark-side xxhash64 exactly — derive
     # them with a tiny bounded Spark job (len(keys) rows), not Python
     probes = (
@@ -339,23 +353,48 @@ def bloom_index_lookup(
     )
     key_probes = [r["ps"] for r in probes]
 
-    def file_matches(words: dict[str, int]) -> bool:
-        for ps in key_probes:
-            hit = all(
-                (words.get(str(p // 64), 0) >> (p % 64)) & 1 for p in ps
-            )
-            if hit:
-                return True
-        return False
+    def _bit(p: int):
+        b = 1 << (p % 64)
+        if b >= 1 << 63:  # Spark longs are signed; fold the sign bit
+            b -= 1 << 64
+        return F.lit(b)
 
-    selected = sorted(f for f, words in manifest.items() if file_matches(words))
-    total = len(manifest)
-    if not selected:
-        empty = spark.read.parquet(str(stage)).limit(0)
-        return empty, 0, total
-    df = spark.read.parquet(*[str(stage / f) for f in selected]).where(
-        F.col("event_id").isin([int(k) for k in keys])
+    def _key_hit(ps) -> F.Column:
+        cond = F.lit(True)
+        for p in ps:
+            word = F.coalesce(
+                F.element_at("wm", F.lit(int(p // 64))), F.lit(0).cast("bigint")
+            )
+            cond = cond & (word.bitwiseAND(_bit(int(p))) != 0)
+        return cond
+
+    match = F.lit(False)
+    for ps in key_probes:
+        match = match | _key_hit(ps)
+
+    per_file = (
+        spark.read.parquet(str(stage / "_blooms"))
+        .groupBy("relpath")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias(
+                "wm"
+            )
+        )
     )
+    stats = per_file.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(match, 1).otherwise(0)).alias("hits"),
+    ).first()
+    total = stats["total"]
+    if not stats["hits"]:
+        empty = spark.read.parquet(str(stage / "data")).drop("pg").limit(0)
+        return empty, 0, total
+    selected = sorted(
+        r["relpath"] for r in per_file.where(match).select("relpath").collect()
+    )
+    df = spark.read.parquet(
+        *[str(stage / "data" / rel) for rel in selected]
+    ).where(F.col("event_id").isin([int(k) for k in keys]))
     return df, len(selected), total
 
 
@@ -379,10 +418,12 @@ def x_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick both engines compute identically), so the oracle is a closed
     SQL form and the keys land in arbitrary files. The per-file
     bitmaps are built in ONE aggregate pass over the staged copy
-    (file × word grain, bounded metadata); probes reuse the
-    Kirsch-Mitzenmacher xxhash64 geometry of ``x_bloom_semi``. tests
-    assert the lookup opened a small minority of files and still
-    returned exactly the full scan's rows.
+    (file × word grain) and written as a PAGED parquet manifest — one
+    sidecar directory per data page, matched by a distributed scan, so
+    the driver never holds files × 8 KiB of bitmap metadata (GBs at
+    100 TB); probes reuse the Kirsch-Mitzenmacher xxhash64 geometry of
+    ``x_bloom_semi``. tests assert the lookup opened a small minority
+    of files and still returned exactly the full scan's rows.
     """
     e = load(spark, sf_dir, "events")
     keys = [

@@ -29,6 +29,8 @@ any float threshold, explicit unique tiebreakers on every rank.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -431,25 +433,56 @@ def x_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_semdedup — centroid-bucketed semantic dedup
 # ---------------------------------------------------------------------------
 
-_SEMDEDUP_ORACLE = """
+def ivf_oracle_ctes() -> str:
+    """DuckDB CTE chain mirroring :func:`ivf_seeds` + the final
+    assignment, appended after a CTE named ``em(vec_id, emb, …)``.
+    Produces ``assign(vec_id, cluster)``. Every step is the exact
+    cross-engine recipe: k = ⌈√n⌉ via CEIL(SQRT(COUNT(*))) (IEEE sqrt
+    is correctly rounded in both engines), round-6 cosine argmax with
+    seed-id tiebreak, and centroid means from round(val·10⁷) longs."""
+    return """, vdim AS (
+    SELECT vec_id, generate_subscripts(emb, 1) AS dim, unnest(emb) AS val
+    FROM em
+), c0 AS (
+    SELECT vec_id AS seed_id, emb AS semb FROM em
+    WHERE vec_id < (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM em)
+), a0 AS (
+    SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, s.seed_id AS cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(v.emb, s.semb), 6)
+                            DESC, s.seed_id) AS rn
+        FROM em v, c0 s
+    ) WHERE rn = 1
+), cmean AS (
+    SELECT a.cluster AS seed_id, d.dim,
+           CAST(SUM(CAST(ROUND(d.val * 10000000) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 10000000 AS cval
+    FROM vdim d JOIN a0 a USING (vec_id)
+    GROUP BY a.cluster, d.dim
+), seeds AS (
+    SELECT seed_id, LIST(cval ORDER BY dim) AS semb
+    FROM cmean GROUP BY seed_id
+), assign AS (
+    SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, s.seed_id AS cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(v.emb, s.semb), 6)
+                            DESC, s.seed_id) AS rn
+        FROM em v, seeds s
+    ) WHERE rn = 1
+)"""
+
+
+_SEMDEDUP_ORACLE = f"""
 WITH em AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     UNION ALL
     SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS emb
     FROM embeddings WHERE vec_id < 10
-), seeds AS (
-    SELECT vec_id AS seed_id, emb AS semb FROM em WHERE vec_id < 8
-), assign AS (
-    SELECT vec_id, seed_id AS cluster
-    FROM (
-        SELECT e.vec_id, s.seed_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY ROUND(list_cosine_similarity(e.emb, s.semb), 6)
-                            DESC, s.seed_id) AS rn
-        FROM em e, seeds s
-    ) WHERE rn = 1
-), dup_pairs AS (
+){ivf_oracle_ctes()}, dup_pairs AS (
     SELECT x.cluster, x.vec_id AS vec_a, y.vec_id AS vec_b
     FROM assign x
     JOIN assign y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
@@ -474,19 +507,19 @@ GROUP BY a.cluster
 @register("x_semdedup", oracle=_SEMDEDUP_ORACLE)
 def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: coarse-quantize every
-    embedding to its nearest of 8 seed centroids (the IVF cluster
-    assignment — at 100 TB these come from :func:`x_kmeans`), then find
-    cosine-≥0.92 pairs ONLY within a cluster and count survivors
-    (keep-lowest-id policy, same as the MinHash family).
+    embedding to its nearest :func:`ivf_seeds` centroid — **k = ⌈√n⌉**
+    Lloyd-refined cells, so the intra-cell pair space is Σ|cell|² ≈
+    n^1.5 at ANY corpus size (a fixed k would degenerate to n²/k) —
+    then find cosine-≥0.92 pairs ONLY within a cluster and count
+    survivors (keep-lowest-id policy, same as the MinHash family).
 
     A duplicated tail (vec_id < 10 re-inserted at +1e6, identical
     vectors — organic max cosine ≈ 0.48) gives the operator planted
-    positives: an identical pair always lands in the same cluster, so
-    cluster blocking loses none of them. Pair space is Σ|cluster|²,
-    never n²; the seed set is ~k rows and BROADCAST into both the
-    assignment and nothing else — the intra-cluster self-join shuffles
-    on the cluster id. Output: per-cluster member/dup-pair/removed
-    counts (8 rows).
+    positives: assignment is a pure function of the embedding given
+    the trained seeds, so an identical pair always lands in the same
+    cluster and blocking loses none of them. The seed set is k×d
+    BROADCAST metadata; the intra-cluster self-join shuffles on the
+    cluster id. Output: per-cluster member/dup-pair/removed counts.
     """
     base = load(spark, sf_dir, "embeddings")
     em = base.select("vec_id", "embedding").unionByName(
@@ -497,16 +530,90 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_counts(em)
 
 
-def seed_assign(em: DataFrame, n_seeds: int = 8) -> DataFrame:
-    """Coarse quantization shared by the SemDeDup and hard-negative
-    operators: assign every ``(vec_id, embedding, …)`` row to its
-    nearest of the first ``n_seeds`` vectors (round-6 cosine, seed-id
-    tiebreak), carrying the embedding and its hoisted L2 norm. Extra
-    input columns pass through. Checkpointed eagerly — every caller
-    reads the assignment from several plan branches."""
-    seeds = em.where(F.col("vec_id") < n_seeds).select(
+_IVF_SCALE = 10_000_000  # exact centroid means: round(val·10⁷) longs
+
+
+def ivf_seeds(em: DataFrame, n_seeds: int | None = None) -> DataFrame:
+    """IVF coarse-quantizer training shared by the pair-space operators
+    (SemDeDup, hard negatives, blocked k-NN join): k-means centroids
+    with **k = ⌈√n⌉ by default** — the cell count that keeps the
+    intra-cell pair space Σ|cell|² ≈ n^1.5 instead of n²/k at any fixed
+    k. Init = the first k vectors by vec_id (deterministic — randomness
+    is banned in derivations), then ONE exact Lloyd refinement:
+
+    - assignment by round-6 cosine with seed-id tiebreak (the proven
+      cross-engine argmax recipe);
+    - centroid update = per-dim means of round(val·10⁷) longs divided
+      back out — bit-identical doubles on both engines regardless of
+      summation order (the ``x_kmeans`` construction).
+
+    Returns a ``(seed_id, semb)`` frame of k×d doubles — broadcast
+    metadata (≈16 MB at n = 10⁹, d = 64). The refinement itself is one
+    n×k broadcast scan plus a k×d-row aggregate; the corpus is never
+    shuffled by cluster. Eagerly checkpointed — callers broadcast it
+    into the final assignment."""
+    if n_seeds is None:
+        n_seeds = math.ceil(math.sqrt(em.count()))
+    init = em.where(F.col("vec_id") < n_seeds).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
     )
+    scored0 = em.crossJoin(F.broadcast(init)).select(
+        "vec_id",
+        "embedding",
+        F.round(cosine(F.col("embedding"), F.col("semb")), 6).alias("sim"),
+        "seed_id",
+    )
+    # argmax via max(struct): (sim, −seed_id) is unique per vec, so the
+    # partial-aggregable max equals ROW_NUMBER(sim DESC, seed_id) = 1
+    a0 = (
+        scored0.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("seed_id")).alias("ns"))
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.ns")).alias("cluster"))
+    )
+    scaled = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * _IVF_SCALE).cast("long"),
+    )
+    cmean = (
+        em.join(a0, "vec_id")
+        .select("cluster", F.posexplode(scaled).alias("dim", "sv"))
+        .groupBy("cluster", "dim")
+        .agg(
+            (
+                F.sum("sv").cast("double") / F.count(F.lit(1)) / F.lit(_IVF_SCALE)
+            ).alias("cval")
+        )
+    )
+    seeds = (
+        cmean.groupBy(F.col("cluster").alias("seed_id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda p: p["cval"],
+            ).alias("semb")
+        )
+    )
+    return seeds.localCheckpoint(eager=True)
+
+
+def seed_assign(
+    em: DataFrame,
+    n_seeds: int | None = None,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """Coarse quantization shared by the SemDeDup, hard-negative and
+    blocked-k-NN operators: assign every ``(vec_id, embedding, …)`` row
+    to its nearest :func:`ivf_seeds` centroid (k = ⌈√n⌉ refined seeds
+    by default; round-6 cosine, seed-id tiebreak), carrying the
+    embedding and its hoisted L2 norm. Extra input columns pass
+    through. Checkpointed eagerly — every caller reads the assignment
+    from several plan branches."""
+    if seeds is None:
+        seeds = ivf_seeds(em, n_seeds)
     norm = F.sqrt(
         F.aggregate(
             F.col("embedding"),
@@ -539,11 +646,11 @@ def seed_assign(em: DataFrame, n_seeds: int = 8) -> DataFrame:
     )
 
 
-def semdedup_counts(em: DataFrame, n_seeds: int = 8) -> DataFrame:
+def semdedup_counts(em: DataFrame, n_seeds: int | None = None) -> DataFrame:
     """Library form of :func:`x_semdedup`: coarse-quantize ``(vec_id,
-    embedding)`` rows to their nearest of the first ``n_seeds`` vectors
-    (by vec_id), count cosine-≥0.92 intra-cluster pairs and removed
-    (keep-lowest-id) members per cluster.
+    embedding)`` rows to their nearest :func:`ivf_seeds` centroid
+    (k = ⌈√n⌉ by default), count cosine-≥0.92 intra-cluster pairs and
+    removed (keep-lowest-id) members per cluster.
 
     Pair-stage perf: each vector's L2 norm is computed ONCE in the
     assignment stage and carried alongside, so the Σ|cluster|² pair

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
-from .round5b import seed_assign
+from .round5b import ivf_oracle_ctes, seed_assign
 
 
 # ---------------------------------------------------------------------------
@@ -119,21 +119,12 @@ def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_hard_negatives — nearest different-label neighbor per cluster
 # ---------------------------------------------------------------------------
 
-_HARDNEG_ORACLE = """
+_HARDNEG_ORACLE = f"""
 WITH em AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-), seeds AS (
-    SELECT vec_id AS seed_id, emb AS semb FROM em WHERE vec_id < 8
-), assign AS (
-    SELECT vec_id, label, emb, seed_id AS cluster
-    FROM (
-        SELECT e.vec_id, e.label, e.emb, s.seed_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY ROUND(list_cosine_similarity(e.emb, s.semb), 6)
-                            DESC, s.seed_id) AS rn
-        FROM em e, seeds s
-    ) WHERE rn = 1
+){ivf_oracle_ctes()}, aug AS (
+    SELECT e.vec_id, e.label, e.emb, a.cluster
+    FROM em e JOIN assign a USING (vec_id)
 ), pairs AS (
     SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
            ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS sim,
@@ -141,9 +132,9 @@ WITH em AS (
                PARTITION BY a.vec_id
                ORDER BY ROUND(list_cosine_similarity(a.emb, b.emb), 6) DESC,
                         b.vec_id) AS rn
-    FROM assign a
-    JOIN assign b ON a.cluster = b.cluster
-                 AND a.vec_id <> b.vec_id AND a.label <> b.label
+    FROM aug a
+    JOIN aug b ON a.cluster = b.cluster
+              AND a.vec_id <> b.vec_id AND a.label <> b.label
 )
 SELECT vec_id, label, neg_id, neg_label, sim
 FROM pairs WHERE rn = 1
@@ -159,11 +150,13 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives are mostly trivial; mining replaces them with the top of
     the confusion frontier.
 
-    The candidate space is Σ|cell|² (cluster-blocked, like SemDeDup);
-    the per-anchor election is a window group-limit over the pair
-    frame, and the pair cosine costs ONE dot fold thanks to the norms
-    hoisted by the shared assignment. Anchors whose cell is label-pure
-    have no in-cell negative and are (correctly) absent.
+    The candidate space is Σ|cell|² over the **k = ⌈√n⌉** Lloyd-refined
+    :func:`ivf_seeds` cells (≈ n^1.5 at any corpus size — like
+    SemDeDup, a fixed cell count would degenerate to n²/k); the
+    per-anchor election is a window group-limit over the pair frame,
+    and the pair cosine costs ONE dot fold thanks to the norms hoisted
+    by the shared assignment. Anchors whose cell is label-pure have no
+    in-cell negative and are (correctly) absent.
     """
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     assign = seed_assign(em)

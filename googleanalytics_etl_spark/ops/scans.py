@@ -433,3 +433,33 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(line, pat, 3).alias("event_type"),
         F.regexp_extract(line, pat, 4).cast("bigint").alias("cents"),
     )
+
+
+# -- the paged GA-style source, driver-visible -------------------------------
+
+_SCAN_PAGED_ORACLE = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+       props
+FROM events
+WHERE event_type = 'purchase' AND value > 50
+"""
+
+
+@register("q_scan_paged", oracle=_SCAN_PAGED_ORACLE)
+def q_scan_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read through the paged Python DataSource (sources/paged.py
+    — the GA ``batchGet``/pageToken loop re-expressed as one input
+    partition per date chunk), with predicates PUSHED into the source
+    (``pushFilters`` applies the equality and the value comparison
+    'server-side', mirroring the reference's request-body filters
+    [REF-UNVERIFIED: SURVEY.md §2.A "Paged-API source"]). A full SQL
+    oracle over the same parquet certifies the source end-to-end:
+    chunk planning from footer stats, row-group skipping, the page
+    loop, unit-aware ts normalization, and pushdown all have to agree
+    with a plain scan for the hash to match."""
+    from ..sources.paged import read_paged
+
+    df = read_paged(spark, sf_dir, chunks=8, page_size=4096)
+    return df.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50)
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")

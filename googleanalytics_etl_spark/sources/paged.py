@@ -230,6 +230,9 @@ def read_paged(
     (ns → µs timestamp_ntz, matching :func:`...io.load`)."""
     if not _HAS_PYDS:  # covered via monkeypatch (test_sources_etl)
         raise NotImplementedError("Python Data Source API requires Spark >= 4.0")
+    from ..io import ensure_session_confs
+
+    ensure_session_confs(spark)  # pushdown conf; vanilla driver sessions
     spark.dataSource.register(PagedEventsDataSource)
     df = (
         spark.read.format("paged_events")

@@ -129,9 +129,19 @@ def test_knn_join_matches_numpy_brute_force(spark):
         .orderBy("a_id", "rank")
         .collect()
     )
+    from googleanalytics_etl_spark.io import load
+    from googleanalytics_etl_spark.ops.round5b import seed_assign
+
+    em_df = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    cell = {r["vec_id"]: r["cluster"] for r in seed_assign(em_df).collect()}
     emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    emb["block"] = emb.apply(
+        lambda r: (r["label"], cell[r["vec_id"]]), axis=1
+    )
     by_label = {
-        lab: grp.reset_index(drop=True) for lab, grp in emb.groupby("label")
+        lab: grp.reset_index(drop=True) for lab, grp in emb.groupby("block")
     }
     neighbors = {}
     for lab, grp in by_label.items():
@@ -147,6 +157,8 @@ def test_knn_join_matches_numpy_brute_force(spark):
             ]
             scored.sort(key=lambda t: (-t[0], t[1]))
             neighbors[int(a)] = [b for _, b in scored[:3]]
+    # anchors alone in their (label, cell) block have no candidates
+    neighbors = {a: v for a, v in neighbors.items() if v}
     per_a: dict[int, list[int]] = {}
     for r in got:
         per_a.setdefault(r["a_id"], []).append(r["b_id"])

@@ -132,7 +132,14 @@ def test_bloom_index_prunes_files_and_stays_sound(spark):
     assert df2.count() == 0
     assert hit2 <= total // 4  # an absent key should match almost nothing
 
-    # manifest is written once and reused (fingerprint cache)
-    stage, manifest = _bloom_index_stage(spark, SF_SMALL)
-    assert (stage / "_blooms.json").exists()
-    assert len(manifest) == total
+    # manifest is written once and reused (fingerprint cache), PAGED:
+    # one sidecar directory per data page, never a driver-side blob
+    stage = _bloom_index_stage(spark, SF_SMALL)
+    assert (stage / "_MANIFEST_DONE").exists()
+    pages = sorted(p.name for p in (stage / "_blooms").glob("pg=*"))
+    assert len(pages) >= 4
+    assert pages == sorted(p.name for p in (stage / "data").glob("pg=*"))
+    n_files = sum(
+        len(list((stage / "data" / p).glob("*.parquet"))) for p in pages
+    )
+    assert n_files == total
