@@ -119,6 +119,9 @@ HEADLINE = [
     "x_curation_e2e",
     "x_hilbert",
     "x_hard_negatives",
+    # round 5: paged-source scan and the approx-distinct accuracy twin
+    "q_scan_paged",
+    "q_approx_distinct_bound",
 ]
 
 
