@@ -46,6 +46,7 @@ from . import (  # noqa: F401
     round5k,
     round5l,
     round5m,
+    round5o,
     scans,
     setops,
     sketch_ops,

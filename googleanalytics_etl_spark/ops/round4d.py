@@ -25,11 +25,13 @@ _ITERS = 3
 _DIM = 64
 
 
-def _kmeans_oracle() -> str:
-    """Build the 3-iteration CTE chain (the oracle mirrors the exact
-    construction: scaled-long centroid means, 6-dp-rounded distances,
-    cluster-id tiebreaker — see x_kmeans docstring for why each piece
-    is cross-engine deterministic)."""
+def kmeans_oracle_ctes() -> str:
+    """The 3-iteration Lloyd CTE chain shared by the x_kmeans oracle
+    and the x_cluster_purity certification (ops/round5o.py): mirrors
+    the exact construction — scaled-long centroid means, 6-dp-rounded
+    distances, cluster-id tiebreaker (see x_kmeans docstring for why
+    each piece is cross-engine deterministic). Ends with the final
+    assignment CTE ``a3(vec_id, cluster, dist_r)``."""
     assign = """
 , a{i} AS (
     SELECT vec_id, cluster, dist_r FROM (
@@ -63,11 +65,17 @@ WITH v AS (
         sql += assign.format(i=i, p=i - 1)
         if i < _ITERS:
             sql += update.format(i=i)
-    sql += f"""
+    return sql
+
+
+def _kmeans_oracle() -> str:
+    return (
+        kmeans_oracle_ctes()
+        + f"""
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist_r
 FROM a{_ITERS}
 """
-    return sql
+    )
 
 
 @register("x_kmeans", oracle=_kmeans_oracle())

@@ -229,7 +229,12 @@ def x_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     which then moves only long pairs. All ratios are exact integer
     rationals.
     """
-    d = load(spark, sf_dir, "documents")
+    return span_dup_frame(load(spark, sf_dir, "documents"))
+
+
+def span_dup_frame(d: DataFrame) -> DataFrame:
+    """Library form of :func:`x_span_dup_profile` over any (doc_id,
+    text) frame — also the scoring stage of ``x_span_dedup``."""
     words = F.split("text", " ")
     grams = F.when(
         F.size(words) >= 5,

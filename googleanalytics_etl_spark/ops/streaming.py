@@ -352,6 +352,75 @@ def s_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synced.select(cols)
 
 
+_PAGED_SYNC_ORACLE = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+       props
+FROM events
+"""
+
+
+@register("s_paged_sync", oracle=_PAGED_SYNC_ORACLE)
+def s_paged_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference main loop through its ACTUAL source type: the
+    paged REST-shaped Structured Streaming source (sources/paged.py,
+    one micro-batch per date chunk with ns-HWM offsets) feeding the
+    idempotent anti-join-then-append sink of ``s_incremental_sync``.
+    Where that key certifies the sync loop over a parquet file stream,
+    this one certifies the end-to-end GA shape [REF-UNVERIFIED:
+    SURVEY.md §3.1 scheduled incremental sync]: chunk planning from
+    footer stats, the pageToken loop, offset bookkeeping, and the
+    exactly-once-by-key append all have to agree with a plain scan of
+    the same parquet for the full hash oracle to match.
+
+    A mid-log seed (events before 2024-01-10 pre-loaded) makes the
+    first micro-batches exercise the dedup path, not just the append
+    path. At 100 TB the target append is the bucketed ``upsert_append``
+    (sources/sinks.py); the anti-join reads only the target's key
+    column.
+    """
+    from ..sources.paged import read_paged_stream
+
+    run_dir = _sweep_runs("paged_sync")
+    target = run_dir / "target"
+    ckpt = run_dir / "ckpt"
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    seed = (
+        load(spark, sf_dir, "events")
+        .where(
+            F.col("ts").cast("timestamp")
+            < F.to_timestamp(F.lit("2024-01-10 00:00:00"))
+        )
+        .select(cols)
+    )
+    seed.write.mode("overwrite").parquet(str(target))
+
+    def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        loaded = batch_df.sparkSession.read.parquet(str(target)).select(
+            "event_id"
+        )
+        fresh = batch_df.select(cols).join(loaded, "event_id", "left_anti")
+        fresh.write.mode("append").parquet(str(target))
+
+    q = (
+        read_paged_stream(spark, sf_dir, chunks=5)
+        .writeStream.foreachBatch(sync_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    synced = (
+        spark.read.parquet(str(target))
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .localCheckpoint(eager=True)
+    )
+    return synced.select(cols)
+
+
 @register("s_stateful_user", oracle=None)
 def s_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming (``applyInPandasWithState``): a

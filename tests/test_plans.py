@@ -160,7 +160,12 @@ _BNLJ_OK = {
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
-_SKIP = {"s_watermark", "s_incremental_sync", "s_stateful_user"}
+_SKIP = {
+    "s_watermark",
+    "s_incremental_sync",
+    "s_paged_sync",
+    "s_stateful_user",
+}
 
 
 def test_plan_lint_no_accidental_python_or_cartesian(spark):

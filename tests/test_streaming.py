@@ -501,3 +501,18 @@ def test_cdc_time_travel_every_epoch_exact(spark):
         assert sorted(map(tuple, got)) == sorted(map(tuple, want)), (
             f"epoch {i}: {len(got)} vs {len(want)} rows"
         )
+
+
+def test_paged_sync_exactly_once_through_rest_source(spark):
+    """The sync loop fed by the paged STREAM source: the target equals
+    the event log exactly once (seeded history never duplicated), and a
+    re-run converges to the same state."""
+    from googleanalytics_etl_spark.io import load
+
+    a = queries()["s_paged_sync"](spark, SF_SMALL)
+    want = load(spark, SF_SMALL, "events").count()
+    ka = _collect_sorted(a, ["event_id", "user_id", "value"])
+    assert len(ka) == want
+    assert len(ka) == len({t[0] for t in ka}), "duplicate event_ids"
+    b = queries()["s_paged_sync"](spark, SF_SMALL)
+    assert _collect_sorted(b, ["event_id", "user_id", "value"]) == ka
