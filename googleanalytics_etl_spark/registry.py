@@ -200,10 +200,48 @@ _ROUND5_WINDOW: list[str] = [
     "x_time_decay",
 ]
 
-# Round 5: the driver window is the 50 keys that have never had a
-# driver CORRECTNESS row (strict-verifier + judge evidence only).
-# Every other key keeps its r01–r04 driver row (see COVERAGE.md).
-_WINDOW_OVERRIDE: list[str] | None = _ROUND5_WINDOW
+# ROUND-6 WINDOW — evidence rotation per VERDICT.md r5 item 1 / COVERAGE.md:
+# (a) the 6 keys registered after the round-5 window froze (never inside an
+#     official driver window; local verify_driver/strict evidence only);
+# (b) x_knn_join_blocked — its last driver row (r04) certified the OLD
+#     label-only blocking oracle, re-confirm under the (label, √n-IVF-cell)
+#     rework;
+# (c) x_semdedup / x_hard_negatives / x_span_dup_profile — implementations
+#     change THIS round (seed_assign argmax rework, span-dup df cap), so
+#     their r4/r5 rows would otherwise certify a superseded plan;
+# (d) 40 of the 42 keys whose latest driver evidence is round 1 —
+#     oldest-evidence-first, same discipline as rounds 4–5. The two r1
+#     keys deferred to round 7 (q_approx_distinct — rows-only by design,
+#     the weaker check regardless of window slot — and q_fn_bitwise) are
+#     first in line after slot 50.
+_ROUND6_WINDOW: list[str] = [
+    # (a) never driver-checked
+    "q_scan_paged", "q_approx_distinct_bound", "x_semdedup_survivors",
+    "x_cluster_purity", "x_span_dedup", "s_paged_sync",
+    # (b) stale oracle evidence
+    "x_knn_join_blocked",
+    # (c) implementation reworked this round
+    "x_semdedup", "x_hard_negatives", "x_span_dup_profile",
+    # (d) latest driver row = round 1, oldest evidence in the repo
+    "q_flagship2", "q_funnel", "q_retention", "q_anomaly_zscore",
+    "q_join_inner", "q_join_left", "q_join_broadcast", "q_join_semi",
+    "q_groupby_agg", "q_count_distinct", "q_distinct_rows",
+    "q_rollup", "q_cube", "q_grouping_sets", "q_pivot",
+    "q_agg_filtered", "q_agg_stats", "q_agg_minmax_by",
+    "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_hash", "q_fn_json",
+    "q_fn_array", "q_fn_map", "q_fn_variant", "q_fn_url",
+    "x_dedup_exact", "x_sim_knn", "x_text_stats", "x_lang_route",
+    "x_doc_join", "x_ngram_jaccard", "x_embed_cosine_dedup",
+    "x_tokenize", "x_lang_id", "x_quality_score", "x_fingerprint",
+    "x_validate", "x_cdc_chunks",
+]
+
+# Round 7 head start: once the round-6 rows land, the next window should
+# lead with the two deferred r1 keys, then the 49 keys whose latest row
+# is round 2 (see COVERAGE.md).
+_ROUND7_HEAD: list[str] = ["q_approx_distinct", "q_fn_bitwise"]
+
+_WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
 
 
 def _ordered() -> list[str]:

@@ -42,8 +42,16 @@ def norm(cols, rows):
                  key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in idx], out
 
+# Optional subset: `python tools/verify_driver.py key1 key2 ...` or
+# `python tools/verify_driver.py --window N` (first N driver-order keys).
+keys = sorted(q.keys())
+if len(sys.argv) > 2 and sys.argv[1] == "--window":
+    keys = list(q.keys())[: int(sys.argv[2])]
+elif len(sys.argv) > 1:
+    keys = [k for k in sys.argv[1:] if k in q]
+
 ok = True
-for k in sorted(q.keys()):
+for k in keys:
     sdf = q[k](spark, "/root/testdata/sf0.01")
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     if k in o:
