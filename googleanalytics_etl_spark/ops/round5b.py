@@ -611,35 +611,46 @@ def seed_assign(
     by default; round-6 cosine, seed-id tiebreak), carrying the
     embedding and its hoisted L2 norm. Extra input columns pass
     through. Checkpointed eagerly — every caller reads the assignment
-    from several plan branches."""
+    from several plan branches.
+
+    The argmax is the same partial-aggregable ``max(struct(sim, −seed_id,
+    …))`` recipe as :func:`ivf_seeds` — NOT a ``row_number`` window: the
+    window form would hash-exchange all n×k broadcast-product rows, each
+    dragging the embedding + passthrough payload (an n^1.5-row shuffle at
+    production k = ⌈√n⌉). ``max(struct)`` combines map-side — the
+    broadcast crossJoin keeps every vec's k candidates inside one input
+    partition, so partial aggregation collapses them before the exchange
+    and only n rows (each carrying its embedding once) ever shuffle.
+    (sim, −seed_id) is unique per vec — seed_id is unique within the
+    group — so the lexicographic struct max never compares the trailing
+    payload fields and equals ROW_NUMBER(sim DESC, seed_id) = 1 exactly.
+    """
     if seeds is None:
         seeds = ivf_seeds(em, n_seeds)
+    passthrough = [c for c in em.columns if c not in ("vec_id", "embedding")]
+    scored = em.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        F.struct(
+            F.round(cosine(F.col("embedding"), F.col("semb")), 6).alias("sim"),
+            (-F.col("seed_id")).alias("ns"),
+            F.col("embedding").alias("embedding"),
+            *[F.col(c).alias(c) for c in passthrough],
+        ).alias("cand"),
+    )
+    best = scored.groupBy("vec_id").agg(F.max("cand").alias("b"))
     norm = F.sqrt(
         F.aggregate(
-            F.col("embedding"),
+            F.col("b.embedding"),
             F.lit(0.0),
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
-    passthrough = [c for c in em.columns if c not in ("vec_id", "embedding")]
-    scored = em.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        *passthrough,
-        "seed_id",
-        F.round(cosine(F.col("embedding"), F.col("semb")), 6).alias("sim"),
-    )
-    pick = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("seed_id")
-    )
     return (
-        scored.withColumn("rn", F.row_number().over(pick))
-        .where(F.col("rn") == 1)
-        .select(
+        best.select(
             "vec_id",
-            F.col("seed_id").alias("cluster"),
-            "embedding",
-            *passthrough,
+            (-F.col("b.ns")).alias("cluster"),
+            F.col("b.embedding").alias("embedding"),
+            *[F.col(f"b.{c}").alias(c) for c in passthrough],
             norm.alias("nrm"),
         )
         .localCheckpoint(eager=True)
