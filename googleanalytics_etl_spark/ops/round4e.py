@@ -234,7 +234,21 @@ def x_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def span_dup_frame(d: DataFrame) -> DataFrame:
     """Library form of :func:`x_span_dup_profile` over any (doc_id,
-    text) frame — also the scoring stage of ``x_span_dedup``."""
+    text) frame — also the scoring stage of ``x_span_dedup``.
+
+    Skew contract: shared-occurrence counting is computed as
+    ``n_shared = n_grams − n_unique`` rather than joining the per-hash
+    document frequency back onto the (doc, hash) frame. The direct df
+    join has an unfixable hot key at corpus scale — a boilerplate 5-gram
+    present in most documents lands all its (doc, hash) rows in one
+    shuffle partition. Inverting through the UNIQUE grams removes the
+    join entirely: a gram with ndocs = 1 has, by definition, exactly one
+    (doc, hash) row, so ``min(doc_id)`` / ``sum(c)`` inside the per-hash
+    aggregate (all partial-aggregable — a hot hash collapses map-side)
+    already carry its owner and count, and the only remaining join is
+    doc-grain ↔ doc-grain (≤1 row per key per side — cannot skew).
+    ``dup_span_frac`` divides the same two exact integers as before, so
+    the IEEE result is bit-identical to the direct formulation."""
     words = F.split("text", " ")
     grams = F.when(
         F.size(words) >= 5,
@@ -261,16 +275,27 @@ def span_dup_frame(d: DataFrame) -> DataFrame:
         .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    df_tbl = dg.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
-    shared = F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0))
-    return (
-        dg.join(df_tbl, "h")
-        .groupBy("doc_id")
+    # both branches re-shuffle the SAME (doc_id, h) aggregate: Spark's
+    # exchange reuse materializes the explode+pre-agg once (verified in
+    # the plan: one ReusedExchange, not a second scan)
+    totals = dg.groupBy("doc_id").agg(F.sum("c").alias("n_grams"))
+    uniq = (
+        dg.groupBy("h")
         .agg(
-            F.sum("c").alias("n_grams"),
-            shared.cast("bigint").alias("n_shared"),
-            (shared.cast("double") / F.sum("c")).alias("dup_span_frac"),
+            F.count(F.lit(1)).alias("ndocs"),
+            F.min("doc_id").alias("doc_id"),
+            F.sum("c").alias("tot_c"),
         )
+        .where(F.col("ndocs") == 1)
+        .groupBy("doc_id")
+        .agg(F.sum("tot_c").alias("uniq_c"))
+    )
+    n_shared = F.col("n_grams") - F.coalesce(F.col("uniq_c"), F.lit(0))
+    return totals.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_shared.cast("bigint").alias("n_shared"),
+        (n_shared.cast("double") / F.col("n_grams")).alias("dup_span_frac"),
     )
 
 

@@ -471,3 +471,49 @@ def test_kmeans_4x_identical_copies(spark):
     for i in range(copies):
         for vid, want in base.items():
             assert got[vid + i * stride] == want
+
+
+def test_span_dup_boilerplate_hot_gram_16x(spark):
+    """Span-duplication profile under adversarial gram skew: 16 copies
+    of sf0.01 documents (disjoint doc_ids) with the SAME boilerplate
+    sentence appended to EVERY document — the hot 5-gram appears in all
+    ~8k docs. The inverted n_shared = n_grams − n_unique formulation
+    must (a) complete without a hot join key (the per-hash aggregate
+    collapses the boilerplate hash map-side; the only join is
+    doc-grain), (b) keep n_grams per doc identical to the base copy's,
+    and (c) report EVERY occurrence as shared — each gram's text exists
+    in all 16 copies, so no gram is unique and n_shared == n_grams
+    exactly (an all-rows prediction no oracle covers at this size)."""
+    from googleanalytics_etl_spark.ops.round4e import span_dup_frame
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    copies, stride = 16, 10_000_000
+    parts = [
+        d.select(
+            (F.col("doc_id") + F.lit(i).cast("long") * stride).alias("doc_id"),
+            F.concat_ws(" ", "text", F.lit(boiler)).alias("text"),
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    base = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"])
+        for r in span_dup_frame(parts[0]).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"])
+        for r in span_dup_frame(big).collect()
+    }
+    assert len(got) == copies * len(base)
+    # same gram structure per doc; every occurrence shared across copies
+    for i in range(copies):
+        for did, (n_grams, _) in base.items():
+            assert got[did + i * stride] == (n_grams, n_grams)
+    # the single-copy base run still exercises the unique path: the
+    # boilerplate suffix is shared corpus-wide, organic grams are not
+    assert all(0 < ns <= ng for (ng, ns) in base.values())
+    assert any(ns < ng for (ng, ns) in base.values())
