@@ -374,11 +374,18 @@ def s_paged_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A mid-log seed (events before 2024-01-10 pre-loaded) makes the
     first micro-batches exercise the dedup path, not just the append
-    path. At 100 TB the target append is the bucketed ``upsert_append``
-    (sources/sinks.py); the anti-join reads only the target's key
-    column.
+    path. The target is the bucketed ``upsert_append`` sink
+    (sources/sinks.py) from the seed onward: each micro-batch's
+    anti-join reads ONLY the ``bucket=K`` directories its incoming
+    event_ids hash into (hive partition pruning), and the append writes
+    only under those buckets — per-sync IO is bounded by the incoming
+    key spread, not the accumulated target size, which is what makes
+    this loop the 100 TB shape (a flat target would re-scan the full
+    key column every batch). tests/test_streaming.py asserts the
+    touched-buckets-only property per micro-batch.
     """
     from ..sources.paged import read_paged_stream
+    from ..sources.sinks import upsert_append
 
     run_dir = _sweep_runs("paged_sync")
     target = run_dir / "target"
@@ -393,14 +400,15 @@ def s_paged_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(cols)
     )
-    seed.write.mode("overwrite").parquet(str(target))
+    upsert_append(spark, seed, str(target), "event_id")
 
     def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        loaded = batch_df.sparkSession.read.parquet(str(target)).select(
-            "event_id"
+        upsert_append(
+            batch_df.sparkSession,
+            batch_df.select(cols),
+            str(target),
+            "event_id",
         )
-        fresh = batch_df.select(cols).join(loaded, "event_id", "left_anti")
-        fresh.write.mode("append").parquet(str(target))
 
     q = (
         read_paged_stream(spark, sf_dir, chunks=5)
