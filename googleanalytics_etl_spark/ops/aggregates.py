@@ -80,6 +80,16 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KNOWN FRAGILITY (deliberate): `in_bound = 1` is a hardcoded claim that
+# Spark's HLL++ estimate lands within 3 sigma of the exact count on this
+# fixture. A regenerated fixture, a new scale factor, or a Spark-version
+# change to approx_count_distinct internals would surface here as a
+# correctness hash-miss rather than an accuracy regression — by design:
+# this key exists to make the sketch's error contract DRIVER-VISIBLE,
+# and a trip means "re-validate the bound", not "the engine is wrong".
+# The margin is 3x the configured rsd (P(miss) ~ 2.7e-3 per group, 5
+# groups), and tests/test_round5n_keys.py re-asserts the same bound at
+# two scale factors, so a trip localizes immediately.
 _APPROX_DISTINCT_BOUND_ORACLE = """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,

@@ -389,17 +389,22 @@ def bloom_index_lookup(
             )
         )
     )
+    # ONE aggregate over the manifest pages yields both the file total
+    # and the matching names (collect_list drops the NULLs the non-match
+    # branch produces, so the driver payload stays bounded by lookup
+    # selectivity) — previously this was two jobs, each rebuilding the
+    # per-file bitmap-map aggregate
     stats = per_file.agg(
         F.count(F.lit(1)).alias("total"),
-        F.sum(F.when(match, 1).otherwise(0)).alias("hits"),
+        F.sort_array(
+            F.collect_list(F.when(match, F.col("relpath")))
+        ).alias("sel"),
     ).first()
     total = stats["total"]
-    if not stats["hits"]:
+    selected = list(stats["sel"])
+    if not selected:
         empty = spark.read.parquet(str(stage / "data")).drop("pg").limit(0)
         return empty, 0, total
-    selected = sorted(
-        r["relpath"] for r in per_file.where(match).select("relpath").collect()
-    )
     df = spark.read.parquet(
         *[str(stage / "data" / rel) for rel in selected]
     ).where(F.col("event_id").isin([int(k) for k in keys]))

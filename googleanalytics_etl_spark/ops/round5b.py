@@ -554,7 +554,21 @@ def ivf_seeds(em: DataFrame, n_seeds: int | None = None) -> DataFrame:
     into the final assignment."""
     if n_seeds is None:
         n_seeds = math.ceil(math.sqrt(em.count()))
-    init = em.where(F.col("vec_id") < n_seeds).select(
+    # init = the k SMALLEST vec_ids, not a literal `vec_id < k`
+    # threshold: on a frame with sparse or offset ids the threshold form
+    # silently shrinks the seed set (possibly to empty → empty
+    # assignment downstream with no error). The cutoff is found by a
+    # TakeOrdered over the SLIM id column (k longs to the driver — never
+    # the embeddings, which a direct orderBy().limit() would funnel
+    # through one partition), then applied as a pushdown-able filter.
+    # On dense 0-based ids — every fixture, and the form the DuckDB
+    # oracle CTEs assume — the k smallest ids ARE {0..k-1}, so
+    # cross-engine parity holds.
+    cut = (
+        em.select("vec_id").orderBy("vec_id").limit(n_seeds)
+        .agg(F.max("vec_id")).first()[0]
+    )
+    init = em.where(F.col("vec_id") <= cut).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
     )
     scored0 = em.crossJoin(F.broadcast(init)).select(

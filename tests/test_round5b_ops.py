@@ -169,3 +169,38 @@ def test_semdedup_no_organic_false_positives(spark):
     # which the near-orthogonal fixture excludes (max ≈ 0.48)
     rows = queries()["x_semdedup"](spark, SF_SMALL).collect()
     assert sum(r["n_dup_pairs"] for r in rows) == 10
+
+
+def test_ivf_seeds_and_assign_survive_sparse_offset_ids(spark):
+    """Regression for the `vec_id < k` init-threshold assumption: on a
+    frame whose ids are sparse and offset (id → id*7 + 1000), a literal
+    threshold would silently shrink the seed set to empty and every
+    downstream assignment with it. The k-smallest-ids init must train
+    the same NUMBER of seeds and assign every vector exactly once; and
+    because id order is preserved by the monotone remap, the cluster
+    MEMBERSHIP partition must be identical to the dense-id run's."""
+    import pyspark.sql.functions as F
+
+    from googleanalytics_etl_spark.ops.round5b import seed_assign
+
+    em = load(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    n = em.count()
+    dense = seed_assign(em)
+    sparse = seed_assign(
+        em.select(
+            (F.col("vec_id") * 7 + 1000).alias("vec_id"), "embedding"
+        )
+    )
+    assert sparse.count() == dense.count() == n
+    assert sparse.select("vec_id").distinct().count() == n
+    # monotone id remap + identical embeddings ⇒ identical partition of
+    # vectors into clusters (cluster LABELS differ: they are seed ids)
+    def groups(df, unmap):
+        out = defaultdict(set)
+        for r in df.collect():
+            out[r["cluster"]].add(unmap(r["vec_id"]))
+        return sorted(out.values(), key=lambda s: min(s))
+
+    assert groups(dense, lambda v: v) == groups(
+        sparse, lambda v: (v - 1000) // 7
+    )
