@@ -47,6 +47,7 @@ from . import (  # noqa: F401
     round5l,
     round5m,
     round5o,
+    round6,
     scans,
     setops,
     sketch_ops,

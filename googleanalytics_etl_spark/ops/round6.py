@@ -1,0 +1,629 @@
+"""Round-6 additions: corpus-health and curation-planning operators.
+
+The round-5 surface closed SURVEY.md §2; this batch extends the
+LLM-data-pipeline families with the evaluation/planning operators a
+100 TB curation run needs AROUND dedup and sampling — each a full
+cross-engine hash oracle over the standard fixtures:
+
+- ``x_class_balance`` — class-balanced Bernoulli downsampling of a
+  labeled embedding set (per-label keep probability = min-class share,
+  deterministic seeded-hash uniform — the row-local scale path, no
+  per-class sort).
+- ``x_survivor_policy`` — dedup survivorship policy comparison:
+  keep-first vs keep-longest vs keep-cleanest survivors per
+  normalization-dup group, with per-group agreement accounting.
+- ``x_source_kl`` — per-source vocabulary divergence (smoothed KL
+  against the corpus unigram distribution over a top-k vocabulary) —
+  the "is this source weird" dial next to x_psi_drift's time dial.
+- ``x_token_budget`` — mixture allocation: distribute a token budget
+  across sources (uniform target, capacity caps, one proportional
+  redistribution round) — the planning step before x_mixture_sample
+  draws documents.
+- ``x_split_contamination`` — near-dup leakage ACROSS train/val/test
+  boundaries: MinHash-verified pairs classified by the split pair they
+  straddle (x_decontaminate's benchmark-overlap check, turned inward
+  on the split itself).
+- ``x_dup_inflation`` — per-source token inflation from normalization
+  duplicates (corpus tokens vs unique-text tokens): the dedup-ROI
+  estimate that decides whether a source is worth near-dedup at all.
+
+Reference parity: the reference package has no analogue for any of
+these [REF-UNVERIFIED — /root/reference is empty]; they extend the
+§2.J-M families per the round mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# x_class_balance — balanced per-label downsampling
+# ---------------------------------------------------------------------------
+
+# seeded 32-bit uniform from the row key — the x_weighted_sample recipe:
+# u = (h32 + 0.5) / 2^32 lies strictly inside (0, 1), replay-stable, and
+# DuckDB computes the identical value from the same md5 hex.
+_CB_U = (
+    "(CAST('0x' || substr(md5('cb-seed-1|' || CAST(vec_id AS VARCHAR)), 1, 8)"
+    " AS BIGINT) + 0.5) / 4294967296.0"
+)
+
+_CLASS_BALANCE_ORACLE = f"""
+WITH counts AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_orig
+    FROM embeddings GROUP BY label
+), m AS (
+    SELECT MIN(n_orig) AS min_n FROM counts
+), kept AS (
+    SELECT e.label
+    FROM embeddings e JOIN counts c USING (label), m
+    WHERE {_CB_U} < CAST(m.min_n AS DOUBLE) / c.n_orig
+)
+SELECT c.label, c.n_orig,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND(CAST(m.min_n AS DOUBLE) / c.n_orig, 6) AS keep_p
+FROM counts c
+LEFT JOIN (SELECT label, COUNT(*) AS n_kept FROM kept GROUP BY label) k
+    USING (label), m
+"""
+
+
+@register("x_class_balance", oracle=_CLASS_BALANCE_ORACLE)
+def x_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling of a labeled embedding set: each
+    label keeps rows with probability ``min_class_count / class_count``
+    so every class lands at ≈ the minority size — the standard rebalance
+    before contrastive/classifier training. The keep decision is a
+    row-local seeded-hash Bernoulli (u = (md5₃₂ + 0.5)/2³² < p), NOT a
+    per-class ``row_number`` pick: exact top-k-per-class would sort
+    every class partition — a hot shuffle when one label dominates
+    (exactly the skewed case rebalancing exists for) — while the hash
+    predicate needs only the class-count metadata broadcast, scans once,
+    and is replay-deterministic. Output: per-label original/kept counts
+    and the keep probability.
+    """
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = em.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orig")
+    )
+    m = counts.agg(F.min("n_orig").alias("min_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cb-seed-1|"), F.col("vec_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    p = F.col("min_n").cast("double") / F.col("n_orig")
+    kept = (
+        em.join(F.broadcast(counts), "label")
+        .crossJoin(F.broadcast(m))
+        .where(u < p)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_orig",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round(p, 6).alias("keep_p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_survivor_policy — dedup survivorship policy comparison
+# ---------------------------------------------------------------------------
+
+# the x_dedup_normalized canonical key, shared verbatim: lowercase →
+# strip non-alphanumerics → collapse whitespace → trim → md5
+_NORM_KEY_SQL = """md5(trim(regexp_replace(
+    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"""
+
+_SURVIVOR_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 4000000,
+           upper(substring(text, 1, 1)) || substring(text, 2) || '  !!'
+    FROM documents WHERE doc_id < 10
+), scored AS (
+    SELECT doc_id,
+           {_NORM_KEY_SQL} AS nkey,
+           CAST(length(text) AS BIGINT) AS len,
+           CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                AS DOUBLE) / length(text) AS clean_frac
+    FROM corpus
+), ranked AS (
+    -- DuckDB's max_by cannot order by a composite, so the oracle ranks
+    -- per policy; the Spark side's max_by(doc_id, struct(metric,
+    -- -doc_id)) computes the identical winner
+    SELECT nkey, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY nkey
+                              ORDER BY len DESC, doc_id) AS r_long,
+           ROW_NUMBER() OVER (PARTITION BY nkey
+                              ORDER BY clean_frac DESC, doc_id) AS r_clean
+    FROM scored
+), groups AS (
+    SELECT nkey,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_first,
+           CAST(MAX(CASE WHEN r_long = 1 THEN doc_id END) AS BIGINT)
+               AS keep_longest,
+           CAST(MAX(CASE WHEN r_clean = 1 THEN doc_id END) AS BIGINT)
+               AS keep_cleanest
+    FROM ranked GROUP BY nkey
+)
+SELECT nkey, group_n, keep_first, keep_longest, keep_cleanest,
+       CAST(CASE WHEN keep_first = keep_longest
+                  AND keep_first = keep_cleanest THEN 1 ELSE 0 END AS BIGINT)
+           AS all_agree
+FROM groups WHERE group_n >= 2
+"""
+
+
+@register("x_survivor_policy", oracle=_SURVIVOR_ORACLE)
+def x_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship POLICY comparison: for every
+    normalization-dup group (the x_dedup_normalized planted-mutant
+    corpus), the survivor under keep-first (min doc_id — crawl
+    priority), keep-longest (max text length — most complete variant),
+    and keep-cleanest (max alphanumeric fraction — least boilerplate
+    noise), plus an agreement flag. Curation pipelines argue about
+    exactly this choice; computing all three in one pass shows where
+    the policies diverge before committing a corpus rewrite.
+
+    One row-local scoring projection, then a single digest-grain hash
+    aggregate: every policy is a partial-aggregable ``min``/``max_by``
+    (tie-broken by unique (metric, −doc_id)), so the shuffle carries
+    one candidate per (digest, map partition) — text never moves, no
+    window, no sort, same scale shape as ``x_dedup_exact``.
+    """
+    d = load(spark, sf_dir, "documents")
+    mutated = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+            F.lit("  !!"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    cleaned = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
+    nkey = F.md5(
+        F.trim(F.regexp_replace(cleaned, " +", " ")).cast("binary")
+    )
+    scored = corpus.select(
+        "doc_id",
+        nkey.alias("nkey"),
+        F.length("text").cast("long").alias("len"),
+        (F.length(cleaned).cast("double") / F.length("text")).alias(
+            "clean_frac"
+        ),
+    )
+    groups = scored.groupBy("nkey").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        F.min("doc_id").cast("long").alias("keep_first"),
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("len"), (-F.col("doc_id")))
+        )
+        .cast("long")
+        .alias("keep_longest"),
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("clean_frac"), (-F.col("doc_id"))),
+        )
+        .cast("long")
+        .alias("keep_cleanest"),
+    )
+    agree = (
+        (F.col("keep_first") == F.col("keep_longest"))
+        & (F.col("keep_first") == F.col("keep_cleanest"))
+    )
+    return groups.where(F.col("group_n") >= 2).select(
+        "nkey",
+        "group_n",
+        "keep_first",
+        "keep_longest",
+        "keep_cleanest",
+        agree.cast("long").alias("all_agree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_source_kl — per-source vocabulary divergence vs the corpus
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_SOURCE_KL_ORACLE = f"""
+WITH words AS (
+    SELECT source, unnest(str_split(text, ' ')) AS word FROM documents
+), corpus_cnt AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
+    FROM words GROUP BY word
+), vocab AS (
+    SELECT word, cw FROM corpus_cnt
+    ORDER BY cw DESC, word LIMIT {_VOCAB_K}
+), src_tot AS (
+    SELECT w.source, CAST(COUNT(*) AS BIGINT) AS ts
+    FROM words w JOIN vocab v USING (word) GROUP BY w.source
+), corpus_tot AS (
+    -- nv = ACTUAL vocabulary size (the fixture corpus has fewer than k
+    -- distinct words): smoothing denominators must use it, not k, or p
+    -- and q stop summing to 1 over the grid and KL can go negative
+    SELECT SUM(cw) AS tc, COUNT(*) AS nv FROM vocab
+), grid AS (
+    SELECT s.source, s.ts, v.word, v.cw,
+           CAST(COALESCE(c.cs, 0) AS BIGINT) AS cs
+    FROM src_tot s CROSS JOIN vocab v
+    LEFT JOIN (
+        SELECT w.source, w.word, COUNT(*) AS cs
+        FROM words w JOIN vocab v2 USING (word)
+        GROUP BY w.source, w.word
+    ) c ON c.source = s.source AND c.word = v.word
+)
+SELECT g.source,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       ROUND(CAST(SUM(CAST(
+           ((cs + 0.5) / (ts + nv * 0.5))
+           * LN(((cs + 0.5) / (ts + nv * 0.5))
+                / ((cw + 0.5) / (tc + nv * 0.5)))
+           AS DECIMAL(18,8))) AS DOUBLE), 6) AS kl
+FROM grid g, corpus_tot
+GROUP BY g.source
+"""
+
+
+@register("x_source_kl", oracle=_SOURCE_KL_ORACLE)
+def x_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary divergence: smoothed KL(source ‖ corpus)
+    over the corpus top-k word vocabulary (k = 100, clipped to the
+    actual vocabulary) — the "does this source speak the corpus's
+    language" dial used to flag machine spam / boilerplate farms before
+    they enter the mixture (x_psi_drift is the same f-divergence
+    pointed at time instead of source).
+
+    Scale shape: one explode → (source, word) and (word) hash
+    aggregates (map-side combinable — a stopword is hot only until the
+    combiner); the top-k vocabulary is a TakeOrdered of k rows and is
+    BROADCAST into a |sources|×k grid so zero-count cells exist for
+    smoothing. Per-term products are DECIMAL(18,8)-quantized before
+    the exact sum (the x_psi_drift recipe) so the divergence is
+    bit-stable cross-engine despite LN.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    corpus_cnt = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cw")
+    )
+    vocab = (
+        corpus_cnt.orderBy(F.col("cw").desc(), "word").limit(_VOCAB_K)
+    )
+    src_word = (
+        words.join(F.broadcast(vocab.select("word")), "word")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    )
+    src_tot = src_word.groupBy("source").agg(
+        F.sum("cs").cast("long").alias("ts")
+    )
+    # nv = ACTUAL vocabulary size (≤ k): smoothing with k itself would
+    # sub-normalize p and q whenever the corpus has fewer distinct
+    # words, breaking KL ≥ 0
+    corpus_tot = vocab.agg(
+        F.sum("cw").alias("tc"), F.count(F.lit(1)).alias("nv")
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .join(src_word, ["source", "word"], "left")
+        .select(
+            "source",
+            "ts",
+            "word",
+            "cw",
+            F.coalesce(F.col("cs"), F.lit(0)).cast("long").alias("cs"),
+        )
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    half = F.col("nv") * 0.5
+    p = (F.col("cs") + 0.5) / (F.col("ts") + half)
+    q = (F.col("cw") + 0.5) / (F.col("tc") + half)
+    term = (p * F.log(p / q)).cast("decimal(18,8)")
+    return grid.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.round(F.sum(term).cast("double"), 6).alias("kl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_token_budget — mixture allocation under a token budget
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET_ORACLE = """
+WITH avail AS (
+    SELECT source,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS avail
+    FROM documents GROUP BY source
+), plan0 AS (
+    SELECT source, avail,
+           CAST(LEAST(
+               avail,
+               FLOOR((SELECT SUM(avail) FROM avail) * 0.4
+                     / (SELECT COUNT(*) FROM avail))
+           ) AS BIGINT) AS alloc0
+    FROM avail
+), lo AS (
+    SELECT CAST(FLOOR((SELECT SUM(avail) FROM avail) * 0.4) AS BIGINT)
+               - SUM(alloc0) AS leftover,
+           SUM(avail - alloc0) AS cap_tot
+    FROM plan0
+)
+SELECT p.source, p.avail,
+       CAST(p.alloc0 + CASE WHEN lo.cap_tot > 0 THEN
+               CAST(FLOOR(lo.leftover * CAST(p.avail - p.alloc0 AS DOUBLE)
+                          / lo.cap_tot) AS BIGINT)
+           ELSE 0 END AS BIGINT) AS alloc,
+       ROUND(CAST(p.alloc0 + CASE WHEN lo.cap_tot > 0 THEN
+               CAST(FLOOR(lo.leftover * CAST(p.avail - p.alloc0 AS DOUBLE)
+                          / lo.cap_tot) AS BIGINT)
+           ELSE 0 END AS DOUBLE) / p.avail, 6) AS fill_ratio
+FROM plan0 p, lo
+"""
+
+
+@register("x_token_budget", oracle=_TOKEN_BUDGET_ORACLE)
+def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture ALLOCATION planning: distribute a token budget (40% of
+    the corpus) across sources — uniform target share, capped by each
+    source's available tokens, with one proportional-to-remaining-
+    capacity redistribution round for the leftover the caps created
+    (the closed-form two-step that approximates water-filling and stays
+    SQL-expressible; budgets/epochs per source is the decision every
+    mixture paper tunes). Output per source: available tokens, final
+    allocation, fill ratio.
+
+    Token counts are one map-side-combinable aggregate over the corpus
+    scan; everything after operates on the |sources|-row plan frame —
+    bounded metadata, broadcast-joined, never a data-scale shuffle. All
+    arithmetic is integer-or-IEEE-deterministic (FLOOR of a double
+    ratio of exact longs) so the plan hashes identically cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail")
+    )
+    totals = avail.agg(
+        F.sum("avail").alias("tot"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    plan0 = avail.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "avail",
+        F.least(
+            F.col("avail"),
+            F.floor(F.col("tot") * 0.4 / F.col("k")),
+        )
+        .cast("long")
+        .alias("alloc0"),
+        F.floor(F.col("tot") * 0.4).cast("long").alias("budget"),
+    )
+    lo = plan0.agg(
+        (F.max("budget") - F.sum("alloc0")).alias("leftover"),
+        F.sum(F.col("avail") - F.col("alloc0")).alias("cap_tot"),
+    )
+    alloc = F.col("alloc0") + F.when(
+        F.col("cap_tot") > 0,
+        F.floor(
+            F.col("leftover")
+            * (F.col("avail") - F.col("alloc0")).cast("double")
+            / F.col("cap_tot")
+        ),
+    ).otherwise(F.lit(0))
+    return plan0.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "avail",
+        alloc.cast("long").alias("alloc"),
+        F.round(alloc.cast("double") / F.col("avail"), 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_split_contamination — near-dup leakage across train/val/test
+# ---------------------------------------------------------------------------
+
+_SPLIT_CONTAMINATION_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id < 10
+), {ctes}, split_of AS (
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM corpus
+)
+SELECT LEAST(sa.split, sb.split) AS split_lo,
+       GREATEST(sa.split, sb.split) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaked
+FROM verified v
+JOIN split_of sa ON sa.doc_id = v.doc_a
+JOIN split_of sb ON sb.doc_id = v.doc_b
+WHERE v.jaccard >= 0.5
+GROUP BY 1, 2
+"""
+
+
+def _split_contamination_oracle() -> str:
+    from .extensions import _NEAR_CTES
+
+    return _SPLIT_CONTAMINATION_ORACLE.format(ctes=_NEAR_CTES.strip())
+
+
+@register("x_split_contamination", oracle=_split_contamination_oracle())
+def x_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage ACROSS the train/val/test boundary: every
+    MinHash-verified pair (Jaccard ≥ 0.5, the x_dedup_near pipeline on
+    the planted-tail corpus) classified by the ordered split pair it
+    straddles — the held-out-set contamination audit
+    (x_decontaminate's question pointed at the split itself: a val/test
+    doc whose near-dup sits in train inflates eval). Hash-prefix splits
+    are assigned row-locally (the x_train_val_test ranges), so the only
+    additions to the near-dup plan are two broadcast-size joins from
+    pair ids to split labels and a 6-row-max aggregate.
+    """
+    from .extensions import _minhash_pairs
+    from .pipeline import key_hash
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    h2 = key_hash(F.col("doc_id")).substr(1, 2)
+    d = load(spark, sf_dir, "documents")
+    corpus_ids = d.select("doc_id").unionByName(
+        d.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id")
+        )
+    )
+    split_of = corpus_ids.select(
+        "doc_id",
+        F.when(h2 < "cc", "train")
+        .when(h2 < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = split_of.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = split_of.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_leaked"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dup_inflation — per-source token inflation from duplicates
+# ---------------------------------------------------------------------------
+
+_DUP_INFLATION_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + 4000000,
+           source,
+           upper(substring(text, 1, 1)) || substring(text, 2) || '  !!'
+    FROM documents WHERE doc_id < 10
+), scored AS (
+    SELECT source,
+           {_NORM_KEY_SQL} AS nkey,
+           doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+    FROM corpus
+), per_group AS (
+    SELECT source, nkey,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS toks,
+           CAST(MIN_BY(toks, doc_id) AS BIGINT) AS survivor_toks
+    FROM scored GROUP BY source, nkey
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(toks) AS BIGINT) AS tokens,
+       CAST(SUM(survivor_toks) AS BIGINT) AS unique_tokens,
+       ROUND(CAST(SUM(toks) AS DOUBLE) / SUM(survivor_toks), 6)
+           AS inflation
+FROM per_group GROUP BY source
+"""
+
+
+@register("x_dup_inflation", oracle=_DUP_INFLATION_ORACLE)
+def x_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token INFLATION from normalization duplicates: corpus
+    tokens vs the tokens a within-source exact-normalized dedup would
+    keep (survivor = min doc_id per group, its token count) — the
+    dedup-ROI estimate that ranks sources by how much of their volume
+    is repeats before anyone pays for MinHash on them. The planted
+    mutant tail (same construction as x_survivor_policy) guarantees
+    inflation > 1 for the affected sources at every SF.
+
+    Two stacked hash aggregates — (source, digest) grain then source
+    grain — every measure partial-aggregable (count/sum/min_by), text
+    dropped before the first shuffle; same digest-only scale shape as
+    the rest of the exact-dedup family.
+    """
+    d = load(spark, sf_dir, "documents")
+    mutated = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        "source",
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+            F.lit("  !!"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "source", "text").unionByName(mutated)
+    nkey = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+            )
+        ).cast("binary")
+    )
+    scored = corpus.select(
+        "source",
+        nkey.alias("nkey"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    per_group = scored.groupBy("source", "nkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("toks"),
+        F.min_by("toks", "doc_id").cast("long").alias("survivor_toks"),
+    )
+    return per_group.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum("toks").cast("long").alias("tokens"),
+        F.sum("survivor_toks").cast("long").alias("unique_tokens"),
+        F.round(
+            F.sum("toks").cast("double") / F.sum("survivor_toks"), 6
+        ).alias("inflation"),
+    )

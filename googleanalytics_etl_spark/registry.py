@@ -237,9 +237,14 @@ _ROUND6_WINDOW: list[str] = [
 ]
 
 # Round 7 head start: once the round-6 rows land, the next window should
-# lead with the two deferred r1 keys, then the 49 keys whose latest row
-# is round 2 (see COVERAGE.md).
-_ROUND7_HEAD: list[str] = ["q_approx_distinct", "q_fn_bitwise"]
+# lead with the two deferred r1 keys and the six operators built in
+# round 6 (never driver-checked), then the 49 keys whose latest row is
+# round 2 (see COVERAGE.md).
+_ROUND7_HEAD: list[str] = [
+    "q_approx_distinct", "q_fn_bitwise",
+    "x_class_balance", "x_survivor_policy", "x_source_kl",
+    "x_token_budget", "x_split_contamination", "x_dup_inflation",
+]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
 

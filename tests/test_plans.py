@@ -157,6 +157,13 @@ _BNLJ_OK = {
     # 5-row threshold spine over cached pairs; 1-row decay horizon
     "x_dedup_threshold_curve",
     "x_time_decay",
+    # round 6: metadata-frame broadcasts — per-label count table + 1-row
+    # min-class scalar (class balance), ≤k-row vocabulary grid + 1-row
+    # corpus totals (source KL), |sources|-row totals/leftover plan
+    # frames (token budget)
+    "x_class_balance",
+    "x_source_kl",
+    "x_token_budget",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless

@@ -24,8 +24,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+_numeric = len(sys.argv) > 1 and sys.argv[1].isdigit()
+N = int(sys.argv[1]) if _numeric else 50
+SF = sys.argv[2] if _numeric and len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -83,7 +84,12 @@ def canon(df: pd.DataFrame):
 
 q = mod.queries()
 o = mod.oracle_sql()
-keys = list(q.keys())[:N]
+# args that are key names select that subset; a single integer keeps the
+# first-N behavior
+if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+    keys = [k for k in sys.argv[1:] if k in q]
+else:
+    keys = list(q.keys())[:N]
 fails = []
 for k in keys:
     if k not in o:
