@@ -128,6 +128,13 @@ HEADLINE = [
     "x_span_dedup",
     # round 5: the sync loop through the paged streaming source
     "s_paged_sync",
+    # round 6: corpus-health / curation-planning additions
+    "x_class_balance",
+    "x_survivor_policy",
+    "x_source_kl",
+    "x_token_budget",
+    "x_split_contamination",
+    "x_dup_inflation",
 ]
 
 
