@@ -249,29 +249,42 @@ def span_dup_frame(d: DataFrame) -> DataFrame:
     doc-grain ↔ doc-grain (≤1 row per key per side — cannot skew).
     ``dup_span_frac`` divides the same two exact integers as before, so
     the IEEE result is bit-identical to the direct formulation."""
-    words = F.split("text", " ")
-    grams = F.when(
-        F.size(words) >= 5,
+    # The gram hash is ENGINE-INTERNAL (only doc-level counts reach the
+    # output), so Spark need not build the gram STRING at all: hash each
+    # word once, then xxhash64 the 5 word-hash LONGS per gram — a
+    # fixed-width 40-byte hash input instead of a ~25-char concat +
+    # variable-length rehash, and each word is hashed once instead of
+    # once per overlapping gram. The oracle uses an md5 prefix of the
+    # gram string; both sides are injective-up-to-collision maps of the
+    # same grams (collision odds ~|grams|²/2⁶⁴), so the df counts agree
+    # without the hashes ever matching. xxhash64 over multiple columns
+    # is position-sensitive, so "a b" and "b a" stay distinct grams.
+    # the word-hash array is materialized through a projection boundary
+    # BEFORE the gram lambda references it 5× — inlined, Catalyst would
+    # re-evaluate the whole transform(words, xxhash64) per element_at
+    hashed_words = d.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda w: F.xxhash64(w)).alias(
+            "wh"
+        ),
+        F.xxhash64(F.col("text")).alias("th"),
+    )
+    wh = F.col("wh")
+    gram_hashes = F.when(
+        F.size(wh) >= 5,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - 5),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-                F.element_at(words, i + 4),
-                F.element_at(words, i + 5),
+            F.sequence(F.lit(0), F.size(wh) - 5),
+            lambda i: F.xxhash64(
+                F.element_at(wh, i + 1),
+                F.element_at(wh, i + 2),
+                F.element_at(wh, i + 3),
+                F.element_at(wh, i + 4),
+                F.element_at(wh, i + 5),
             ),
         ),
-    ).otherwise(F.array(F.col("text")))
-    # the hash is ENGINE-INTERNAL (only doc-level counts reach the
-    # output), so Spark uses native xxhash64 while the oracle uses an
-    # md5 prefix — both are injective-up-to-collision maps of the same
-    # grams, so the df counts agree without the hashes ever matching
-    h = F.xxhash64(F.col("gram"))
+    ).otherwise(F.array(F.col("th")))
     dg = (
-        d.select("doc_id", F.explode(grams).alias("gram"))
-        .select("doc_id", h.alias("h"))
+        hashed_words.select("doc_id", F.explode(gram_hashes).alias("h"))
         .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).alias("c"))
     )
