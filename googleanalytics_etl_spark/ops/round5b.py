@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
-from .extensions import cosine
 
 
 # ---------------------------------------------------------------------------
@@ -533,6 +532,27 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_SCALE = 10_000_000  # exact centroid means: round(val·10⁷) longs
 
 
+def _l2(col) -> F.Column:
+    """L2 norm of a float-array column (the sqrt half of :func:`cosine`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Dot product of two float-array columns (the numerator of
+    :func:`cosine` — pair with pre-hoisted :func:`_l2` norms so an n×k
+    broadcast scan pays one fold per pair instead of three)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def ivf_seeds(em: DataFrame, n_seeds: int | None = None) -> DataFrame:
     """IVF coarse-quantizer training shared by the pair-space operators
     (SemDeDup, hard negatives, blocked k-NN join): k-means centroids
@@ -547,11 +567,16 @@ def ivf_seeds(em: DataFrame, n_seeds: int | None = None) -> DataFrame:
       back out — bit-identical doubles on both engines regardless of
       summation order (the ``x_kmeans`` construction).
 
-    Returns a ``(seed_id, semb)`` frame of k×d doubles — broadcast
-    metadata (≈16 MB at n = 10⁹, d = 64). The refinement itself is one
-    n×k broadcast scan plus a k×d-row aggregate; the corpus is never
-    shuffled by cluster. Eagerly checkpointed — callers broadcast it
-    into the final assignment."""
+    Returns a ``(seed_id, semb, snrm)`` frame of k×d doubles plus the
+    hoisted centroid L2 norm — broadcast metadata (≈16 MB at n = 10⁹,
+    d = 64). The refinement itself is one n×k broadcast scan plus a
+    k×d-row aggregate; the corpus is never shuffled by cluster. Both
+    n×k scans hoist the row/seed norms BELOW the join (one norm fold
+    per vector, not per pair), so each candidate pair costs one dot
+    fold; ``dot/(nrm·snrm)`` is the identical IEEE arithmetic to
+    :func:`cosine` with the sqrt computed earlier, so the round-6
+    values — and the DuckDB parity — are unchanged. Eagerly
+    checkpointed — callers broadcast it into the final assignment."""
     if n_seeds is None:
         n_seeds = math.ceil(math.sqrt(em.count()))
     # init = the k SMALLEST vec_ids, not a literal `vec_id < k`
@@ -568,13 +593,23 @@ def ivf_seeds(em: DataFrame, n_seeds: int | None = None) -> DataFrame:
         em.select("vec_id").orderBy("vec_id").limit(n_seeds)
         .agg(F.max("vec_id")).first()[0]
     )
-    init = em.where(F.col("vec_id") <= cut).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+    # hoist L2 norms below the broadcast join: the Project sits under
+    # the join node, so each VECTOR pays one norm fold instead of one
+    # per (vector, seed) pair; sim = dot/(nrm·snrm) is arithmetic-
+    # identical to cosine() (sqrt merely computed earlier)
+    emn = em.select("vec_id", "embedding", _l2("embedding").alias("nrm"))
+    init = emn.where(F.col("vec_id") <= cut).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("semb"),
+        F.col("nrm").alias("snrm"),
     )
-    scored0 = em.crossJoin(F.broadcast(init)).select(
+    scored0 = emn.crossJoin(F.broadcast(init)).select(
         "vec_id",
-        "embedding",
-        F.round(cosine(F.col("embedding"), F.col("semb")), 6).alias("sim"),
+        F.round(
+            _dot(F.col("embedding"), F.col("semb"))
+            / (F.col("nrm") * F.col("snrm")),
+            6,
+        ).alias("sim"),
         "seed_id",
     )
     # argmax via max(struct): (sim, −seed_id) is unique per vec, so the
@@ -610,6 +645,7 @@ def ivf_seeds(em: DataFrame, n_seeds: int | None = None) -> DataFrame:
                 lambda p: p["cval"],
             ).alias("semb")
         )
+        .select("seed_id", "semb", _l2("semb").alias("snrm"))
     )
     return seeds.localCheckpoint(eager=True)
 
@@ -641,31 +677,37 @@ def seed_assign(
     """
     if seeds is None:
         seeds = ivf_seeds(em, n_seeds)
+    if "snrm" not in seeds.columns:  # externally-supplied seed frames
+        seeds = seeds.select("seed_id", "semb", _l2("semb").alias("snrm"))
     passthrough = [c for c in em.columns if c not in ("vec_id", "embedding")]
-    scored = em.crossJoin(F.broadcast(seeds)).select(
+    # norms hoisted below the broadcast join (one fold per vector, see
+    # ivf_seeds); the row norm rides the argmax struct so the output
+    # `nrm` needs no recomputation
+    emn = em.select(
+        "vec_id", "embedding", *passthrough, _l2("embedding").alias("nrm")
+    )
+    scored = emn.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         F.struct(
-            F.round(cosine(F.col("embedding"), F.col("semb")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("embedding"), F.col("semb"))
+                / (F.col("nrm") * F.col("snrm")),
+                6,
+            ).alias("sim"),
             (-F.col("seed_id")).alias("ns"),
             F.col("embedding").alias("embedding"),
             *[F.col(c).alias(c) for c in passthrough],
+            F.col("nrm").alias("nrm"),
         ).alias("cand"),
     )
     best = scored.groupBy("vec_id").agg(F.max("cand").alias("b"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("b.embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
     return (
         best.select(
             "vec_id",
             (-F.col("b.ns")).alias("cluster"),
             F.col("b.embedding").alias("embedding"),
             *[F.col(f"b.{c}").alias(c) for c in passthrough],
-            norm.alias("nrm"),
+            F.col("b.nrm").alias("nrm"),
         )
         .localCheckpoint(eager=True)
     )
