@@ -135,6 +135,7 @@ HEADLINE = [
     "x_token_budget",
     "x_split_contamination",
     "x_dup_inflation",
+    "s_dedup_near",
 ]
 
 

@@ -627,3 +627,175 @@ def x_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("double") / F.sum("survivor_toks"), 6
         ).alias("inflation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s_dedup_near — streaming incremental near-dup (banded index accumulates)
+# ---------------------------------------------------------------------------
+
+# Identical survivor semantics to x_dedup_near_survivors: the stream
+# arrives in doc_id order and every candidate join keeps old_id < new_id,
+# so "dropped on arrival" == "has a verified partner with a smaller id".
+_S_DEDUP_NEAR_ORACLE = """
+WITH corpus AS (
+    SELECT doc_id, lang, source, n_chars, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars, text
+    FROM documents WHERE doc_id < 10
+), {ctes}, dropped AS (
+    SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5
+)
+SELECT c.doc_id, c.lang, c.source, c.n_chars
+FROM corpus c LEFT JOIN dropped d ON c.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+"""
+
+
+def _s_dedup_near_oracle() -> str:
+    from .extensions import _NEAR_CTES
+
+    return _S_DEDUP_NEAR_ORACLE.format(ctes=_NEAR_CTES.strip())
+
+
+@register("s_dedup_near", oracle=_s_dedup_near_oracle())
+def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental near-dedup — the crawl-ingest loop as a
+    Structured Streaming pipeline: documents arrive in 4 doc_id-ordered
+    micro-batches (the planted +1e6 duplicate tail lands last, so its
+    originals are already indexed); each batch MinHash-bands its docs,
+    band-joins them against the ACCUMULATED signature index (plus
+    smaller-id docs of the same batch), verifies candidates at
+    Jaccard ≥ 0.5, appends only survivors to the output, and appends
+    every doc's bands + shingle-hash set to the index. The standing
+    corpus is never re-shingled and never self-joined — per batch the
+    work is O(|batch| + bucket collisions), the property that keeps a
+    daily crawl dedup sustainable against a 100 TB standing corpus
+    (x_dedup_incremental is the single-batch twin; this key proves the
+    index ACCUMULATES correctly across batches).
+
+    Because arrival follows doc_id order and every candidate join keeps
+    ``old_id < new_id``, the final survivor set equals the batch
+    x_dedup_near_survivors rule exactly — certified by the same shared
+    md5 MinHash CTE oracle, and by a cross-implementation equality test.
+    At scale the index would be bucketed on (band, bucket-hash) so each
+    batch's join prunes to its own buckets (the upsert_append layout);
+    here it is a plain parquet append read per batch.
+    """
+    import os
+    import time as _time
+
+    from .round5e import _km_sigs
+    from .streaming import _sweep_runs
+
+    run = _sweep_runs("sdedup_near")
+    chunks = run / "chunks"
+    idx_bands = run / "idx_bands"
+    idx_hsets = run / "idx_hsets"
+    out = run / "survivors"
+    ckpt = run / "ckpt"
+    chunks.mkdir(parents=True)
+
+    d = load(spark, sf_dir, "documents")
+    tail = d.where(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = d.unionByName(tail).select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    n = d.count()  # organic ids are contiguous from 0 at every SF
+    bounds = [0, n // 4, n // 2, (3 * n) // 4, None]
+    base = int(_time.time())
+    seen: set[str] = set()
+    for i in range(4):
+        lo, hi = bounds[i], bounds[i + 1]
+        chunk = corpus.where(
+            (F.col("doc_id") >= lo)
+            if hi is None
+            else (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(chunks))
+        # strictly increasing mtimes: FileStreamSource orders by
+        # timestamp, and arrival order IS the dedup precedence
+        fresh = {p.name for p in chunks.iterdir()} - seen
+        for name in fresh:
+            os.utime(chunks / name, (base + i, base + i))
+        seen |= fresh
+
+    def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
+        sp = bdf.sparkSession
+        batch = bdf.localCheckpoint(eager=True)
+        banded, hset = _km_sigs(
+            batch.select("doc_id", F.lit("n").alias("side"), "text")
+        )
+        nb = banded.select(
+            F.col("doc_id").alias("new_id"), "band", "bucket"
+        )
+        self_bands = banded.select(
+            F.col("doc_id").alias("old_id"), "band", "bucket"
+        )
+        old_bands = (
+            sp.read.parquet(str(idx_bands))
+            .select(F.col("doc_id").alias("old_id"), "band", "bucket")
+            .unionByName(self_bands)
+            if os.path.exists(idx_bands)
+            else self_bands
+        )
+        cand = (
+            nb.join(old_bands, ["band", "bucket"])
+            .where(F.col("old_id") < F.col("new_id"))
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        old_hsets = (
+            sp.read.parquet(str(idx_hsets)).unionByName(hset)
+            if os.path.exists(idx_hsets)
+            else hset
+        )
+        s1 = hset.select(
+            F.col("doc_id").alias("new_id"), F.col("hsig").alias("h_new")
+        )
+        s2 = old_hsets.select(
+            F.col("doc_id").alias("old_id"), F.col("hsig").alias("h_old")
+        )
+        jac = F.size(F.array_intersect("h_new", "h_old")) / F.size(
+            F.array_union("h_new", "h_old")
+        )
+        dropped = (
+            cand.join(s1, "new_id")
+            .join(s2, "old_id")
+            .where(F.round(jac, 6) >= 0.5)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        (
+            batch.join(dropped, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source", "n_chars")
+            .write.mode("append")
+            .parquet(str(out))
+        )
+        banded.select("doc_id", "band", "bucket").write.mode("append").parquet(
+            str(idx_bands)
+        )
+        hset.write.mode("append").parquet(str(idx_hsets))
+
+    q = (
+        spark.readStream.schema(
+            "doc_id bigint, lang string, source string, "
+            "n_chars bigint, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return (
+        spark.read.parquet(str(out))
+        .localCheckpoint(eager=True)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -231,3 +231,36 @@ def test_dup_inflation_recount_and_bounds(spark):
     # sources hosting the planted mutants must show inflation
     mutated_sources = {s for d, s, _ in corpus if d >= 4_000_000}
     assert all(rows[s]["inflation"] > 1.0 for s in mutated_sources)
+
+
+# ---------------------------------------------------------------------------
+# s_dedup_near
+# ---------------------------------------------------------------------------
+
+
+def test_s_dedup_near_equals_batch_survivors(spark):
+    """The streaming incremental dedup must land on EXACTLY the batch
+    x_dedup_near_survivors set: arrival follows doc_id order and every
+    candidate join keeps old_id < new_id, so 'dropped on arrival'
+    coincides with 'has a verified smaller-id partner'."""
+    got = sorted(
+        tuple(r)
+        for r in queries()["s_dedup_near"](spark, SF_SMALL).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in queries()["x_dedup_near_survivors"](spark, SF_SMALL).collect()
+    )
+    assert got == want
+
+
+def test_s_dedup_near_drops_planted_tail_and_reruns_stable(spark):
+    a = queries()["s_dedup_near"](spark, SF_SMALL)
+    ids = {r["doc_id"] for r in a.select("doc_id").collect()}
+    # the +1e6 tail arrives in the LAST micro-batch, after its originals
+    # are indexed — every planted copy must be dropped
+    assert not any(i >= 1_000_000 for i in ids)
+    # and the originals survive (nothing smaller matches them)
+    assert all(i in ids for i in range(10))
+    b = queries()["s_dedup_near"](spark, SF_SMALL)
+    assert {r["doc_id"] for r in b.select("doc_id").collect()} == ids
