@@ -136,6 +136,9 @@ HEADLINE = [
     "x_split_contamination",
     "x_dup_inflation",
     "s_dedup_near",
+    "x_ndcg_eval",
+    "x_compaction_plan",
+    "x_join_skew_diagnose",
 ]
 
 

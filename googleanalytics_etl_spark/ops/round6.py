@@ -799,3 +799,308 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_ndcg_eval — graded ranking quality of the IVF probe path
+# ---------------------------------------------------------------------------
+
+_NDCG_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < 5
+), exact AS (
+    SELECT qid, vec_id, sim, rn FROM (
+        SELECT q.qid, e.vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
+                       e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    ) WHERE rn <= 10
+), dims AS (
+    SELECT label, s.dim AS dim, AVG(CAST(s.val AS DOUBLE)) AS c
+    FROM (SELECT label,
+                 unnest(list_transform(embedding,
+                     (x, i) -> {'dim': i, 'val': x})) AS s
+          FROM embeddings)
+    GROUP BY label, s.dim
+), cent AS (
+    SELECT label,
+           CAST(list(CAST(c AS FLOAT) ORDER BY dim) AS DOUBLE[]) AS centroid
+    FROM dims GROUP BY label
+), probes AS (
+    SELECT qid, label FROM (
+        SELECT q.qid, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(c.centroid, q.qe), 6)
+                            DESC, c.label) AS rn
+        FROM cent c CROSS JOIN q
+    ) WHERE rn <= 5
+), ivf AS (
+    SELECT qid, vec_id, sim, rn FROM (
+        SELECT q.qid, e.vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
+                       e.vec_id) AS rn
+        FROM embeddings e
+        JOIN probes p USING (label)
+        JOIN q ON q.qid = p.qid
+        WHERE e.vec_id <> q.qid
+    ) WHERE rn <= 10
+), dcg AS (
+    SELECT qid,
+           SUM(CAST(sim / log2(rn + 1) AS DECIMAL(18,8))) AS d
+    FROM ivf GROUP BY qid
+), idcg AS (
+    SELECT qid,
+           SUM(CAST(sim / log2(rn + 1) AS DECIMAL(18,8))) AS d
+    FROM exact GROUP BY qid
+)
+SELECT i.qid,
+       ROUND(CAST(g.d AS DOUBLE), 6) AS dcg,
+       ROUND(CAST(i.d AS DOUBLE), 6) AS idcg,
+       ROUND(ROUND(CAST(g.d AS DOUBLE), 6)
+             / ROUND(CAST(i.d AS DOUBLE), 6), 6) AS ndcg
+FROM idcg i JOIN dcg g USING (qid)
+"""
+
+
+@register("x_ndcg_eval", oracle=_NDCG_ORACLE)
+def x_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the IVF probe path against the exact ranking — the
+    GRADED companion to ``x_ann_recall``: recall counts overlap, NDCG
+    weights each retrieved item by its true cosine gain and its rank
+    discount (1/log2(rank+1)), so a probe path that finds the right
+    docs in the wrong order, or misses only the low-gain tail, scores
+    differently. Same 5-query panel, centroid build and probe selection
+    as x_ann_recall (round4e.py); per-term discounted gains are
+    DECIMAL(18,8)-quantized before the exact sum (the x_psi_drift
+    recipe — absorbs the engines' last-ulp log2 differences), and ndcg
+    divides the two ROUNDED sums, so the driver hash certifies the full
+    measurement. ndcg = 1 exactly when the probed cells contain the
+    whole ideal top-10.
+
+    Pair space is the audit's: |panel| × n on the exact side, probed
+    cells only on the IVF side — identical to x_ann_recall.
+    """
+    from pyspark.sql import Window
+
+    from .extensions import cosine
+    from .round4e import _NQ, _PROBES, _TOPK
+
+    em = load(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+
+    def ranked(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _TOPK)
+            .select("qid", "sim", "rn")
+        )
+
+    exact = ranked(
+        em.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
+        )
+    )
+    dims = em.select("label", F.posexplode("embedding").alias("dim", "val"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p["c"].cast("float")).alias(
+                "centroid"
+            ),
+        )
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("csim"), "label")
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "label",
+            F.round(cosine(F.col("centroid"), F.col("qe")), 6).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= _PROBES)
+        .select("qid", "label")
+    )
+    ivf = ranked(
+        em.join(F.broadcast(probes), "label")
+        .join(F.broadcast(q), "qid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
+        )
+    )
+    term = (F.col("sim") / F.log2(F.col("rn") + 1)).cast("decimal(18,8)")
+    dcg = ivf.groupBy("qid").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("dcg")
+    )
+    idcg = exact.groupBy("qid").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("idcg")
+    )
+    return idcg.join(dcg, "qid").select(
+        "qid",
+        "dcg",
+        "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_compaction_plan — small-file compaction planning over file metadata
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 16_384  # bytes per output file (fixture-sized OPTIMIZE)
+
+_COMPACTION_ORACLE = f"""
+WITH files AS (
+    SELECT source,
+           CAST(FLOOR(doc_id / 50) AS BIGINT) AS file_id,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes
+    FROM documents GROUP BY source, FLOOR(doc_id / 50)
+), planned AS (
+    SELECT source, file_id, bytes,
+           CAST(FLOOR(
+               (SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+                                 ROWS UNBOUNDED PRECEDING) - bytes)
+               / {_COMPACT_TARGET}.0) AS BIGINT) AS bin
+    FROM files
+)
+SELECT source, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+       CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS compacts
+FROM planned GROUP BY source, bin
+"""
+
+
+@register("x_compaction_plan", oracle=_COMPACTION_ORACLE)
+def x_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING (the Delta/Iceberg OPTIMIZE bin
+    packer): group each source's incremental-append files (emulated
+    here as 50-doc blocks with their byte sizes) into target-size
+    output bins by a running-cumsum rule — a file opens a new bin when
+    the bytes BEFORE it already fill a multiple of the target. First-fit
+    by file order (not size-sorted FFD) is the production choice: it
+    preserves ingestion locality and needs one window pass instead of a
+    sort.
+
+    The planner runs entirely on FILE METADATA — |files| rows, never
+    data — exactly like sources/layout.compact_parquet, which consumes
+    such a plan; the per-source cumsum window is metadata-scale. Exact
+    integer bytes both engines; the only doubles are none.
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    files = d.groupBy(
+        "source", F.floor(F.col("doc_id") / 50).cast("long").alias("file_id")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.select(
+        "source",
+        "file_id",
+        "bytes",
+        F.floor(
+            (F.sum("bytes").over(wsrc) - F.col("bytes"))
+            / float(_COMPACT_TARGET)
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return planned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bytes_total"),
+        (F.count(F.lit(1)) > 1).cast("long").alias("compacts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_join_skew_diagnose — join-key skew profile (measure before salting)
+# ---------------------------------------------------------------------------
+
+_SKEW_DIAG_ORACLE = """
+WITH per_key AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+), tot AS (
+    SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM per_key
+)
+SELECT CAST(rn AS BIGINT) AS rank, user_id, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew_factor
+FROM (
+    SELECT user_id, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn
+    FROM per_key
+), tot
+WHERE rn <= 10
+"""
+
+
+@register("x_join_skew_diagnose", oracle=_SKEW_DIAG_ORACLE)
+def x_join_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew PROFILE — the measurement that decides between a
+    plain shuffle join, AQE skew splitting, and skew.salted_join: the
+    top-10 hottest join keys with their share of the fact table and
+    their skew factor (multiples of the mean key frequency; ~1 ⇒
+    uniform, ≫1 ⇒ salt or split). Run it on the join column BEFORE
+    shipping a 100 TB join — the repo's own skew keys (q_skew_join)
+    exist because nobody ran this first.
+
+    One map-side-combinable count aggregate over the fact, a
+    TakeOrdered top-10, and a 1-row totals broadcast — diagnosis costs
+    one scan, no full sort.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = per_key.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    # rank window runs AFTER the TakeOrdered limit — 10 rows, one task
+    top = per_key.orderBy(F.col("cnt").desc(), "user_id").limit(10).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "user_id"))
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "user_id",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"), 6
+        ).alias("skew_factor"),
+    )

@@ -244,7 +244,8 @@ _ROUND7_HEAD: list[str] = [
     "q_approx_distinct", "q_fn_bitwise",
     "x_class_balance", "x_survivor_policy", "x_source_kl",
     "x_token_budget", "x_split_contamination", "x_dup_inflation",
-    "s_dedup_near",
+    "s_dedup_near", "x_ndcg_eval", "x_compaction_plan",
+    "x_join_skew_diagnose",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

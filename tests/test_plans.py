@@ -164,6 +164,10 @@ _BNLJ_OK = {
     "x_class_balance",
     "x_source_kl",
     "x_token_budget",
+    # 5-query panel broadcasts (NDCG audit, same shape as x_ann_recall)
+    # and the 1-row totals broadcast in the skew profiler
+    "x_ndcg_eval",
+    "x_join_skew_diagnose",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless

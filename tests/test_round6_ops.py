@@ -264,3 +264,83 @@ def test_s_dedup_near_drops_planted_tail_and_reruns_stable(spark):
     assert all(i in ids for i in range(10))
     b = queries()["s_dedup_near"](spark, SF_SMALL)
     assert {r["doc_id"] for r in b.select("doc_id").collect()} == ids
+
+
+# ---------------------------------------------------------------------------
+# x_ndcg_eval / x_compaction_plan / x_join_skew_diagnose
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_bounds_and_recall_consistency(spark):
+    """NDCG is in (0, 1]; a query with recall 1.0 has ndcg 1.0 (the
+    probed cells contained the whole ideal top-10 in the same order by
+    construction — both lists rank by true cosine)."""
+    ndcg = {r["qid"]: r for r in queries()["x_ndcg_eval"](spark, SF_SMALL).collect()}
+    recall = {
+        r["qid"]: r["recall"]
+        for r in queries()["x_ann_recall"](spark, SF_SMALL).collect()
+    }
+    assert set(ndcg) == set(recall)
+    for qid, r in ndcg.items():
+        assert 0 < r["ndcg"] <= 1.0 + 1e-9
+        assert 0 < r["dcg"] <= r["idcg"] + 1e-9
+        if recall[qid] == 1.0:
+            assert r["ndcg"] == 1.0
+        if recall[qid] < 1.0:
+            assert r["ndcg"] < 1.0
+        # graded metric dominates the binary one: dropping only
+        # low-gain tail items hurts NDCG less than recall
+        assert r["ndcg"] >= recall[qid] - 1e-9
+
+
+def test_compaction_plan_replay(spark):
+    """Python replay of the first-fit cumsum packer at sf0.01 and both
+    invariants: bins are contiguous per source, and no bin except
+    possibly the last of a source stays under target while a successor
+    exists (the rule only opens a bin when the previous multiples are
+    filled)."""
+    from conftest import SF_MED
+
+    rows = {
+        (r["source"], r["bin"]): (r["n_files"], r["bytes_total"], r["compacts"])
+        for r in queries()["x_compaction_plan"](spark, SF_MED).collect()
+    }
+    docs = load(spark, SF_MED, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    files = defaultdict(int)
+    for r in docs:
+        files[(r["source"], r["doc_id"] // 50)] += r["n_chars"]
+    plan = defaultdict(lambda: [0, 0])
+    for src in {s for s, _ in files}:
+        cum = 0
+        for fid in sorted(f for s, f in files if s == src):
+            b = cum // 16_384
+            plan[(src, b)][0] += 1
+            plan[(src, b)][1] += files[(src, fid)]
+            cum += files[(src, fid)]
+    want = {
+        k: (n, byt, 1 if n > 1 else 0) for k, (n, byt) in plan.items()
+    }
+    assert rows == want
+    # contiguity: bins per source are 0..max with no gaps
+    for src in {s for s, _ in rows}:
+        bins = sorted(b for s, b in rows if s == src)
+        assert bins == list(range(len(bins)))
+
+
+def test_join_skew_diagnose_recount(spark):
+    rows = queries()["x_join_skew_diagnose"](spark, SF_SMALL).collect()
+    ev = load(spark, SF_SMALL, "events").select("user_id").collect()
+    cnt = Counter(r["user_id"] for r in ev)
+    total = sum(cnt.values())
+    n_keys = len(cnt)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = sorted(rows, key=lambda r: r["rank"])
+    assert [(r["user_id"], r["cnt"]) for r in got] == want
+    for r in got:
+        assert r["share"] == round(r["cnt"] / total, 6)
+        assert r["skew_factor"] == round(r["cnt"] * n_keys / total, 6)
+    # ranks are 1..10 and counts are non-increasing
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert all(a["cnt"] >= b["cnt"] for a, b in zip(got, got[1:]))
