@@ -517,3 +517,43 @@ def test_span_dup_boilerplate_hot_gram_16x(spark):
     # boilerplate suffix is shared corpus-wide, organic grams are not
     assert all(0 < ns <= ng for (ng, ns) in base.values())
     assert any(ns < ng for (ng, ns) in base.values())
+
+
+def test_seed_assign_argmax_plan_has_no_window(spark):
+    """The quantizer's nearest-centroid pick must stay the map-side
+    max(struct) argmax: a Window node in seed_assign's plan would mean
+    the n×k broadcast product reaches an exchange carrying embeddings
+    (the round-5 weak-list regression). The assignment is checkpointed,
+    so the plan is inspected BEFORE materialization on a fresh frame."""
+    import pyspark.sql.functions as F
+
+    from googleanalytics_etl_spark.ops.round5b import _l2, ivf_seeds
+
+    em = load(spark, SF_BENCH, "embeddings").select("vec_id", "embedding")
+    seeds = ivf_seeds(em, n_seeds=16)
+    # rebuild seed_assign's pre-checkpoint plan shape inline (the
+    # public function checkpoints eagerly, which truncates lineage)
+    emn = em.select("vec_id", "embedding", _l2("embedding").alias("nrm"))
+    from googleanalytics_etl_spark.ops.round5b import _dot
+
+    scored = emn.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        F.struct(
+            F.round(
+                _dot(F.col("embedding"), F.col("semb"))
+                / (F.col("nrm") * F.col("snrm")),
+                6,
+            ).alias("sim"),
+            (-F.col("seed_id")).alias("ns"),
+            F.col("embedding").alias("embedding"),
+            F.col("nrm").alias("nrm"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy("vec_id").agg(F.max("cand").alias("b"))
+    plan = best._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # exactly one hash exchange (the n-row final aggregate); the n×k
+    # product must be collapsed by the partial aggregate before it
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and the partial aggregate sits below the exchange (map-side)
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
