@@ -54,9 +54,15 @@ TERMINAL = [
         "size(filter({a}, t -> t >= 'm'))",
         "len(list_filter({a}, t -> t >= 'm'))",
     ),
+    # FOUND BY THIS FUZZ (round 6): on an EMPTY array Spark concat_ws
+    # returns '' (length 0) while DuckDB string_agg returns NULL — the
+    # faithful mapping is concat_ws ≡ COALESCE(string_agg, ''). The
+    # registry's one string_agg oracle (x_containment) feeds it
+    # str_split output, which is never an empty list, so no oracle was
+    # affected; the mapping is pinned here.
     (
         "length(concat_ws(' ', {a}))",
-        "length(list_aggregate({a}, 'string_agg', ' '))",
+        "length(COALESCE(list_aggregate({a}, 'string_agg', ' '), ''))",
     ),
 ]
 

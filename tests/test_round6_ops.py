@@ -64,7 +64,6 @@ def test_class_balance_lands_near_minority_size(spark):
 
 def test_survivor_policy_planted_mutants_disagree(spark):
     rows = queries()["x_survivor_policy"](spark, SF_SMALL).collect()
-    by_first = {r["keep_first"]: r for r in rows}
     docs = {
         r["doc_id"]: r["text"]
         for r in load(spark, SF_SMALL, "documents")
