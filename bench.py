@@ -139,6 +139,7 @@ HEADLINE = [
     "x_ndcg_eval",
     "x_compaction_plan",
     "x_join_skew_diagnose",
+    "s_psi_monitor",
 ]
 
 

@@ -1104,3 +1104,104 @@ def x_join_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"), 6
         ).alias("skew_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s_psi_monitor — streaming drift monitor (incremental PSI accumulation)
+# ---------------------------------------------------------------------------
+
+
+def _s_psi_oracle() -> str:
+    from .round5m import _PSI_ORACLE
+
+    return _PSI_ORACLE
+
+
+@register("s_psi_monitor", oracle=_s_psi_oracle())
+def s_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor — x_psi_drift's population stability
+    index maintained incrementally: the event log streams in 5
+    time-ordered micro-batches; each batch bucket-labels its rows
+    (period = before/after the 2024-01-16 cutoff, 5 fixed value
+    buckets) and appends its PARTIAL (event_type, bucket) period counts
+    to a metric state store; the final PSI is computed from the summed
+    state. Counts are associative, so the accumulated state equals the
+    batch scan exactly and the SAME full-hash oracle certifies the
+    streaming path — the metric twin of ``s_incremental_sync`` (which
+    proves row sync; this proves METRIC sync, the nightly-drift-alarm
+    deployment shape where the monitor must never rescan history).
+
+    State is |types·buckets·batches| rows of partial counts — metadata
+    scale; at 100 TB the append-then-sum state store is the same
+    pattern as a Delta metrics table with periodic compaction.
+    """
+    from .streaming import _events_stream, _stage_events, _sweep_runs
+
+    stage = _stage_events(spark, sf_dir)
+    run = _sweep_runs("psi_monitor")
+    state = run / "counts"
+    ckpt = run / "ckpt"
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+
+    def label(df: DataFrame) -> DataFrame:
+        return df.where(F.col("value").isNotNull()).select(
+            F.when(F.col("ts") < cut, "early").otherwise("late").alias(
+                "period"
+            ),
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / 20.0).cast("long"), F.lit(4)
+            ).alias("bucket"),
+        )
+
+    def monitor_batch(bdf: DataFrame, epoch_id: int) -> None:
+        (
+            label(bdf)
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.sum(F.when(F.col("period") == "early", 1).otherwise(0))
+                .cast("long")
+                .alias("n_early"),
+                F.sum(F.when(F.col("period") == "late", 1).otherwise(0))
+                .cast("long")
+                .alias("n_late"),
+            )
+            .write.mode("append")
+            .parquet(str(state))
+        )
+
+    q = (
+        _events_stream(spark, stage)
+        .writeStream.foreachBatch(monitor_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    counts = (
+        spark.read.parquet(str(state))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("n_early").cast("long").alias("n_early"),
+            F.sum("n_late").cast("long").alias("n_late"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
+    )
+    pe = (F.col("n_early") + 0.5) / (F.col("te") + 2.5)
+    pl = (F.col("n_late") + 0.5) / (F.col("tl") + 2.5)
+    term = ((pe - pl) * F.log(pe / pl)).cast("decimal(18,8)")
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+    )

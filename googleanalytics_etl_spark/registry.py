@@ -245,7 +245,7 @@ _ROUND7_HEAD: list[str] = [
     "x_class_balance", "x_survivor_policy", "x_source_kl",
     "x_token_budget", "x_split_contamination", "x_dup_inflation",
     "s_dedup_near", "x_ndcg_eval", "x_compaction_plan",
-    "x_join_skew_diagnose",
+    "x_join_skew_diagnose", "s_psi_monitor",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

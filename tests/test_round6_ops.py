@@ -343,3 +343,21 @@ def test_join_skew_diagnose_recount(spark):
     # ranks are 1..10 and counts are non-increasing
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
     assert all(a["cnt"] >= b["cnt"] for a, b in zip(got, got[1:]))
+
+
+# ---------------------------------------------------------------------------
+# s_psi_monitor
+# ---------------------------------------------------------------------------
+
+
+def test_s_psi_monitor_equals_batch_drift(spark):
+    """The incrementally-accumulated PSI must equal the batch
+    x_psi_drift scan exactly (counts are associative, the formula runs
+    on the summed state) — the metric twin of s_incremental_sync."""
+    got = sorted(
+        tuple(r) for r in queries()["s_psi_monitor"](spark, SF_SMALL).collect()
+    )
+    want = sorted(
+        tuple(r) for r in queries()["x_psi_drift"](spark, SF_SMALL).collect()
+    )
+    assert got == want
