@@ -677,9 +677,13 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``old_id < new_id``, the final survivor set equals the batch
     x_dedup_near_survivors rule exactly — certified by the same shared
     md5 MinHash CTE oracle, and by a cross-implementation equality test.
-    At scale the index would be bucketed on (band, bucket-hash) so each
-    batch's join prunes to its own buckets (the upsert_append layout);
-    here it is a plain parquet append read per batch.
+    The index the loop re-reads per batch is SLIM — (doc_id, band,
+    bucket) longs and the hash sets, ~1-2% of corpus bytes — and a
+    batch's bands hash across the whole bucket space, so value-pruning
+    cannot help; the at-scale layout is instead bucketBy(bucket) for
+    both the stored index and the batch side, making the candidate
+    join exchange-free on the accumulated (large) side. Here it is a
+    plain parquet append read per batch.
     """
     import os
     import time as _time
