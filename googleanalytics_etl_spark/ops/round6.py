@@ -87,6 +87,12 @@ def x_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the keep probability.
     """
     em = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return class_balance_counts(em)
+
+
+def class_balance_counts(em: DataFrame) -> DataFrame:
+    """Library form of :func:`x_class_balance` over any (vec_id, label)
+    frame — used by the registered key and the imbalance stress test."""
     counts = em.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_orig")
     )

@@ -557,3 +557,52 @@ def test_seed_assign_argmax_plan_has_no_window(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # and the partial aggregate sits below the exchange (map-side)
     assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+def test_class_balance_9to1_imbalance_no_sort(spark):
+    """Class rebalancing under the skew it exists for: 9 copies of the
+    sf0.1 embeddings relabeled to class 0 stacked on 1 original copy —
+    the dominant class is ~9-15× every minority class. The hash
+    Bernoulli must (a) keep every minority class intact when its count
+    IS the minimum, (b) land the dominant class within 5σ of the
+    minority size, and (c) plan ZERO Window/global-sort nodes — the
+    row_number alternative would sort the dominant class's partition.
+    """
+    from googleanalytics_etl_spark.ops.round6 import class_balance_counts
+
+    e = load(spark, SF_BENCH, "embeddings").select("vec_id", "label")
+    stride = 10_000_000
+    parts = [e]
+    for i in range(1, 10):
+        parts.append(
+            e.select(
+                (F.col("vec_id") + F.lit(i).cast("long") * stride).alias(
+                    "vec_id"
+                ),
+                F.lit(0).alias("label"),
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    out = class_balance_counts(big)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+
+    rows = {r["label"]: r for r in out.collect()}
+    min_n = min(r["n_orig"] for r in rows.values())
+    base = {r["label"]: r for r in e.groupBy("label").count().collect()}
+    # the dominant class really is dominant
+    assert rows[0]["n_orig"] >= 9 * base[0]["count"]
+    import math as _m
+
+    for lab, r in rows.items():
+        if r["n_orig"] == min_n:
+            assert r["n_kept"] == r["n_orig"]
+        assert abs(r["n_kept"] - min_n) <= 5 * (_m.sqrt(min_n) + 1), (
+            lab,
+            r,
+            min_n,
+        )
