@@ -98,13 +98,59 @@ def build_parser() -> argparse.ArgumentParser:
         "reports", help="derived report tables (EP3)", parents=[shared]
     )
     r.add_argument("--out", required=True, help="output directory for report tables")
+
+    q = sub.add_parser(
+        "query",
+        help="run any registered operator by key (registry.py surface)",
+        parents=[shared],
+    )
+    q.add_argument("key", help="operator key, e.g. x_dedup_near (see --list)")
+    q.add_argument(
+        "--out", default=None, help="write result parquet here instead of stdout"
+    )
+    q.add_argument(
+        "--limit", type=int, default=20, help="stdout row cap (default 20)"
+    )
+
+    sub.add_parser("list", help="list every registered operator key")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.command == "list":
+        from .registry import queries
+
+        for key in queries():
+            print(key)
+        return 0
+
     config = load_config(args.config)
     spark = get_spark("gae-spark-cli", cpus=args.cpus)
+
+    if args.command == "query":
+        from .registry import queries
+
+        q = queries()
+        if args.key not in q:
+            raise SystemExit(
+                f"unknown key {args.key!r}; `list` prints all "
+                f"{len(q)} registered operators"
+            )
+        df = q[args.key](spark, args.source_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(
+                json.dumps(
+                    {"command": "query", "key": args.key, "out": args.out,
+                     "rows": spark.read.parquet(args.out).count()}
+                )
+            )
+        else:
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
+        return 0
 
     if args.command == "reports":
         paths = materialize_reports(

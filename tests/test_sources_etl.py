@@ -487,3 +487,35 @@ def test_paged_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     assert got.count() == want.count() == 1000
     assert got.select("event_id").distinct().count() == 1000
     assert got.exceptAll(want).count() == 0
+
+
+def test_cli_query_and_list(spark, tmp_path, capsys):
+    """The `query` subcommand runs any registered operator by key
+    (stdout JSON rows or parquet --out) and `list` enumerates the full
+    registry — the whole 250+-operator surface is CLI-reachable."""
+    import json as _json
+
+    from googleanalytics_etl_spark.cli import main
+    from googleanalytics_etl_spark.registry import queries
+
+    assert main(["list"]) == 0
+    listed = capsys.readouterr().out.split()
+    assert listed == list(queries())
+
+    assert main(["query", "q_groupby_agg", "--source-dir", SF_SMALL]) == 0
+    rows = [
+        _json.loads(line) for line in capsys.readouterr().out.splitlines()
+    ]
+    assert rows and {"l_returnflag", "sum_qty"} <= set(rows[0])
+
+    out = str(tmp_path / "qr")
+    assert (
+        main(["query", "x_token_budget", "--source-dir", SF_SMALL, "--out", out])
+        == 0
+    )
+    assert spark.read.parquet(out).count() == 20
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["query", "no_such_key", "--source-dir", SF_SMALL])
