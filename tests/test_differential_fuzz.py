@@ -15,8 +15,14 @@ is itself deterministic on the fixed fixture, so failures replay exactly.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# soak multiplier: SPARK_GRAFT_FUZZ_X=10 runs 10x the examples —
+# used by per-round fuzz soak sessions hunting cross-engine edges
+_FUZZ_X = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_X", "1")))
 
 from conftest import SF_SMALL
 
@@ -51,7 +57,7 @@ predicate = st.lists(comparison, min_size=1, max_size=4).map(
 
 
 @settings(
-    max_examples=25,
+    max_examples=25 * _FUZZ_X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -74,7 +80,7 @@ def test_random_predicates_agree(spark, duck_small, pred):
 
 
 @settings(
-    max_examples=15,
+    max_examples=15 * _FUZZ_X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -123,7 +129,7 @@ JOIN_SPECS = [
 
 
 @settings(
-    max_examples=12,
+    max_examples=12 * _FUZZ_X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -170,7 +176,7 @@ def test_random_joins_agree(spark, duck_small, spec, jt, mod, rem):
 
 
 @settings(
-    max_examples=12,
+    max_examples=12 * _FUZZ_X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -210,7 +216,7 @@ def test_random_window_functions_agree(spark, duck_small, fn, part, direction, p
 
 
 @settings(
-    max_examples=10,
+    max_examples=10 * _FUZZ_X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -21,8 +21,14 @@ distinct as order-unstable."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# soak multiplier: SPARK_GRAFT_FUZZ_X=10 runs 10x the examples —
+# used by per-round fuzz soak sessions hunting cross-engine edges
+_FUZZ_X = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_X", "1")))
 
 from conftest import SF_SMALL
 
@@ -82,7 +88,7 @@ def pipeline(draw):
 
 
 @settings(
-    max_examples=30,
+    max_examples=30 * _FUZZ_X,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
