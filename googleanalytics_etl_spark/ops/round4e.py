@@ -86,36 +86,30 @@ GROUP BY x.qid
 """
 
 
-@register("x_ann_recall", oracle=_ANN_RECALL_ORACLE)
-def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality certification: recall@10 of the IVF probe path
-    (``x_sim_knn_ivf``'s construction) against exact brute force
-    (``x_sim_knn``'s), for a 5-query panel — the number a 100 TB
-    vector-search deployment is actually judged on, computed
-    end-to-end inside BOTH engines so the driver hash certifies the
-    whole pipeline: exact top-10, centroid build, probe selection,
-    IVF top-10, and the overlap.
-
-    Pair space: exact side is |panel| × n (5n — a recall AUDIT on a
-    sample, not the serving path); IVF side scans only the probed
-    cells. Centroids round to FLOAT before the cosine (absorbs
-    summation-order ulps); cosines round to 6 dp before ranking with
-    vec_id tiebreak — the established cross-engine determinism recipe.
-    """
-    em = load(spark, sf_dir, "embeddings")
+def ann_rankings(em: DataFrame) -> dict[str, DataFrame]:
+    """The shared ANN audit panel: exact and IVF-probed top-``_TOPK``
+    rankings for the ``_NQ``-query panel over an (vec_id, embedding,
+    label) frame. Returns ``{"exact": df, "ivf": df}``, each with
+    ``(qid, vec_id, sim, rn)`` where rn ≤ _TOPK orders by round-6
+    cosine DESC with vec_id tiebreak. ONE definition consumed by both
+    evaluation operators — ``x_ann_recall`` (set overlap → recall) and
+    ``x_ndcg_eval`` (round6.py — rank-discounted gains → NDCG), whose
+    docstrings both promise the identical panel/centroid/probe recipe.
+    Centroids round to FLOAT before the cosine; cosines round to 6 dp
+    before ranking (the cross-engine determinism recipe)."""
     q = em.where(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
 
-    def topk(scored: DataFrame) -> DataFrame:
+    def ranked(scored: DataFrame) -> DataFrame:
         w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= _TOPK)
-            .select("qid", "vec_id")
+            .select("qid", "vec_id", "sim", "rn")
         )
 
-    exact = topk(
+    exact = ranked(
         em.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
@@ -148,7 +142,7 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _PROBES)
         .select("qid", "label")
     )
-    ivf = topk(
+    ivf = ranked(
         em.join(F.broadcast(probes), "label")
         .join(F.broadcast(q), "qid")
         .where(F.col("vec_id") != F.col("qid"))
@@ -158,7 +152,31 @@ def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
         )
     )
-    ivf_hit = ivf.withColumnRenamed("vec_id", "ivf_id")
+    return {"exact": exact, "ivf": ivf}
+
+
+@register("x_ann_recall", oracle=_ANN_RECALL_ORACLE)
+def x_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality certification: recall@10 of the IVF probe path
+    (``x_sim_knn_ivf``'s construction) against exact brute force
+    (``x_sim_knn``'s), for a 5-query panel — the number a 100 TB
+    vector-search deployment is actually judged on, computed
+    end-to-end inside BOTH engines so the driver hash certifies the
+    whole pipeline: exact top-10, centroid build, probe selection,
+    IVF top-10, and the overlap.
+
+    Pair space: exact side is |panel| × n (5n — a recall AUDIT on a
+    sample, not the serving path); IVF side scans only the probed
+    cells. Centroids round to FLOAT before the cosine (absorbs
+    summation-order ulps); cosines round to 6 dp before ranking with
+    vec_id tiebreak — the established cross-engine determinism recipe.
+    """
+    em = load(spark, sf_dir, "embeddings")
+    panel = ann_rankings(em)
+    exact = panel["exact"].select("qid", "vec_id")
+    ivf_hit = panel["ivf"].select(
+        "qid", F.col("vec_id").alias("ivf_id")
+    )
     return (
         exact.join(
             ivf_hit,

@@ -17,7 +17,7 @@ attribution, and graph degree distribution.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -290,6 +290,42 @@ FROM norm
 """
 
 
+# Canonical-form key shared by the normalization-dedup FAMILY
+# (x_dedup_normalized here; x_survivor_policy / x_dup_inflation in
+# round6.py): lowercase → strip non-alphanumerics → collapse whitespace
+# → trim → md5. The SQL twin must stay byte-identical to this recipe —
+# exporting both from ONE place makes that structural.
+NORM_KEY_SQL = """md5(trim(regexp_replace(
+    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"""
+
+
+def norm_key(text: str | Column = "text") -> Column:
+    """Spark twin of :data:`NORM_KEY_SQL` over a text column."""
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""), " +", " "
+            )
+        ).cast("binary")
+    )
+
+
+def mutated_tail(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """The planted normalization-mutant tail shared by the family:
+    docs 0-9 re-inserted at doc_id+4e6 with a case flip and a doubled-
+    space '!!' suffix — byte-distinct, normalization-identical.
+    ``extra_cols`` pass through unchanged (e.g. ``source``)."""
+    return d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        *extra_cols,
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+            F.lit("  !!"),
+        ).alias("text"),
+    )
+
+
 @register("x_dedup_normalized", oracle=_NORM_DEDUP_ORACLE)
 def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-exact dedup: lowercase, strip non-alphanumerics,
@@ -308,25 +344,10 @@ def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_dedup_exact.
     """
     d = load(spark, sf_dir, "documents")
-    mutated = d.where(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 4_000_000).alias("doc_id"),
-        F.concat(
-            F.upper(F.substring("text", 1, 1)),
-            F.expr("substring(text, 2)"),
-            F.lit("  !!"),
-        ).alias("text"),
-    )
-    corpus = d.select("doc_id", "text").unionByName(mutated)
-    nkey = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
-            )
-        ).cast("binary")
-    )
+    corpus = d.select("doc_id", "text").unionByName(mutated_tail(d))
     w = Window.partitionBy("nkey")
     return (
-        corpus.select("doc_id", nkey.alias("nkey"))
+        corpus.select("doc_id", norm_key().alias("nkey"))
         .withColumn("survivor", F.min("doc_id").over(w).cast("long"))
         .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
     )
@@ -937,6 +958,17 @@ def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_late"),
     )
+    return psi_from_counts(counts)
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI report from an ``(event_type, bucket, n_early, n_late)``
+    count frame — the Laplace smoothing (+0.5 over 5 buckets), the
+    DECIMAL(18,8)-quantized terms and the final per-type aggregate.
+    ONE definition shared by :func:`x_psi_drift` (batch scan) and
+    ``s_psi_monitor`` (round6.py — streaming state accumulation), so
+    their streaming == batch metric equality is structural, not two
+    hand-copies of the same constants."""
     tot = counts.groupBy("event_type").agg(
         F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
     )

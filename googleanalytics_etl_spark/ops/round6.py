@@ -137,10 +137,9 @@ def class_balance_counts(em: DataFrame) -> DataFrame:
 # x_survivor_policy — dedup survivorship policy comparison
 # ---------------------------------------------------------------------------
 
-# the x_dedup_normalized canonical key, shared verbatim: lowercase →
-# strip non-alphanumerics → collapse whitespace → trim → md5
-_NORM_KEY_SQL = """md5(trim(regexp_replace(
-    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"""
+# the x_dedup_normalized canonical key — ONE definition (round5m.py)
+# serves the whole normalization-dedup family's SQL oracles
+from .round5m import NORM_KEY_SQL as _NORM_KEY_SQL  # noqa: E402
 
 _SURVIVOR_ORACLE = f"""
 WITH corpus AS (
@@ -201,23 +200,14 @@ def x_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     one candidate per (digest, map partition) — text never moves, no
     window, no sort, same scale shape as ``x_dedup_exact``.
     """
+    from .round5m import mutated_tail, norm_key
+
     d = load(spark, sf_dir, "documents")
-    mutated = d.where(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 4_000_000).alias("doc_id"),
-        F.concat(
-            F.upper(F.substring("text", 1, 1)),
-            F.expr("substring(text, 2)"),
-            F.lit("  !!"),
-        ).alias("text"),
-    )
-    corpus = d.select("doc_id", "text").unionByName(mutated)
+    corpus = d.select("doc_id", "text").unionByName(mutated_tail(d))
     cleaned = F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")
-    nkey = F.md5(
-        F.trim(F.regexp_replace(cleaned, " +", " ")).cast("binary")
-    )
     scored = corpus.select(
         "doc_id",
-        nkey.alias("nkey"),
+        norm_key().alias("nkey"),
         F.length("text").cast("long").alias("len"),
         (F.length(cleaned).cast("double") / F.length("text")).alias(
             "clean_frac"
@@ -306,27 +296,26 @@ def x_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     they enter the mixture (x_psi_drift is the same f-divergence
     pointed at time instead of source).
 
-    Scale shape: one explode → (source, word) and (word) hash
-    aggregates (map-side combinable — a stopword is hot only until the
-    combiner); the top-k vocabulary is a TakeOrdered of k rows and is
-    BROADCAST into a |sources|×k grid so zero-count cells exist for
-    smoothing. Per-term products are DECIMAL(18,8)-quantized before
-    the exact sum (the x_psi_drift recipe) so the divergence is
-    bit-stable cross-engine despite LN.
+    Scale shape: ONE explode feeding ONE (source, word) hash aggregate
+    (map-side combinable — a stopword is hot only until the combiner);
+    the corpus counts ROLL UP from that aggregate instead of
+    re-exploding the scan, so the corpus is tokenized exactly once.
+    The top-k vocabulary is a TakeOrdered of k rows and is BROADCAST
+    into a |sources|×k grid so zero-count cells exist for smoothing.
+    Per-term products are DECIMAL(18,8)-quantized before the exact sum
+    (the x_psi_drift recipe) so the divergence is bit-stable
+    cross-engine despite LN.
     """
     d = load(spark, sf_dir, "documents")
     words = d.select("source", F.explode(F.split("text", " ")).alias("word"))
-    corpus_cnt = words.groupBy("word").agg(
-        F.count(F.lit(1)).cast("long").alias("cw")
+    sw = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
     )
+    corpus_cnt = sw.groupBy("word").agg(F.sum("cs").cast("long").alias("cw"))
     vocab = (
         corpus_cnt.orderBy(F.col("cw").desc(), "word").limit(_VOCAB_K)
     )
-    src_word = (
-        words.join(F.broadcast(vocab.select("word")), "word")
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
-    )
+    src_word = sw.join(F.broadcast(vocab.select("word")), "word")
     src_tot = src_word.groupBy("source").agg(
         F.sum("cs").cast("long").alias("ts")
     )
@@ -428,11 +417,22 @@ def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("alloc0"),
-        F.floor(F.col("tot") * 0.4).cast("long").alias("budget"),
     )
-    lo = plan0.agg(
-        (F.max("budget") - F.sum("alloc0")).alias("leftover"),
-        F.sum(F.col("avail") - F.col("alloc0")).alias("cap_tot"),
+    # leftover = budget − Σ alloc0, with the scalar budget re-derived
+    # from the same 1-row totals frame (not smuggled through plan0 as a
+    # constant per-row column)
+    lo = (
+        plan0.agg(
+            F.sum("alloc0").alias("given"),
+            F.sum(F.col("avail") - F.col("alloc0")).alias("cap_tot"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (F.floor(F.col("tot") * 0.4).cast("long") - F.col("given")).alias(
+                "leftover"
+            ),
+            "cap_tot",
+        )
     )
     alloc = F.col("alloc0") + F.when(
         F.col("cap_tot") > 0,
@@ -595,27 +595,15 @@ def x_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped before the first shuffle; same digest-only scale shape as
     the rest of the exact-dedup family.
     """
+    from .round5m import mutated_tail, norm_key
+
     d = load(spark, sf_dir, "documents")
-    mutated = d.where(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 4_000_000).alias("doc_id"),
-        "source",
-        F.concat(
-            F.upper(F.substring("text", 1, 1)),
-            F.expr("substring(text, 2)"),
-            F.lit("  !!"),
-        ).alias("text"),
-    )
-    corpus = d.select("doc_id", "source", "text").unionByName(mutated)
-    nkey = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
-            )
-        ).cast("binary")
+    corpus = d.select("doc_id", "source", "text").unionByName(
+        mutated_tail(d, "source")
     )
     scored = corpus.select(
         "source",
-        nkey.alias("nkey"),
+        norm_key().alias("nkey"),
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("toks"),
     )
@@ -692,10 +680,9 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain parquet append read per batch.
     """
     import os
-    import time as _time
 
     from .round5e import _km_sigs
-    from .streaming import _sweep_runs
+    from .streaming import _sweep_runs, write_chunks_pinned
 
     run = _sweep_runs("sdedup_near")
     chunks = run / "chunks"
@@ -714,22 +701,19 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = d.count()  # organic ids are contiguous from 0 at every SF
     bounds = [0, n // 4, n // 2, (3 * n) // 4, None]
-    base = int(_time.time())
-    seen: set[str] = set()
-    for i in range(4):
-        lo, hi = bounds[i], bounds[i + 1]
-        chunk = corpus.where(
-            (F.col("doc_id") >= lo)
-            if hi is None
-            else (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        )
-        chunk.coalesce(1).write.mode("append").parquet(str(chunks))
-        # strictly increasing mtimes: FileStreamSource orders by
-        # timestamp, and arrival order IS the dedup precedence
-        fresh = {p.name for p in chunks.iterdir()} - seen
-        for name in fresh:
-            os.utime(chunks / name, (base + i, base + i))
-        seen |= fresh
+    # pinned ascending mtimes: FileStreamSource orders by timestamp,
+    # and arrival order IS the dedup precedence (shared staging recipe)
+    write_chunks_pinned(
+        chunks,
+        [
+            corpus.where(
+                (F.col("doc_id") >= lo)
+                if hi is None
+                else (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            for lo, hi in zip(bounds, bounds[1:])
+        ],
+    )
 
     def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
         sp = bdf.sparkSession
@@ -892,9 +876,10 @@ def x_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights each retrieved item by its true cosine gain and its rank
     discount (1/log2(rank+1)), so a probe path that finds the right
     docs in the wrong order, or misses only the low-gain tail, scores
-    differently. Same 5-query panel, centroid build and probe selection
-    as x_ann_recall (round4e.py); per-term discounted gains are
-    DECIMAL(18,8)-quantized before the exact sum (the x_psi_drift
+    differently. The panel, centroid build and probe selection are the
+    SHARED :func:`~.round4e.ann_rankings` builder — one definition for
+    both metrics, so they cannot drift apart. Per-term discounted gains
+    are DECIMAL(18,8)-quantized before the exact sum (the x_psi_drift
     recipe — absorbs the engines' last-ulp log2 differences), and ndcg
     divides the two ROUNDED sums, so the driver hash certifies the full
     measurement. ndcg = 1 exactly when the probed cells contain the
@@ -903,73 +888,14 @@ def x_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair space is the audit's: |panel| × n on the exact side, probed
     cells only on the IVF side — identical to x_ann_recall.
     """
-    from pyspark.sql import Window
+    from .round4e import ann_rankings
 
-    from .extensions import cosine
-    from .round4e import _NQ, _PROBES, _TOPK
-
-    em = load(spark, sf_dir, "embeddings")
-    q = em.where(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
-
-    def ranked(scored: DataFrame) -> DataFrame:
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= _TOPK)
-            .select("qid", "sim", "rn")
-        )
-
-    exact = ranked(
-        em.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
-        )
-    )
-    dims = em.select("label", F.posexplode("embedding").alias("dim", "val"))
-    cent = (
-        dims.groupBy("label", "dim")
-        .agg(F.avg("val").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
-        .select(
-            "label",
-            F.transform("pairs", lambda p: p["c"].cast("float")).alias(
-                "centroid"
-            ),
-        )
-    )
-    wp = Window.partitionBy("qid").orderBy(F.desc("csim"), "label")
-    probes = (
-        cent.crossJoin(F.broadcast(q))
-        .select(
-            "qid",
-            "label",
-            F.round(cosine(F.col("centroid"), F.col("qe")), 6).alias("csim"),
-        )
-        .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= _PROBES)
-        .select("qid", "label")
-    )
-    ivf = ranked(
-        em.join(F.broadcast(probes), "label")
-        .join(F.broadcast(q), "qid")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("sim"),
-        )
-    )
+    panel = ann_rankings(load(spark, sf_dir, "embeddings"))
     term = (F.col("sim") / F.log2(F.col("rn") + 1)).cast("decimal(18,8)")
-    dcg = ivf.groupBy("qid").agg(
+    dcg = panel["ivf"].groupBy("qid").agg(
         F.round(F.sum(term).cast("double"), 6).alias("dcg")
     )
-    idcg = exact.groupBy("qid").agg(
+    idcg = panel["exact"].groupBy("qid").agg(
         F.round(F.sum(term).cast("double"), 6).alias("idcg")
     )
     return idcg.join(dcg, "qid").select(
@@ -1192,6 +1118,8 @@ def s_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
+    from .round5m import psi_from_counts
+
     counts = (
         spark.read.parquet(str(state))
         .groupBy("event_type", "bucket")
@@ -1201,17 +1129,6 @@ def s_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    tot = counts.groupBy("event_type").agg(
-        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
-    )
-    pe = (F.col("n_early") + 0.5) / (F.col("te") + 2.5)
-    pl = (F.col("n_late") + 0.5) / (F.col("tl") + 2.5)
-    term = ((pe - pl) * F.log(pe / pl)).cast("decimal(18,8)")
-    return (
-        counts.join(F.broadcast(tot), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_buckets"),
-            F.round(F.sum(term).cast("double"), 6).alias("psi"),
-        )
-    )
+    # the SAME smoothing/quantization/aggregate as the batch key — one
+    # definition, so streaming == batch is structural
+    return psi_from_counts(counts)

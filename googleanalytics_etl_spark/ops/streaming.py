@@ -22,6 +22,7 @@ sink is an idempotent anti-join append (Delta MERGE in production).
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 from pathlib import Path
@@ -167,6 +168,28 @@ def s_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def write_chunks_pinned(chunks_dir: Path, frames: list) -> None:
+    """Write each frame as one parquet file under ``chunks_dir`` with a
+    STRICTLY increasing pinned mtime per chunk. FileStreamSource orders
+    files by timestamp, and on coarse-mtime filesystems two sequential
+    writes can tie — the tiebreaker (random part-file UUID in the path)
+    would then reorder micro-batches and break determinism. The
+    per-iteration directory diff identifies each chunk's files
+    regardless of what the filesystem recorded. ONE definition serves
+    every file-stream staging loop (_stage_events here; s_dedup_near's
+    doc chunks in round6.py)."""
+    import time as _time
+
+    base = int(_time.time())
+    seen: set[str] = set()
+    for i, frame in enumerate(frames):
+        frame.coalesce(1).write.mode("append").parquet(str(chunks_dir))
+        fresh = {p.name for p in Path(chunks_dir).iterdir()} - seen
+        for name in fresh:
+            os.utime(Path(chunks_dir) / name, (base + i, base + i))
+        seen |= fresh
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
     """Stage the event log as ``n_chunks`` time-ordered parquet files.
 
@@ -178,7 +201,6 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
     # a different dataset with the same basename, or an in-place
     # regeneration, must invalidate the staged copy.
     import hashlib
-    import os
 
     src = Path(sf_dir) / "events.parquet"
     st = os.stat(src)
@@ -198,30 +220,18 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
     ).first()
     lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo) / n_chunks
+    chunks = []
     for i in range(n_chunks):
         start = lo + i * span
         end = hi if i == n_chunks - 1 else lo + (i + 1) * span
-        chunk = e.where(
-            (F.col("ts") >= F.lit(start)) & (F.col("ts") <= F.lit(end))
-            if i == n_chunks - 1
-            else (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+        chunks.append(
+            e.where(
+                (F.col("ts") >= F.lit(start)) & (F.col("ts") <= F.lit(end))
+                if i == n_chunks - 1
+                else (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+            )
         )
-        chunk.coalesce(1).write.mode("append").parquet(str(stage))
-        # Pin a strictly increasing mtime per chunk: FileStreamSource
-        # orders files by timestamp, and on coarse-mtime filesystems two
-        # sequential writes can tie — the tiebreaker (random part-file
-        # UUID in the path) would then reorder micro-batches and break
-        # determinism. The per-iteration diff identifies this chunk's
-        # files regardless of what the filesystem recorded.
-        if i == 0:
-            import time
-
-            base = int(time.time())
-            seen: set[str] = set()
-        fresh = {p.name for p in stage.iterdir()} - seen
-        for name in fresh:
-            os.utime(stage / name, (base + i, base + i))
-        seen |= fresh
+    write_chunks_pinned(stage, chunks)
     done.touch()
     return str(stage)
 
