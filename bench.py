@@ -140,6 +140,11 @@ HEADLINE = [
     "x_compaction_plan",
     "x_join_skew_diagnose",
     "s_psi_monitor",
+    # round 6 batch 2: corpus-forensics additions
+    "x_prefix_dedup",
+    "x_tokenizer_fertility",
+    "x_freq_prune_vocab",
+    "x_embed_outliers",
 ]
 
 

@@ -48,6 +48,7 @@ from . import (  # noqa: F401
     round5m,
     round5o,
     round6,
+    round6b,
     scans,
     setops,
     sketch_ops,

@@ -246,6 +246,8 @@ _ROUND7_HEAD: list[str] = [
     "x_token_budget", "x_split_contamination", "x_dup_inflation",
     "s_dedup_near", "x_ndcg_eval", "x_compaction_plan",
     "x_join_skew_diagnose", "s_psi_monitor",
+    "x_prefix_dedup", "x_tokenizer_fertility", "x_freq_prune_vocab",
+    "x_embed_outliers",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
