@@ -145,6 +145,9 @@ HEADLINE = [
     "x_tokenizer_fertility",
     "x_freq_prune_vocab",
     "x_embed_outliers",
+    "x_cross_source_dups",
+    "x_context_truncation",
+    "x_exact_stratified",
 ]
 
 

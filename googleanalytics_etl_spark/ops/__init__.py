@@ -49,6 +49,7 @@ from . import (  # noqa: F401
     round5o,
     round6,
     round6b,
+    round6c,
     scans,
     setops,
     sketch_ops,

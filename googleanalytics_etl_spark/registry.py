@@ -248,6 +248,7 @@ _ROUND7_HEAD: list[str] = [
     "x_join_skew_diagnose", "s_psi_monitor",
     "x_prefix_dedup", "x_tokenizer_fertility", "x_freq_prune_vocab",
     "x_embed_outliers",
+    "x_cross_source_dups", "x_context_truncation", "x_exact_stratified",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
