@@ -148,6 +148,8 @@ HEADLINE = [
     "x_cross_source_dups",
     "x_context_truncation",
     "x_exact_stratified",
+    "s_late_data_audit",
+    "x_lsh_tuning",
 ]
 
 

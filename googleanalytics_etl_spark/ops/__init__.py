@@ -50,6 +50,8 @@ from . import (  # noqa: F401
     round6,
     round6b,
     round6c,
+    round6d,
+    round6e,
     scans,
     setops,
     sketch_ops,

@@ -140,7 +140,12 @@ LSH_ROWS = N_MINHASH // LSH_BANDS
 # shingle-set Jaccard ≥ 0.5. md5 (not xxhash64) so DuckDB computes the
 # identical pipeline — this is what upgrades the family from rows-only to
 # a full cross-engine hash oracle.
-_NEAR_CTES = """
+# Shared MinHash-signature prefix (shingles → KM hash halves → 16
+# signatures → distinct hash sets). Consumed standalone by round6e's
+# x_lsh_tuning (which re-bands the same signatures at several (b, r)
+# shapes) and composed into _NEAR_CTES below for the production 4×4
+# pipeline. ``hset`` depends only on ``hs``, so it lives in the prefix.
+_SIG_CTES = """
 sh AS (
     SELECT doc_id,
            list_distinct(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
@@ -157,13 +162,17 @@ sh AS (
            list_transform(shingles,
                s -> CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)) AS h2s
     FROM sh
+), hset AS (
+    SELECT doc_id, list_distinct(h1s) AS hsig FROM hs
 ), sigs AS (
     SELECT doc_id,
            list_transform(range(16), i ->
                list_min(list_transform(range(len(h1s)),
                    j -> h1s[j + 1] + i * h2s[j + 1]))) AS sig
     FROM hs
-), banded AS (
+)"""
+
+_NEAR_CTES = _SIG_CTES + """, banded AS (
     SELECT doc_id, band,
            CAST(sig[4 * band + 1] AS VARCHAR) || ':' ||
            CAST(sig[4 * band + 2] AS VARCHAR) || ':' ||
@@ -174,8 +183,6 @@ sh AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
     WHERE a.doc_id < b.doc_id
-), hset AS (
-    SELECT doc_id, list_distinct(h1s) AS hsig FROM hs
 ), verified AS (
     SELECT doc_a, doc_b,
            ROUND(CAST(len(list_intersect(s1.hsig, s2.hsig)) AS DOUBLE)
@@ -295,7 +302,7 @@ def _minhash_parts(spark: SparkSession, sf_dir: str) -> dict:
         .withColumn("jaccard", F.round(jaccard, 6))
         .select("doc_a", "doc_b", "jaccard")
     )
-    return {"scored": scored, "hsig": hsig}
+    return {"scored": scored, "hsig": hsig, "signed": signed}
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -603,15 +603,29 @@ def _cdc_bucket(col: str) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(_CDC_BUCKETS)).cast("int")
 
 
+_SWEEP_GRACE_S = 1800
+
+
 def _sweep_runs(kind: str) -> Path:
-    """Fresh uuid run dir under ``SCRATCH/kind``; prior runs (superseded
-    — every builder call starts its own run, and calls are sequential)
+    """Fresh uuid run dir under ``SCRATCH/kind``; superseded prior runs
     are deleted so scratch does not grow without bound across
-    verify/bench/test invocations."""
+    verify/bench/test invocations. Runs younger than 30 minutes are
+    SPARED: two processes building the same key concurrently (a plan
+    audit beside a verifier — observed once: the sweep deleted the
+    sibling's ``_temporary`` mid-write) must not reap each other's live
+    run. Fresh-enough leftovers cost bounded scratch for half an hour;
+    every later call collects them."""
+    import time as _time
+
     base = SCRATCH / kind
     if base.exists():
+        cutoff = _time.time() - _SWEEP_GRACE_S
         for old in base.iterdir():
-            shutil.rmtree(old, ignore_errors=True)
+            try:
+                if old.stat().st_mtime < cutoff:
+                    shutil.rmtree(old, ignore_errors=True)
+            except OSError:
+                pass
     run = base / uuid.uuid4().hex
     run.mkdir(parents=True, exist_ok=True)
     return run

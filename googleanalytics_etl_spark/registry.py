@@ -249,6 +249,7 @@ _ROUND7_HEAD: list[str] = [
     "x_prefix_dedup", "x_tokenizer_fertility", "x_freq_prune_vocab",
     "x_embed_outliers",
     "x_cross_source_dups", "x_context_truncation", "x_exact_stratified",
+    "s_late_data_audit", "x_lsh_tuning",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
