@@ -606,3 +606,131 @@ def test_class_balance_9to1_imbalance_no_sort(spark):
             r,
             min_n,
         )
+
+
+def test_prefix_dedup_boilerplate_16x_single_hot_group(spark):
+    """Prefix dedup under the adversarial case it exists for: 16 copies
+    of sf0.01 documents (disjoint doc_ids), every document PREFIXED
+    with the same 8-token boilerplate — ALL docs collapse into ONE
+    prefix group (the hottest possible digest). The count aggregate is
+    partial-aggregable, so the hot key combines map-side; the output is
+    a single exact row (a prediction no oracle covers at this size)."""
+    from googleanalytics_etl_spark.ops.round6b import x_prefix_dedup
+
+    d = load(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    boiler = "subscribe to our newsletter for updates every single day"
+    copies, stride = 16, 10_000_000
+    parts = [
+        d.select(
+            (F.col("doc_id") + F.lit(i).cast("long") * stride).alias(
+                "doc_id"
+            ),
+            "source",
+            F.concat_ws(" ", F.lit(boiler), "text").alias("text"),
+        )
+        for i in range(copies)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    import tempfile
+
+    n_docs = d.count()
+    n_sources = d.select("source").distinct().count()
+    with tempfile.TemporaryDirectory() as td:
+        big.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        rows = x_prefix_dedup(spark, td).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == copies * n_docs
+    assert r["survivor"] == 0  # global min doc_id
+    assert r["n_sources"] == n_sources
+
+
+def test_exact_stratified_quota_under_stratum_skew(spark):
+    """Exact-n stratified sampling when one stratum is 16× every other:
+    the quota stays exactly n per stratum (skew cannot inflate output)
+    and the plan keeps the Partial WindowGroupLimit below the exchange
+    — each map task ships its local top-n, so the dominant stratum
+    never funnels its full population through one reducer."""
+    from pyspark.sql import Window
+
+    d = load(spark, SF_SMALL, "documents").select("lang", "doc_id")
+    stride = 10_000_000
+    parts = [d]
+    for i in range(1, 16):
+        parts.append(
+            d.select(
+                F.lit("xx").alias("lang"),
+                (F.col("doc_id") + F.lit(i).cast("long") * stride).alias(
+                    "doc_id"
+                ),
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    h = F.md5(
+        F.concat(F.lit("xs-seed-1|"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    out = (
+        big.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 40)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in counts.items():
+        assert n == 40, (lang, n)  # every stratum large enough here
+
+
+def test_embed_outliers_4x_disjoint_copies_exact_scaling(spark):
+    """x_embed_outliers on 4 disjoint-id copies of the embeddings: the
+    per-label centroid (a mean) and mean d² are IDENTICAL to the base
+    run, and every count scales exactly 4× — the construction-predicted
+    result the oracle cannot check at this size. Completes with the
+    same broadcast-fold plan (no n×d shuffle)."""
+    from googleanalytics_etl_spark.ops.round6b import x_embed_outliers
+
+    e = load(spark, SF_SMALL, "embeddings")
+    stride = 10_000_000
+    parts = [
+        e.select(
+            (F.col("vec_id") + F.lit(i).cast("long") * stride).alias(
+                "vec_id"
+            ),
+            "embedding",
+            "label",
+        )
+        for i in range(4)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        e.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        base = {r["label"]: r for r in x_embed_outliers(spark, td).collect()}
+    with tempfile.TemporaryDirectory() as td:
+        big.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        got = {r["label"]: r for r in x_embed_outliers(spark, td).collect()}
+
+    assert set(got) == set(base)
+    for lab, b in base.items():
+        g = got[lab]
+        assert g["n_vecs"] == 4 * b["n_vecs"]
+        assert g["n_outliers"] == 4 * b["n_outliers"]
+        assert g["mean_d2"] == b["mean_d2"]
