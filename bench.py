@@ -150,6 +150,8 @@ HEADLINE = [
     "x_exact_stratified",
     "s_late_data_audit",
     "x_lsh_tuning",
+    "x_weighted_jaccard",
+    "x_boilerplate_score",
 ]
 
 

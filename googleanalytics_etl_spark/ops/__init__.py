@@ -52,6 +52,7 @@ from . import (  # noqa: F401
     round6c,
     round6d,
     round6e,
+    round6f,
     scans,
     setops,
     sketch_ops,

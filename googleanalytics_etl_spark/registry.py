@@ -250,6 +250,7 @@ _ROUND7_HEAD: list[str] = [
     "x_embed_outliers",
     "x_cross_source_dups", "x_context_truncation", "x_exact_stratified",
     "s_late_data_audit", "x_lsh_tuning",
+    "x_weighted_jaccard", "x_boilerplate_score",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
