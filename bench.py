@@ -152,6 +152,8 @@ HEADLINE = [
     "x_lsh_tuning",
     "x_weighted_jaccard",
     "x_boilerplate_score",
+    "s_update_counts",
+    "x_embed_dim_stats",
 ]
 
 

@@ -53,6 +53,7 @@ from . import (  # noqa: F401
     round6d,
     round6e,
     round6f,
+    round6g,
     scans,
     setops,
     sketch_ops,

@@ -251,6 +251,7 @@ _ROUND7_HEAD: list[str] = [
     "x_cross_source_dups", "x_context_truncation", "x_exact_stratified",
     "s_late_data_audit", "x_lsh_tuning",
     "x_weighted_jaccard", "x_boilerplate_score",
+    "s_update_counts", "x_embed_dim_stats",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
