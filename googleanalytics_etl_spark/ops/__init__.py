@@ -54,6 +54,8 @@ from . import (  # noqa: F401
     round6e,
     round6f,
     round6g,
+    round6h,
+    round6i,
     scans,
     setops,
     sketch_ops,

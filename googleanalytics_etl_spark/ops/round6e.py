@@ -17,7 +17,7 @@ x_dedup_threshold_curve).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -161,11 +161,17 @@ def x_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = stat(*_SHAPES[0])
     for shape in _SHAPES[1:]:
         stats = stats.unionByName(stat(*shape))
-    denom = (
-        stat(16, 1)
-        .select(F.col("n_verified").alias("v_total"))
-    )
-    return stats.crossJoin(F.broadcast(denom)).select(
+    # recall denominator = the (16 × 1) superset shape's verified count,
+    # read from the 3-row stats frame itself via a whole-frame window —
+    # no second stat(16, 1) subtree, no nested-loop join; the single
+    # partition holds exactly |shapes| metadata rows.
+    v_total = F.max(
+        F.when(
+            (F.col("n_bands") == 16) & (F.col("n_rows") == 1),
+            F.col("n_verified"),
+        )
+    ).over(Window.partitionBy(F.lit(1)))
+    return stats.withColumn("v_total", v_total).select(
         "n_bands",
         "n_rows",
         "n_candidates",

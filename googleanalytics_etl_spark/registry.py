@@ -252,6 +252,8 @@ _ROUND7_HEAD: list[str] = [
     "s_late_data_audit", "x_lsh_tuning",
     "x_weighted_jaccard", "x_boilerplate_score",
     "s_update_counts", "x_embed_dim_stats",
+    "x_minhash_accuracy", "x_dup_trend",
+    "x_pq_quantize", "x_dataset_card",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
