@@ -56,6 +56,7 @@ from . import (  # noqa: F401
     round6g,
     round6h,
     round6i,
+    round6j,
     scans,
     setops,
     sketch_ops,

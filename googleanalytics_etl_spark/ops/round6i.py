@@ -86,38 +86,15 @@ GROUP BY 1, 2
 """
 
 
-@register("x_pq_quantize", oracle=_pq_oracle())
-def x_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization of the embedding corpus: 2 subspaces × 32
-    dims, k = 4 codewords each, 2 Lloyd iterations (init = subvectors
-    of vec_id 0..3), then every vector's (code_a, code_b) cell with the
-    cell population and mean total reconstruction error (sum of the two
-    per-subspace squared distances). The 4×4 = 16-cell product codebook
-    is the compressed representation an ADC scan probes.
-
-    Scale shape — the x_kmeans contract, doubled: codebooks live on the
-    driver as k×(d/2) literal arrays folded into whole-stage codegen,
-    so BOTH subspace argmins run in the SAME single pass over the
-    vectors (no join between subspaces — codes are row-local); each
-    update is one map-combined (subspace, code, dim) aggregate of
-    exact scaled-long sums (2·k·d/2 = 256 metadata rows collected).
-    The output is ≤ k² cells. Training at 100 TB runs on a hash-sampled
-    slice exactly like IVF seeding; assignment stays one codegen scan.
-
-    Cross-engine determinism: the x_kmeans recipe — exact scaled-long
-    centroid means, 6-dp-rounded distances BEFORE the argmin with the
-    code id as tiebreaker, per-term DECIMAL(18,8) quantization of the
-    (already-rounded) error sums.
-    """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def pq_model(e: DataFrame) -> tuple[DataFrame, list[dict[int, list[float]]]]:
+    """Train the 2-subspace PQ codebooks (k = ``_PQ_K``, ``_PQ_ITERS``
+    Lloyd iterations, init = subvectors of vec_id 0..k−1) and return
+    (assigned frame, final codebooks). The assigned frame carries
+    (vec_id, embedding, code_a, dist_a, code_b, dist_b). Shared by
+    ``x_pq_quantize`` (cell report) and ``x_adc_scan`` (ADC top-k)."""
     dbl = lambda c: c.cast("double")  # noqa: E731
 
-    init = (
-        e.where(F.col("vec_id") < _PQ_K)
-        .orderBy("vec_id")
-        .collect()
-    )
-    # codebooks[s][j] = centroid j of subspace s (lists of floats)
+    init = e.where(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
     books: list[dict[int, list[float]]] = [
         {
             r["vec_id"]: [float(x) for x in r["embedding"]][
@@ -151,7 +128,10 @@ def x_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.array_min(cands)
 
-    sub = [F.slice("embedding", 1, _PQ_SUB), F.slice("embedding", _PQ_SUB + 1, _PQ_SUB)]
+    sub = [
+        F.slice("embedding", 1, _PQ_SUB),
+        F.slice("embedding", _PQ_SUB + 1, _PQ_SUB),
+    ]
     scaled = F.transform(
         "embedding", lambda x: F.round(dbl(x) * 10_000_000).cast("long")
     )
@@ -166,18 +146,7 @@ def x_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             best[1]["dist_r"].alias("dist_b"),
         )
         if it == _PQ_ITERS:
-            err = F.col("dist_a") + F.col("dist_b")
-            return (
-                assigned.groupBy("code_a", "code_b")
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n_vecs"),
-                    F.round(
-                        F.sum(err.cast("decimal(18,8)")).cast("double")
-                        / F.count(F.lit(1)),
-                        6,
-                    ).alias("mean_err"),
-                )
-            )
+            return assigned, books
         # update: ONE pass — posexplode the scaled dims, route each dim
         # to its subspace's code, aggregate exact sums (256 rows out)
         sums = (
@@ -203,6 +172,45 @@ def x_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ] = float(r["sum_sv"]) / r["n"] / 10_000_000
         books = new_books
     raise AssertionError("unreachable")
+
+
+@register("x_pq_quantize", oracle=_pq_oracle())
+def x_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus: 2 subspaces × 32
+    dims, k = 4 codewords each, 2 Lloyd iterations (init = subvectors
+    of vec_id 0..3), then every vector's (code_a, code_b) cell with the
+    cell population and mean total reconstruction error (sum of the two
+    per-subspace squared distances). The 4×4 = 16-cell product codebook
+    is the compressed representation an ADC scan probes.
+
+    Scale shape — the x_kmeans contract, doubled: codebooks live on the
+    driver as k×(d/2) literal arrays folded into whole-stage codegen,
+    so BOTH subspace argmins run in the SAME single pass over the
+    vectors (no join between subspaces — codes are row-local); each
+    update is one map-combined (subspace, code, dim) aggregate of
+    exact scaled-long sums (2·k·d/2 = 256 metadata rows collected).
+    The output is ≤ k² cells. Training at 100 TB runs on a hash-sampled
+    slice exactly like IVF seeding; assignment stays one codegen scan.
+
+    Cross-engine determinism: the x_kmeans recipe — exact scaled-long
+    centroid means, 6-dp-rounded distances BEFORE the argmin with the
+    code id as tiebreaker, per-term DECIMAL(18,8) quantization of the
+    (already-rounded) error sums.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, _ = pq_model(e)
+    err = F.col("dist_a") + F.col("dist_b")
+    return (
+        assigned.groupBy("code_a", "code_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(err.cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_err"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

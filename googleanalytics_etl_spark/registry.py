@@ -254,6 +254,7 @@ _ROUND7_HEAD: list[str] = [
     "s_update_counts", "x_embed_dim_stats",
     "x_minhash_accuracy", "x_dup_trend",
     "x_pq_quantize", "x_dataset_card",
+    "x_adc_scan", "x_did_analysis",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
