@@ -57,6 +57,7 @@ from . import (  # noqa: F401
     round6h,
     round6i,
     round6j,
+    round6k,
     scans,
     setops,
     sketch_ops,

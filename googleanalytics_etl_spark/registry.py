@@ -255,6 +255,7 @@ _ROUND7_HEAD: list[str] = [
     "x_minhash_accuracy", "x_dup_trend",
     "x_pq_quantize", "x_dataset_card",
     "x_adc_scan", "x_did_analysis",
+    "x_bootstrap_ci", "x_dataset_diff",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
