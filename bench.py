@@ -154,6 +154,17 @@ HEADLINE = [
     "x_boilerplate_score",
     "s_update_counts",
     "x_embed_dim_stats",
+    "x_minhash_accuracy",
+    "x_dup_trend",
+    "x_pq_quantize",
+    "x_dataset_card",
+    "x_adc_scan",
+    "x_did_analysis",
+    "x_bootstrap_ci",
+    "x_dataset_diff",
+    "x_cc_sizes",
+    "x_length_bias_audit",
+    "x_quality_vs_dup",
 ]
 
 

@@ -58,6 +58,7 @@ from . import (  # noqa: F401
     round6i,
     round6j,
     round6k,
+    round6l,
     scans,
     setops,
     sketch_ops,

@@ -256,6 +256,7 @@ _ROUND7_HEAD: list[str] = [
     "x_pq_quantize", "x_dataset_card",
     "x_adc_scan", "x_did_analysis",
     "x_bootstrap_ci", "x_dataset_diff",
+    "x_cc_sizes", "x_length_bias_audit", "x_quality_vs_dup",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
