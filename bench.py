@@ -165,6 +165,8 @@ HEADLINE = [
     "x_cc_sizes",
     "x_length_bias_audit",
     "x_quality_vs_dup",
+    "x_random_projection",
+    "x_time_to_convert",
 ]
 
 

@@ -59,6 +59,7 @@ from . import (  # noqa: F401
     round6j,
     round6k,
     round6l,
+    round6m,
     scans,
     setops,
     sketch_ops,

@@ -257,6 +257,7 @@ _ROUND7_HEAD: list[str] = [
     "x_adc_scan", "x_did_analysis",
     "x_bootstrap_ci", "x_dataset_diff",
     "x_cc_sizes", "x_length_bias_audit", "x_quality_vs_dup",
+    "x_random_projection", "x_time_to_convert",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
