@@ -167,6 +167,8 @@ HEADLINE = [
     "x_quality_vs_dup",
     "x_random_projection",
     "x_time_to_convert",
+    "x_ppl_filter",
+    "x_neg_sampling_table",
 ]
 
 

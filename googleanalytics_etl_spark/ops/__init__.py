@@ -60,6 +60,7 @@ from . import (  # noqa: F401
     round6k,
     round6l,
     round6m,
+    round6n,
     scans,
     setops,
     sketch_ops,

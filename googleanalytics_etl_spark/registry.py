@@ -258,6 +258,7 @@ _ROUND7_HEAD: list[str] = [
     "x_bootstrap_ci", "x_dataset_diff",
     "x_cc_sizes", "x_length_bias_audit", "x_quality_vs_dup",
     "x_random_projection", "x_time_to_convert",
+    "x_ppl_filter", "x_neg_sampling_table",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
