@@ -169,6 +169,8 @@ HEADLINE = [
     "x_time_to_convert",
     "x_ppl_filter",
     "x_neg_sampling_table",
+    "x_privacy_kanon",
+    "x_churn_label",
 ]
 
 

@@ -61,6 +61,7 @@ from . import (  # noqa: F401
     round6l,
     round6m,
     round6n,
+    round6o,
     scans,
     setops,
     sketch_ops,

@@ -259,6 +259,7 @@ _ROUND7_HEAD: list[str] = [
     "x_cc_sizes", "x_length_bias_audit", "x_quality_vs_dup",
     "x_random_projection", "x_time_to_convert",
     "x_ppl_filter", "x_neg_sampling_table",
+    "x_privacy_kanon", "x_churn_label",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
