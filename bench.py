@@ -171,6 +171,8 @@ HEADLINE = [
     "x_neg_sampling_table",
     "x_privacy_kanon",
     "x_churn_label",
+    "x_chi2_independence",
+    "x_ab_srm_check",
 ]
 
 

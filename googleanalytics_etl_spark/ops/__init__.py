@@ -62,6 +62,7 @@ from . import (  # noqa: F401
     round6m,
     round6n,
     round6o,
+    round6p,
     scans,
     setops,
     sketch_ops,
