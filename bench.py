@@ -173,6 +173,8 @@ HEADLINE = [
     "x_churn_label",
     "x_chi2_independence",
     "x_ab_srm_check",
+    "q_sql_udf",
+    "q_sql_params",
 ]
 
 

@@ -63,6 +63,7 @@ from . import (  # noqa: F401
     round6n,
     round6o,
     round6p,
+    round6q,
     scans,
     setops,
     sketch_ops,
