@@ -734,3 +734,89 @@ def test_embed_outliers_4x_disjoint_copies_exact_scaling(spark):
         assert g["n_vecs"] == 4 * b["n_vecs"]
         assert g["n_outliers"] == 4 * b["n_outliers"]
         assert g["mean_d2"] == b["mean_d2"]
+
+
+def test_pq_4x_identical_copies(spark):
+    """Product quantization at 4 copies of sf0.1 embeddings (copy 0
+    keeps its vec_ids so the k init subvectors are unchanged):
+    duplicated points multiply every scaled-long subspace sum AND its
+    count by 4, so the exact centroid means — hence both codebooks and
+    every assignment — are bit-identical to the base run. 4× the rows,
+    the same 16 cells, per-cell counts exactly ×4, per-cell mean error
+    unchanged."""
+    from googleanalytics_etl_spark.ops.round6i import pq_model
+
+    e = load(spark, SF_BENCH, "embeddings").select("vec_id", "embedding")
+    base_assigned, base_books = pq_model(e)
+    base = {
+        (r["code_a"], r["code_b"]): n
+        for r, n in (
+            (row, row["n"])
+            for row in base_assigned.groupBy("code_a", "code_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+
+    stride = 10_000_000
+    parts = [
+        e.select(
+            (F.col("vec_id") + F.lit(i).cast("long") * stride).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(4)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big_assigned, big_books = pq_model(big)
+    got = {
+        (r["code_a"], r["code_b"]): r["n"]
+        for r in big_assigned.groupBy("code_a", "code_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert big_books == base_books  # exact means ⇒ identical codebooks
+    assert set(got) == set(base)
+    for cell, n in base.items():
+        assert got[cell] == 4 * n
+
+
+def test_random_projection_4x_disjoint_copies(spark):
+    """JL distortion census at 4 disjoint-id copies of sf0.1
+    embeddings: the projection is row-local and the pair panel joins on
+    vec_id+1, so with a stride far larger than the id range no
+    cross-copy pair exists — every bucket's pair count multiplies by
+    exactly 4 and the per-bucket means/extremes are unchanged."""
+    import tempfile
+
+    from googleanalytics_etl_spark.ops.round6m import x_random_projection
+
+    e = load(spark, SF_BENCH, "embeddings")
+    stride = 10_000_000
+    parts = [
+        e.select(
+            (F.col("vec_id") + F.lit(i).cast("long") * stride).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(4)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    with tempfile.TemporaryDirectory() as td:
+        e.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        base = {r["bucket"]: r for r in x_random_projection(spark, td).collect()}
+    with tempfile.TemporaryDirectory() as td:
+        big.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        got = {r["bucket"]: r for r in x_random_projection(spark, td).collect()}
+
+    assert set(got) == set(base)
+    for b, r in base.items():
+        g = got[b]
+        assert g["n_pairs"] == 4 * r["n_pairs"]
+        assert g["mean_ratio"] == r["mean_ratio"]
+        assert g["min_ratio"] == r["min_ratio"]
+        assert g["max_ratio"] == r["max_ratio"]
