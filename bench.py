@@ -175,6 +175,7 @@ HEADLINE = [
     "x_ab_srm_check",
     "q_sql_udf",
     "q_sql_params",
+    "x_mmr_rerank",
 ]
 
 

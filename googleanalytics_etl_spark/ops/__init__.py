@@ -64,6 +64,7 @@ from . import (  # noqa: F401
     round6o,
     round6p,
     round6q,
+    round6r,
     scans,
     setops,
     sketch_ops,

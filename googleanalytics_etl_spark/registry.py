@@ -262,6 +262,7 @@ _ROUND7_HEAD: list[str] = [
     "x_privacy_kanon", "x_churn_label",
     "x_chi2_independence", "x_ab_srm_check",
     "q_sql_udf", "q_sql_params",
+    "x_mmr_rerank",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

@@ -117,6 +117,9 @@ _PYTHON_OK = {
 # its docstring; q_rolling_wau's |days|-row spine)
 _BNLJ_OK = {
     "x_sim_knn",
+    # MMR: the corpus stage is x_sim_knn's broadcast-scalar crossJoin;
+    # the 10×10 candidate pair-sim construction is bounded metadata
+    "x_mmr_rerank",
     "x_sim_knn_ivf",
     "x_sim_knn_lsh",
     "x_tfidf",
