@@ -176,6 +176,8 @@ HEADLINE = [
     "q_sql_udf",
     "q_sql_params",
     "x_mmr_rerank",
+    "x_auc_roc",
+    "x_calibration_ece",
 ]
 
 

@@ -65,6 +65,7 @@ from . import (  # noqa: F401
     round6p,
     round6q,
     round6r,
+    round6s,
     scans,
     setops,
     sketch_ops,

@@ -263,6 +263,7 @@ _ROUND7_HEAD: list[str] = [
     "x_chi2_independence", "x_ab_srm_check",
     "q_sql_udf", "q_sql_params",
     "x_mmr_rerank",
+    "x_auc_roc", "x_calibration_ece",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
