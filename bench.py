@@ -178,6 +178,8 @@ HEADLINE = [
     "x_mmr_rerank",
     "x_auc_roc",
     "x_calibration_ece",
+    "x_kaplan_meier",
+    "x_cusum_changepoint",
 ]
 
 

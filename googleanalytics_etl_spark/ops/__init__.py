@@ -66,6 +66,7 @@ from . import (  # noqa: F401
     round6q,
     round6r,
     round6s,
+    round6t,
     scans,
     setops,
     sketch_ops,

@@ -264,6 +264,7 @@ _ROUND7_HEAD: list[str] = [
     "q_sql_udf", "q_sql_params",
     "x_mmr_rerank",
     "x_auc_roc", "x_calibration_ece",
+    "x_kaplan_meier", "x_cusum_changepoint",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
