@@ -180,6 +180,8 @@ HEADLINE = [
     "x_calibration_ece",
     "x_kaplan_meier",
     "x_cusum_changepoint",
+    "x_basket_lift",
+    "x_mutual_info",
 ]
 
 

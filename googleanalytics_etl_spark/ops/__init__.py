@@ -67,6 +67,7 @@ from . import (  # noqa: F401
     round6r,
     round6s,
     round6t,
+    round6u,
     scans,
     setops,
     sketch_ops,

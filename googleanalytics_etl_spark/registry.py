@@ -265,6 +265,7 @@ _ROUND7_HEAD: list[str] = [
     "x_mmr_rerank",
     "x_auc_roc", "x_calibration_ece",
     "x_kaplan_meier", "x_cusum_changepoint",
+    "x_basket_lift", "x_mutual_info",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
