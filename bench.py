@@ -182,6 +182,14 @@ HEADLINE = [
     "x_cusum_changepoint",
     "x_basket_lift",
     "x_mutual_info",
+    "x_ks_test",
+    "x_welch_ttest",
+    "x_spearman_corr",
+    "x_gini_concentration",
+    "x_kneser_ney",
+    "x_benford",
+    "x_hits",
+    "x_seasonal_profile",
 ]
 
 

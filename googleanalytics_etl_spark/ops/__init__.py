@@ -68,6 +68,10 @@ from . import (  # noqa: F401
     round6s,
     round6t,
     round6u,
+    round6v,
+    round6w,
+    round6x,
+    round6y,
     scans,
     setops,
     sketch_ops,

@@ -266,6 +266,10 @@ _ROUND7_HEAD: list[str] = [
     "x_auc_roc", "x_calibration_ece",
     "x_kaplan_meier", "x_cusum_changepoint",
     "x_basket_lift", "x_mutual_info",
+    "x_ks_test", "x_welch_ttest",
+    "x_spearman_corr", "x_gini_concentration",
+    "x_kneser_ney", "x_benford",
+    "x_hits", "x_seasonal_profile",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
