@@ -190,6 +190,8 @@ HEADLINE = [
     "x_benford",
     "x_hits",
     "x_seasonal_profile",
+    "x_forecast_eval",
+    "x_quantile_normalize",
 ]
 
 

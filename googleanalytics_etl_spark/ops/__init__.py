@@ -72,6 +72,7 @@ from . import (  # noqa: F401
     round6w,
     round6x,
     round6y,
+    round6z,
     scans,
     setops,
     sketch_ops,

@@ -270,6 +270,7 @@ _ROUND7_HEAD: list[str] = [
     "x_spearman_corr", "x_gini_concentration",
     "x_kneser_ney", "x_benford",
     "x_hits", "x_seasonal_profile",
+    "x_forecast_eval", "x_quantile_normalize",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
