@@ -192,6 +192,8 @@ HEADLINE = [
     "x_seasonal_profile",
     "x_forecast_eval",
     "x_quantile_normalize",
+    "x_collocation_llr",
+    "x_session_entropy",
 ]
 
 

@@ -18,6 +18,7 @@ One module per SURVEY.md §2 category:
 """
 
 from . import (  # noqa: F401
+    round6aa,
     aggregates,
     analytics,
     extensions,

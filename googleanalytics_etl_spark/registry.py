@@ -271,6 +271,7 @@ _ROUND7_HEAD: list[str] = [
     "x_kneser_ney", "x_benford",
     "x_hits", "x_seasonal_profile",
     "x_forecast_eval", "x_quantile_normalize",
+    "x_collocation_llr", "x_session_entropy",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
