@@ -194,6 +194,8 @@ HEADLINE = [
     "x_quantile_normalize",
     "x_collocation_llr",
     "x_session_entropy",
+    "x_zipf_fit",
+    "x_heaps_law",
 ]
 
 

@@ -19,6 +19,7 @@ One module per SURVEY.md §2 category:
 
 from . import (  # noqa: F401
     round6aa,
+    round6ab,
     aggregates,
     analytics,
     extensions,

@@ -272,6 +272,7 @@ _ROUND7_HEAD: list[str] = [
     "x_hits", "x_seasonal_profile",
     "x_forecast_eval", "x_quantile_normalize",
     "x_collocation_llr", "x_session_entropy",
+    "x_zipf_fit", "x_heaps_law",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
