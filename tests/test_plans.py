@@ -171,6 +171,27 @@ _BNLJ_OK = {
     # and the 1-row totals broadcast in the skew profiler
     "x_ndcg_eval",
     "x_join_skew_diagnose",
+    # 1-row totals broadcasts: basket count (lift), grand total +
+    # MI/entropy scalars (mutual info), pre/post means (CUSUM), at-risk
+    # grand total (Kaplan-Meier)
+    "x_basket_lift",
+    "x_mutual_info",
+    "x_cusum_changepoint",
+    "x_kaplan_meier",
+    # round-6 statistics batches: 1-row grand-total / χ² / type-count
+    # broadcasts (KS rest-side totals, Welch pooled moments, Benford
+    # spine total + chi2, KN type count, LLR bigram total, HITS L1
+    # normalizers, seasonal-profile total); x_quantile_normalize's
+    # domain×domain integer-CDF range join is bounded by the
+    # value-domain square by construction (see its docstring)
+    "x_ks_test",
+    "x_welch_ttest",
+    "x_benford",
+    "x_kneser_ney",
+    "x_collocation_llr",
+    "x_hits",
+    "x_seasonal_profile",
+    "x_quantile_normalize",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
