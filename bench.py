@@ -196,6 +196,8 @@ HEADLINE = [
     "x_session_entropy",
     "x_zipf_fit",
     "x_heaps_law",
+    "x_target_encode",
+    "x_kfold_stats",
 ]
 
 

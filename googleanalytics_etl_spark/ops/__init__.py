@@ -20,6 +20,7 @@ One module per SURVEY.md §2 category:
 from . import (  # noqa: F401
     round6aa,
     round6ab,
+    round6ac,
     aggregates,
     analytics,
     extensions,

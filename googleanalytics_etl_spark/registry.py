@@ -273,6 +273,7 @@ _ROUND7_HEAD: list[str] = [
     "x_forecast_eval", "x_quantile_normalize",
     "x_collocation_llr", "x_session_entropy",
     "x_zipf_fit", "x_heaps_law",
+    "x_target_encode", "x_kfold_stats",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

@@ -192,6 +192,10 @@ _BNLJ_OK = {
     "x_hits",
     "x_seasonal_profile",
     "x_quantile_normalize",
+    # 1-row grand-total broadcasts: global prior (target encode),
+    # fold grand totals (k-fold leave-fold-out identity)
+    "x_target_encode",
+    "x_kfold_stats",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
