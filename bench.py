@@ -198,6 +198,8 @@ HEADLINE = [
     "x_heaps_law",
     "x_target_encode",
     "x_kfold_stats",
+    "x_posting_lists",
+    "x_eb_shrinkage",
 ]
 
 

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     round6aa,
     round6ab,
     round6ac,
+    round6ad,
     aggregates,
     analytics,
     extensions,

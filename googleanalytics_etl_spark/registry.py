@@ -274,6 +274,7 @@ _ROUND7_HEAD: list[str] = [
     "x_collocation_llr", "x_session_entropy",
     "x_zipf_fit", "x_heaps_law",
     "x_target_encode", "x_kfold_stats",
+    "x_posting_lists", "x_eb_shrinkage",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

@@ -196,6 +196,8 @@ _BNLJ_OK = {
     # fold grand totals (k-fold leave-fold-out identity)
     "x_target_encode",
     "x_kfold_stats",
+    # 1-row global-rate broadcast (EB shrinkage prior)
+    "x_eb_shrinkage",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
