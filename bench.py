@@ -200,6 +200,8 @@ HEADLINE = [
     "x_kfold_stats",
     "x_posting_lists",
     "x_eb_shrinkage",
+    "x_sequence_mining",
+    "x_graph_2hop",
 ]
 
 

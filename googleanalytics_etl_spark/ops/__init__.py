@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     round6ab,
     round6ac,
     round6ad,
+    round6ae,
     aggregates,
     analytics,
     extensions,

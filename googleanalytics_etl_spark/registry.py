@@ -275,6 +275,7 @@ _ROUND7_HEAD: list[str] = [
     "x_zipf_fit", "x_heaps_law",
     "x_target_encode", "x_kfold_stats",
     "x_posting_lists", "x_eb_shrinkage",
+    "x_sequence_mining", "x_graph_2hop",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
