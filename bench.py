@@ -202,6 +202,8 @@ HEADLINE = [
     "x_eb_shrinkage",
     "x_sequence_mining",
     "x_graph_2hop",
+    "x_growth_accounting",
+    "x_outlier_iqr",
 ]
 
 

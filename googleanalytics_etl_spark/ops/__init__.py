@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     round6ac,
     round6ad,
     round6ae,
+    round6af,
     aggregates,
     analytics,
     extensions,

@@ -198,6 +198,8 @@ _BNLJ_OK = {
     "x_kfold_stats",
     # 1-row global-rate broadcast (EB shrinkage prior)
     "x_eb_shrinkage",
+    # 1-row max-week broadcast clipping trailing churn
+    "x_growth_accounting",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
