@@ -204,6 +204,8 @@ HEADLINE = [
     "x_graph_2hop",
     "x_growth_accounting",
     "x_outlier_iqr",
+    "x_funnel_windowed",
+    "x_ts_features",
 ]
 
 

@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     round6ad,
     round6ae,
     round6af,
+    round6ag,
     aggregates,
     analytics,
     extensions,

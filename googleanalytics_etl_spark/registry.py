@@ -277,6 +277,7 @@ _ROUND7_HEAD: list[str] = [
     "x_posting_lists", "x_eb_shrinkage",
     "x_sequence_mining", "x_graph_2hop",
     "x_growth_accounting", "x_outlier_iqr",
+    "x_funnel_windowed", "x_ts_features",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
