@@ -206,6 +206,8 @@ HEADLINE = [
     "x_outlier_iqr",
     "x_funnel_windowed",
     "x_ts_features",
+    "x_ab_cuped",
+    "x_burst_detect",
 ]
 
 

@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     round6ae,
     round6af,
     round6ag,
+    round6ah,
     aggregates,
     analytics,
     extensions,

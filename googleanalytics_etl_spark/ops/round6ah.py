@@ -1,0 +1,270 @@
+"""Round-6 batch 34: experimentation + time-series monitoring.
+
+- ``x_ab_cuped`` — CUPED variance reduction for A/B tests: adjust
+  each user's experiment-period metric by their PRE-period covariate
+  (``y' = y − θ(x − x̄)``, θ = cov(x,y)/var(x), pooled). The standard
+  trick that cuts experiment runtimes ~40%: pre-period behavior
+  explains variance the treatment never touched. Everything —
+  per-variant means, θ, and the variance-reduction ratio — derives
+  algebraically from DECIMAL-exact first/second moments, so the
+  adjusted statistics need NO second pass over users.
+- ``x_burst_detect`` — trailing-window burst detection: hourly event
+  counts per type, each hour scored against the mean and std of its
+  own TRAILING {_BURST_H}-hour baseline (RANGE frame on the hour
+  index). q_anomaly_zscore scores against the global mean — a slow
+  drift poisons it; a trailing baseline adapts, which is what a
+  production rate monitor does.
+
+Reference parity: no analogue [REF-UNVERIFIED — /root/reference is
+empty]; SURVEY §2.E analytics extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period/experiment boundary
+_BURST_H = 24  # trailing baseline window, hours
+_BURST_MIN = 6  # min trailing hours before scoring
+_BURST_Z = 3.0  # burst threshold
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+    SELECT user_id,
+           CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                THEN 'A' ELSE 'B' END AS variant,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                         THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                AS DECIMAL(28,4)) AS x,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                         THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                AS DECIMAL(28,4)) AS y
+    FROM events GROUP BY user_id
+), g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS DECIMAL(32,4)) AS sx,
+           CAST(SUM(y) AS DECIMAL(32,4)) AS sy,
+           CAST(SUM(x * x) AS DECIMAL(38,8)) AS sxx,
+           CAST(SUM(x * y) AS DECIMAL(38,8)) AS sxy,
+           CAST(SUM(y * y) AS DECIMAL(38,8)) AS syy
+    FROM u
+), t AS (
+    SELECT n, sx, sy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           CAST(sx AS DOUBLE) / n AS mean_x,
+           1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS var_ratio
+    FROM g
+), v AS (
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS DECIMAL(32,4)) AS vx,
+           CAST(SUM(y) AS DECIMAL(32,4)) AS vy
+    FROM u GROUP BY variant
+)
+SELECT v.variant, v.n_users,
+       ROUND(CAST(v.vx AS DOUBLE) / v.n_users, 6) AS mean_pre,
+       ROUND(CAST(v.vy AS DOUBLE) / v.n_users, 6) AS mean_post,
+       ROUND(CAST(v.vy AS DOUBLE) / v.n_users
+             - t.theta * (CAST(v.vx AS DOUBLE) / v.n_users - t.mean_x), 6)
+           AS mean_adj,
+       ROUND(t.theta, 6) AS theta,
+       ROUND(t.var_ratio, 6) AS var_ratio
+FROM v CROSS JOIN t
+"""
+
+
+@register("x_ab_cuped", oracle=_CUPED_ORACLE)
+def x_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: users split 50/50 by md5(user_id),
+    pre-period spend (before {_CUPED_SPLIT}) as the covariate, and the
+    experiment-period mean adjusted by ``θ·(x̄_v − x̄)``. Reports per
+    variant the raw and adjusted means, the pooled θ, and the
+    variance-reduction ratio ``var(y′)/var(y) = 1 − ρ²`` — derived
+    entirely from moments, since ``var(y − θx) = var(y) −
+    cov²/var(x)`` at the OLS θ.
+
+    Scale shape: one map-side-combinable user-grain aggregate (the
+    only pass over events), then a 2-row variant aggregate and a 1-row
+    moment aggregate on the user-grain frame, combined by broadcast.
+    All five moments accumulate in exact DECIMAL; θ and both ratios
+    are fixed-shape double expressions on exact operands. The
+    adjusted mean needs no per-user re-pass because the adjustment is
+    linear — the algebra IS the optimization. Scan-bound at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)
+        < "8",
+        "A",
+    ).otherwise("B")
+    yq = F.col("value").cast("decimal(18,4)")
+    u = e.groupBy("user_id").agg(
+        F.max(variant).alias("variant"),
+        F.sum(F.when(F.col("ts") < split, yq).otherwise(F.lit(0)))
+        .cast("decimal(28,4)")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, yq).otherwise(F.lit(0)))
+        .cast("decimal(28,4)")
+        .alias("y"),
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(32,4)").alias("sx"),
+        F.sum("y").cast("decimal(32,4)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,8)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,8)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,8)").alias("syy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    t = g.select(
+        (cov_n / varx_n).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_x"),
+        (F.lit(1.0) - cov_n * cov_n / (varx_n * vary_n)).alias("var_ratio"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("decimal(32,4)").alias("vx"),
+        F.sum("y").cast("decimal(32,4)").alias("vy"),
+    )
+    mean_pre = F.col("vx").cast("double") / F.col("n_users")
+    mean_post = F.col("vy").cast("double") / F.col("n_users")
+    return v.crossJoin(F.broadcast(t)).select(
+        "variant",
+        "n_users",
+        F.round(mean_pre, 6).alias("mean_pre"),
+        F.round(mean_post, 6).alias("mean_post"),
+        F.round(
+            mean_post - F.col("theta") * (mean_pre - F.col("mean_x")), 6
+        ).alias("mean_adj"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(F.col("var_ratio"), 6).alias("var_ratio"),
+    )
+
+
+_BURST_ORACLE = f"""
+WITH h AS (
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(date_diff('hour', TIMESTAMP '2024-01-01',
+                          CAST(date_trunc('hour', ts) AS TIMESTAMP))
+                AS BIGINT) AS hour_idx,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+), scored AS (
+    SELECT event_type, hour, cnt,
+           COUNT(cnt) OVER wb AS base_n,
+           SUM(cnt) OVER wb AS base_sum,
+           SUM(cnt * cnt) OVER wb AS base_sumsq
+    FROM h
+    WINDOW wb AS (PARTITION BY event_type ORDER BY hour_idx
+                  RANGE BETWEEN {_BURST_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, cnt,
+       CAST(base_n AS BIGINT) AS base_n,
+       CASE WHEN base_n >= {_BURST_MIN}
+            THEN ROUND(CAST(base_sum AS DOUBLE) / base_n, 6) END AS base_mean,
+       CASE WHEN base_n >= {_BURST_MIN}
+            THEN ROUND(sqrt(GREATEST(
+                     CAST(base_n * base_sumsq - base_sum * base_sum
+                          AS DOUBLE)
+                     / (CAST(base_n AS DOUBLE) * base_n), 0.0)), 6)
+            END AS base_std,
+       CASE WHEN base_n >= {_BURST_MIN}
+             AND CAST(cnt AS DOUBLE)
+                 > CAST(base_sum AS DOUBLE) / base_n
+                   + {_BURST_Z} * sqrt(GREATEST(
+                         CAST(base_n * base_sumsq - base_sum * base_sum
+                              AS DOUBLE)
+                         / (CAST(base_n AS DOUBLE) * base_n), 0.0))
+            THEN 1 ELSE 0 END AS is_burst
+FROM scored
+"""
+
+
+@register("x_burst_detect", oracle=_BURST_ORACLE)
+def x_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline burst detection: hourly counts per event type,
+    each hour flagged when it exceeds its own trailing
+    {_BURST_H}-hour mean by {_BURST_Z} trailing standard deviations
+    (population σ from integer-exact Σ and Σ² — both engines form the
+    identical n·Σx² − (Σx)² before one sqrt). Hours with fewer than
+    {_BURST_MIN} trailing observations abstain (NULL baseline, no
+    flag) instead of firing on cold starts. Unlike the global z-score
+    screen (q_anomaly_zscore), a slow traffic drift cannot poison
+    this baseline — it follows the level.
+
+    Scale shape: one map-side-combinable (type, hour) count — the only
+    pass over events; the baseline is a RANGE frame over the hour
+    index on the (type × hours)-domain frame (bounded: 5 types × one
+    row per hour REGARDLESS of data scale). Gap-exact: RANGE frames
+    skip missing hours correctly where ROWS frames would stretch the
+    baseline window over them. Scan-bound at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts").cast("timestamp_ntz")
+    h = e.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).withColumn(
+        "hour_idx",
+        (
+            (
+                F.unix_timestamp(F.col("hour"))
+                - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp_ntz"))
+            )
+            / 3600
+        ).cast("long"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-_BURST_H, -1)
+    )
+    scored = h.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count("cnt").over(wb).alias("base_n"),
+        F.sum("cnt").over(wb).alias("base_sum"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wb).alias("base_sumsq"),
+    )
+    mean = F.col("base_sum").cast("double") / F.col("base_n")
+    var = F.greatest(
+        (
+            F.col("base_n") * F.col("base_sumsq")
+            - F.col("base_sum") * F.col("base_sum")
+        ).cast("double")
+        / (F.col("base_n").cast("double") * F.col("base_n")),
+        F.lit(0.0),
+    )
+    ok = F.col("base_n") >= _BURST_MIN
+    return scored.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.col("base_n").cast("long").alias("base_n"),
+        F.when(ok, F.round(mean, 6)).alias("base_mean"),
+        F.when(ok, F.round(F.sqrt(var), 6)).alias("base_std"),
+        F.when(
+            ok & (F.col("cnt").cast("double") > mean + _BURST_Z * F.sqrt(var)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_burst"),
+    )

@@ -200,6 +200,8 @@ _BNLJ_OK = {
     "x_eb_shrinkage",
     # 1-row max-week broadcast clipping trailing churn
     "x_growth_accounting",
+    # 1-row pooled-moments broadcast (CUPED theta/var-ratio)
+    "x_ab_cuped",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
