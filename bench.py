@@ -208,6 +208,8 @@ HEADLINE = [
     "x_ts_features",
     "x_ab_cuped",
     "x_burst_detect",
+    "x_mix_shift",
+    "x_item_cf",
 ]
 
 

@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     round6af,
     round6ag,
     round6ah,
+    round6ai,
     aggregates,
     analytics,
     extensions,

@@ -279,6 +279,7 @@ _ROUND7_HEAD: list[str] = [
     "x_growth_accounting", "x_outlier_iqr",
     "x_funnel_windowed", "x_ts_features",
     "x_ab_cuped", "x_burst_detect",
+    "x_mix_shift", "x_item_cf",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

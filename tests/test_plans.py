@@ -202,6 +202,8 @@ _BNLJ_OK = {
     "x_growth_accounting",
     # 1-row pooled-moments broadcast (CUPED theta/var-ratio)
     "x_ab_cuped",
+    # 2-row period-totals broadcast (mix/rate weights)
+    "x_mix_shift",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
