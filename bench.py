@@ -210,6 +210,8 @@ HEADLINE = [
     "x_burst_detect",
     "x_mix_shift",
     "x_item_cf",
+    "x_session_paths",
+    "x_peak_concurrency",
 ]
 
 

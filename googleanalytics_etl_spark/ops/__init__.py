@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     round6ag,
     round6ah,
     round6ai,
+    round6aj,
     aggregates,
     analytics,
     extensions,

@@ -280,6 +280,7 @@ _ROUND7_HEAD: list[str] = [
     "x_funnel_windowed", "x_ts_features",
     "x_ab_cuped", "x_burst_detect",
     "x_mix_shift", "x_item_cf",
+    "x_session_paths", "x_peak_concurrency",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
