@@ -73,7 +73,12 @@ def x_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ 25 pattern rows). Gap sums are exact integers; the single
     division per output row is the only float. Scan-bound at 100 TB.
     """
-    e = load(spark, sf_dir, "events")
+    return sequence_mining_frame(load(spark, sf_dir, "events"))
+
+
+def sequence_mining_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`x_sequence_mining` (stress-testable
+    on synthetic inputs)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     leads = e.select(
         F.col("event_type").alias("a"),
@@ -153,11 +158,15 @@ def x_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. All shuffles hash on part keys; no row carries text or
     arrays.
     """
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    return graph_2hop_frame(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     )
+
+
+def graph_2hop_frame(li_raw: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`x_graph_2hop` (stress-testable on
+    synthetic (l_orderkey, l_partkey) edges)."""
+    li = li_raw.select("l_orderkey", "l_partkey").distinct()
     b = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst")
     )

@@ -197,7 +197,12 @@ def x_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k window runs on the ITEM-PAIR table (item-domain² at most,
     independent of event count). Scan-bound at 100 TB.
     """
-    e = load(spark, sf_dir, "events")
+    return item_cf_frame(load(spark, sf_dir, "events"))
+
+
+def item_cf_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`x_item_cf` (stress-testable on
+    synthetic (user_id, props) inputs)."""
     ui = e.groupBy(
         "user_id",
         F.get_json_object("props", "$.k").cast("long").alias("item"),

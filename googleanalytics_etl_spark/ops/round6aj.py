@@ -184,7 +184,12 @@ def x_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sessions rarely straddle days; those that do contribute boundary
     rows to both shards) — documented upgrade, same output.
     """
-    e = load(spark, sf_dir, "events")
+    return peak_concurrency_frame(load(spark, sf_dir, "events"))
+
+
+def peak_concurrency_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`x_peak_concurrency` (stress-testable
+    on synthetic event inputs)."""
     s = sessionize(e)
     bounds = s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
