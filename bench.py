@@ -212,6 +212,8 @@ HEADLINE = [
     "x_item_cf",
     "x_session_paths",
     "x_peak_concurrency",
+    "x_theil_sen",
+    "x_autocorr",
 ]
 
 

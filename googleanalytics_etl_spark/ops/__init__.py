@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     round6ah,
     round6ai,
     round6aj,
+    round6ak,
     aggregates,
     analytics,
     extensions,

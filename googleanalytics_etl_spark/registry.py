@@ -281,6 +281,7 @@ _ROUND7_HEAD: list[str] = [
     "x_ab_cuped", "x_burst_detect",
     "x_mix_shift", "x_item_cf",
     "x_session_paths", "x_peak_concurrency",
+    "x_theil_sen", "x_autocorr",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

@@ -204,6 +204,9 @@ _BNLJ_OK = {
     "x_ab_cuped",
     # 2-row period-totals broadcast (mix/rate weights)
     "x_mix_shift",
+    # 1-row moment broadcasts on calendar-domain frames
+    "x_theil_sen",
+    "x_autocorr",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
