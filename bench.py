@@ -214,6 +214,8 @@ HEADLINE = [
     "x_peak_concurrency",
     "x_theil_sen",
     "x_autocorr",
+    "q_fn_regex",
+    "q_session_window_tvf",
 ]
 
 

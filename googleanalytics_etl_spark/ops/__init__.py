@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     round6ai,
     round6aj,
     round6ak,
+    round6al,
     aggregates,
     analytics,
     extensions,
