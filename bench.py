@@ -216,6 +216,8 @@ HEADLINE = [
     "x_autocorr",
     "q_fn_regex",
     "q_session_window_tvf",
+    "x_ri_audit",
+    "x_scd2_snapshot",
 ]
 
 

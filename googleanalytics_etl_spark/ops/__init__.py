@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     round6aj,
     round6ak,
     round6al,
+    round6am,
     aggregates,
     analytics,
     extensions,

@@ -283,6 +283,7 @@ _ROUND7_HEAD: list[str] = [
     "x_session_paths", "x_peak_concurrency",
     "x_theil_sen", "x_autocorr",
     "q_fn_regex", "q_session_window_tvf",
+    "x_ri_audit", "x_scd2_snapshot",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

@@ -207,6 +207,8 @@ _BNLJ_OK = {
     # 1-row moment broadcasts on calendar-domain frames
     "x_theil_sen",
     "x_autocorr",
+    # six 1-row (violations × population) count pairs
+    "x_ri_audit",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
