@@ -218,6 +218,8 @@ HEADLINE = [
     "q_session_window_tvf",
     "x_ri_audit",
     "x_scd2_snapshot",
+    "x_funnel_window_sweep",
+    "x_gap_histogram",
 ]
 
 

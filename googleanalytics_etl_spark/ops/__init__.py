@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     round6ak,
     round6al,
     round6am,
+    round6an,
     aggregates,
     analytics,
     extensions,

@@ -209,6 +209,8 @@ _BNLJ_OK = {
     "x_autocorr",
     # six 1-row (violations × population) count pairs
     "x_ri_audit",
+    # 1-row gap-total broadcast (share denominator)
+    "x_gap_histogram",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
