@@ -220,6 +220,8 @@ HEADLINE = [
     "x_scd2_snapshot",
     "x_funnel_window_sweep",
     "x_gap_histogram",
+    "x_weighted_percentile",
+    "x_active_streaks",
 ]
 
 

@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     round6al,
     round6am,
     round6an,
+    round6ao,
     aggregates,
     analytics,
     extensions,

@@ -285,6 +285,7 @@ _ROUND7_HEAD: list[str] = [
     "q_fn_regex", "q_session_window_tvf",
     "x_ri_audit", "x_scd2_snapshot",
     "x_funnel_window_sweep", "x_gap_histogram",
+    "x_weighted_percentile", "x_active_streaks",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
