@@ -222,6 +222,8 @@ HEADLINE = [
     "x_gap_histogram",
     "x_weighted_percentile",
     "x_active_streaks",
+    "x_ratio_metric_delta",
+    "x_ship_lag",
 ]
 
 

@@ -33,6 +33,7 @@ from . import (  # noqa: F401
     round6am,
     round6an,
     round6ao,
+    round6ap,
     aggregates,
     analytics,
     extensions,

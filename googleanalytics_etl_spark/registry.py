@@ -286,6 +286,7 @@ _ROUND7_HEAD: list[str] = [
     "x_ri_audit", "x_scd2_snapshot",
     "x_funnel_window_sweep", "x_gap_histogram",
     "x_weighted_percentile", "x_active_streaks",
+    "x_ratio_metric_delta", "x_ship_lag",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
