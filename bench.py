@@ -224,6 +224,8 @@ HEADLINE = [
     "x_active_streaks",
     "x_ratio_metric_delta",
     "x_ship_lag",
+    "x_error_budget",
+    "x_vocab_overlap",
 ]
 
 

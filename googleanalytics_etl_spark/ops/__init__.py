@@ -34,6 +34,7 @@ from . import (  # noqa: F401
     round6an,
     round6ao,
     round6ap,
+    round6aq,
     aggregates,
     analytics,
     extensions,

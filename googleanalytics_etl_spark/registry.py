@@ -287,6 +287,7 @@ _ROUND7_HEAD: list[str] = [
     "x_funnel_window_sweep", "x_gap_histogram",
     "x_weighted_percentile", "x_active_streaks",
     "x_ratio_metric_delta", "x_ship_lag",
+    "x_error_budget", "x_vocab_overlap",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
