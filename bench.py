@@ -226,6 +226,8 @@ HEADLINE = [
     "x_ship_lag",
     "x_error_budget",
     "x_vocab_overlap",
+    "x_seasonal_anomaly",
+    "x_burstiness",
 ]
 
 

@@ -35,6 +35,7 @@ from . import (  # noqa: F401
     round6ao,
     round6ap,
     round6aq,
+    round6ar,
     aggregates,
     analytics,
     extensions,
