@@ -228,6 +228,8 @@ HEADLINE = [
     "x_vocab_overlap",
     "x_seasonal_anomaly",
     "x_burstiness",
+    "x_clustering_coef",
+    "x_assortativity",
 ]
 
 

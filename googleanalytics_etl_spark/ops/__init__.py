@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     round6ap,
     round6aq,
     round6ar,
+    round6as,
     aggregates,
     analytics,
     extensions,

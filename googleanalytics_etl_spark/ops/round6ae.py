@@ -163,6 +163,25 @@ def x_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges(li_raw: DataFrame) -> DataFrame:
+    """Directed co-purchase edge list (src, dst), both directions, via
+    per-order collect_set + row-local double explode — one orderkey
+    shuffle; baskets are TPC-H-small so in-row pairing is free. Shared
+    by x_graph_2hop and the round6as graph statistics."""
+    baskets = (
+        li_raw.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    return (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def graph_2hop_frame(li_raw: DataFrame) -> DataFrame:
     """Frame-level core of :func:`x_graph_2hop` (stress-testable on
     synthetic (l_orderkey, l_partkey) edges).
@@ -173,18 +192,7 @@ def graph_2hop_frame(li_raw: DataFrame) -> DataFrame:
     edge list needs ONE orderkey shuffle where the self-join paid the
     distinct's shuffle AND the join's (measured 1.7× at sf0.1).
     """
-    baskets = (
-        li_raw.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-    )
-    edges = (
-        baskets.select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = copurchase_edges(li_raw)
     rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
     capped = edges.withColumn("rn", rn).where(F.col("rn") <= _HOP_CAP).drop(
         "rn"

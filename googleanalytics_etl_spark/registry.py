@@ -289,6 +289,7 @@ _ROUND7_HEAD: list[str] = [
     "x_ratio_metric_delta", "x_ship_lag",
     "x_error_budget", "x_vocab_overlap",
     "x_seasonal_anomaly", "x_burstiness",
+    "x_clustering_coef", "x_assortativity",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
