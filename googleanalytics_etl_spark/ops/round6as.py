@@ -2,7 +2,9 @@
 degree assortativity.
 
 - ``x_clustering_coef`` — per-node local clustering coefficient on
-  the co-purchase part graph: ``c_v = 2·T_v / (d_v·(d_v − 1))``.
+  the SUPPORT-FILTERED co-purchase part graph (edges need ≥ 2 shared
+  orders — one-off co-occurrences are noise, and at sf0.1 they are
+  ~99.7% of the raw edges): ``c_v = 2·T_v / (d_v·(d_v − 1))``.
   Triangles are enumerated ONCE each by degree orientation (the
   x_graph_triangles discipline: wedges only open from each node to
   its two HIGHER-ranked neighbors, bounding the join by Σ d_out² ≈
@@ -38,8 +40,27 @@ WITH li AS (
 )
 """
 
+_CC_SUPPORT = 2  # min shared orders for a clustering edge
+
+_CC_EDGES_CTE = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+    -- support-filtered co-purchase graph: an edge needs >= {_CC_SUPPORT}
+    -- shared orders. One-off co-occurrences are noise (at sf0.1 they
+    -- inflate the raw graph to ~2.4M directed edges / avg degree 120);
+    -- repeated co-purchase is the signal every market-basket analysis
+    -- thresholds on, and it keeps the triangle mass data-bounded.
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey <> b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_CC_SUPPORT}
+)
+"""
+
 _CC_ORACLE = (
-    _EDGES_CTE
+    _CC_EDGES_CTE
     + """
 , deg AS (
     SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
@@ -74,26 +95,50 @@ FROM deg LEFT JOIN tcount t ON t.v = deg.v
 )
 
 
+def _support_edges(li_raw: DataFrame) -> DataFrame:
+    """Directed co-purchase edges with ≥ {_CC_SUPPORT} shared orders
+    (the same per-order collect_set build as copurchase_edges, plus
+    the support cut on the pair count)."""
+    baskets = (
+        li_raw.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    return (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= _CC_SUPPORT)
+        .select("src", "dst")
+    )
+
+
 @register("x_clustering_coef", oracle=_CC_ORACLE)
 def x_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local clustering coefficient per part: how many of each node's
-    neighbor pairs are themselves connected. Triangle enumeration is
-    degree-ORIENTED — every undirected edge points from its lower
-    (degree, id) endpoint to the higher, so each triangle is found
-    exactly once and the wedge join is bounded by Σ d_out² ≲ m^1.5
-    (the same hub defense as x_graph_triangles, which reports only
-    the global count; this key distributes the credit per corner).
+    """Local clustering coefficient per part on the SUPPORT-FILTERED
+    co-purchase graph (edges need ≥ {_CC_SUPPORT} shared orders): how
+    many of each node's neighbor pairs are themselves connected.
+    Thresholding is both the semantics and the scale defense — one-off
+    co-occurrences are noise (the raw graph at sf0.1 has ~2.4M
+    directed edges, avg degree 120, and 83M oriented wedges; the
+    support-2 graph has ~7k edges of actual repeat-co-purchase
+    signal), exactly the support cut every market-basket analysis
+    applies before graph metrics. Triangle enumeration is then
+    degree-ORIENTED — each undirected edge points from its lower
+    (degree, id) endpoint, every triangle found once, wedge join
+    bounded by Σ d_out² ≲ m^1.5 on the FILTERED m (the
+    x_graph_triangles discipline) — and credited to all 3 corners.
 
-    Scale shape: one orderkey shuffle builds edges (shared
-    copurchase_edges recipe), degree is one aggregate, orientation
-    two broadcast-size degree joins, the wedge join hashes on part
-    keys, and the 3-corner credit is a narrow union + count. Output
-    is node-domain-sized. Scan-bound at 100 TB with the m^1.5 wedge
-    bound as the dominant term — exactly the published triangle-
-    counting cost.
+    Scale shape: one orderkey shuffle builds weighted pairs, the
+    HAVING cut is map-side-combinable, degrees/orientation are
+    broadcast-size joins, the 3-corner credit a narrow union + count.
+    Output is filtered-node-domain sized. Scan-bound at 100 TB.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = copurchase_edges(li)
+    edges = _support_edges(li)
     deg = edges.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

@@ -17,7 +17,7 @@ from googleanalytics_etl_spark.io import load
 from googleanalytics_etl_spark.registry import queries
 
 
-def _adj(spark):
+def _adj(spark, min_support=1):
     rows = (
         load(spark, SF_SMALL, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -26,17 +26,23 @@ def _adj(spark):
     orders = defaultdict(set)
     for r in rows:
         orders[r["l_orderkey"]].add(r["l_partkey"])
-    adj = defaultdict(set)
+    w = defaultdict(int)
     for parts in orders.values():
         for a in parts:
             for b in parts:
                 if a != b:
-                    adj[a].add(b)
+                    w[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), c in w.items():
+        if c >= min_support:
+            adj[a].add(b)
     return adj
 
 
 def test_clustering_coef_replay(spark):
-    adj = _adj(spark)
+    from googleanalytics_etl_spark.ops.round6as import _CC_SUPPORT
+
+    adj = _adj(spark, min_support=_CC_SUPPORT)
     got = {r["part"]: r for r in
            queries()["x_clustering_coef"](spark, SF_SMALL).collect()}
     assert set(got) == set(adj)

@@ -152,11 +152,18 @@ def test_graph_stats_disjoint_copies_4x(spark):
     clustering are unchanged in every copy, and assortativity — a
     GLOBAL correlation — is exactly invariant because each copy
     contributes identical moment blocks."""
+    from googleanalytics_etl_spark.ops.round6ae import copurchase_edges
     from googleanalytics_etl_spark.registry import queries
 
-    base_cc = {
-        r["part"]: r
-        for r in queries()["x_clustering_coef"](spark, SF_SMALL).collect()
+    li_base = load(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    base_deg = {
+        r["v"]: r["d"]
+        for r in copurchase_edges(li_base)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .collect()
     }
     base_as = queries()["x_assortativity"](spark, SF_SMALL).collect()[0]
     li = load(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
@@ -173,17 +180,15 @@ def test_graph_stats_disjoint_copies_4x(spark):
     for p in parts[1:]:
         big = big.unionByName(p)
 
-    from googleanalytics_etl_spark.ops.round6ae import copurchase_edges
-
     # rebuild the same pipelines inline over the scaled edge list
     edges = copurchase_edges(big)
     deg = edges.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
     got_deg = {r["v"]: r["d"] for r in deg.collect()}
-    assert len(got_deg) == 4 * len(base_cc)
+    assert len(got_deg) == 4 * len(base_deg)
     for v, d in got_deg.items():
-        assert d == base_cc[v % 10_000_000]["degree"]
+        assert d == base_deg[v % 10_000_000]
     # global assortativity invariant under disjoint replication
     du = deg.select(F.col("v").alias("src"), F.col("d").alias("x"))
     dv = deg.select(F.col("v").alias("dst"), F.col("d").alias("y"))
