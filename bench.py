@@ -230,6 +230,8 @@ HEADLINE = [
     "x_burstiness",
     "x_clustering_coef",
     "x_assortativity",
+    "x_transition_entropy",
+    "x_modularity",
 ]
 
 

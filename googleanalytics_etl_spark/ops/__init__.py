@@ -37,6 +37,7 @@ from . import (  # noqa: F401
     round6aq,
     round6ar,
     round6as,
+    round6at,
     aggregates,
     analytics,
     extensions,

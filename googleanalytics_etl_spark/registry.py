@@ -290,6 +290,7 @@ _ROUND7_HEAD: list[str] = [
     "x_error_budget", "x_vocab_overlap",
     "x_seasonal_anomaly", "x_burstiness",
     "x_clustering_coef", "x_assortativity",
+    "x_transition_entropy", "x_modularity",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

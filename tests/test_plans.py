@@ -211,6 +211,9 @@ _BNLJ_OK = {
     "x_ri_audit",
     # 1-row gap-total broadcast (share denominator)
     "x_gap_histogram",
+    # 1-row entropy-margin / edge-total broadcasts
+    "x_transition_entropy",
+    "x_modularity",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
