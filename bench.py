@@ -232,6 +232,8 @@ HEADLINE = [
     "x_assortativity",
     "x_transition_entropy",
     "x_modularity",
+    "x_runs_test",
+    "x_abc_class",
 ]
 
 

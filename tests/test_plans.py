@@ -214,6 +214,8 @@ _BNLJ_OK = {
     # 1-row entropy-margin / edge-total broadcasts
     "x_transition_entropy",
     "x_modularity",
+    # 1-row median broadcast (runs-test sign split)
+    "x_runs_test",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
