@@ -234,6 +234,8 @@ HEADLINE = [
     "x_modularity",
     "x_runs_test",
     "x_abc_class",
+    "x_simpsons_slope",
+    "x_cohens_d",
 ]
 
 

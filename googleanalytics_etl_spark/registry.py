@@ -292,6 +292,7 @@ _ROUND7_HEAD: list[str] = [
     "x_clustering_coef", "x_assortativity",
     "x_transition_entropy", "x_modularity",
     "x_runs_test", "x_abc_class",
+    "x_simpsons_slope", "x_cohens_d",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

@@ -216,6 +216,8 @@ _BNLJ_OK = {
     "x_modularity",
     # 1-row median broadcast (runs-test sign split)
     "x_runs_test",
+    # 1-row pooled-moments broadcast (Simpson's comparison)
+    "x_simpsons_slope",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
