@@ -236,6 +236,7 @@ HEADLINE = [
     "x_abc_class",
     "x_simpsons_slope",
     "x_cohens_d",
+    "s_error_budget",
 ]
 
 

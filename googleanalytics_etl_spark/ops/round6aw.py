@@ -1,0 +1,116 @@
+"""Round-6 batch 49: streaming SLO monitor with an oracled changelog.
+
+- ``s_error_budget`` — the streaming twin of ``x_error_budget``: an
+  UPDATE-mode daily (events, errors) aggregation over the 5
+  deterministic time-span micro-batches, memory sink. Every emission
+  is a day's running counts AS OF the trigger that touched it — the
+  exact feed an alerting consumer reads — and because the chunking is
+  value-derived, the ENTIRE changelog (intermediate values included,
+  not just the fold) is SQL-expressible: for each (day, touched
+  chunk), the as-of counts are plain filtered counts. This is a
+  stronger streaming oracle than s_update_counts' (which certifies
+  final value + update count); here every intermediate running value
+  is hash-checked.
+
+Reference parity: streaming incremental sync is the reference's core
+loop [REF-UNVERIFIED]; SURVEY §2.H extension.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load  # noqa: F401 — parity with sibling modules
+from ..registry import register
+from .round6aq import _SLO_PCT
+
+_SEB_ORACLE = f"""
+WITH b AS (
+    SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+           MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+    FROM events
+), keyed AS (
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+           LEAST(4, (epoch_us(CAST(ts AS TIMESTAMP)) - b.lo) * 5
+                    // (b.hi - b.lo)) AS chunk
+    FROM events, b
+), touched AS (
+    SELECT DISTINCT day, chunk FROM keyed
+), as_of AS (
+    SELECT t.day, t.chunk,
+           CAST(SUM(CASE WHEN k.chunk <= t.chunk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN k.chunk <= t.chunk THEN k.is_err ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM touched t JOIN keyed k ON k.day = t.day
+    GROUP BY t.day, t.chunk
+)
+SELECT day, n_events, n_errors,
+       CASE WHEN 100 * n_errors > {_SLO_PCT} * n_events
+            THEN 1 ELSE 0 END AS over_slo,
+       CASE WHEN n_events = MAX(n_events) OVER (PARTITION BY day)
+            THEN 1 ELSE 0 END AS is_final
+FROM as_of
+"""
+
+
+@register("s_error_budget", oracle=_SEB_ORACLE)
+def s_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming error-budget monitor: daily (events, errors) counts
+    in UPDATE mode over the 5 deterministic micro-batches. The memory
+    sink accumulates one row per (trigger, changed day) carrying that
+    day's RUNNING counts as of the trigger — the alert feed — each
+    annotated with the exact integer over-SLO flag
+    (``100·errors > {_SLO_PCT}·events``) and whether it is the day's
+    final value. The oracle re-derives every intermediate emission
+    from the value-derived chunking (as-of counts are filtered
+    counts), so the full changelog is hash-certified, not just its
+    fold.
+
+    Scale shape: streaming state = |days| running pairs; each
+    trigger's output is bounded by the days the batch touched.
+    The batch-side annotation is one window over the (day × ≤5
+    emissions) changelog. At 100 TB this is the shape a real SLO
+    monitor keeps: day-grain state, delta emissions, constant-size
+    alerts per trigger.
+    """
+    from .streaming import _events_stream, _run_to_memory, _stage_events
+
+    stage = _stage_events(spark, sf_dir)
+    agg = (
+        _events_stream(spark, stage)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    name = f"seb_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(agg, name, "update")
+    log = spark.table(name)
+    final_n = F.max("n_events").over(Window.partitionBy("day"))
+    return (
+        log.select(
+            "day",
+            "n_events",
+            "n_errors",
+            F.when(
+                100 * F.col("n_errors") > _SLO_PCT * F.col("n_events"), 1
+            )
+            .otherwise(0)
+            .alias("over_slo"),
+        )
+        .withColumn(
+            "is_final",
+            F.when(F.col("n_events") == final_n, 1).otherwise(0),
+        )
+        .localCheckpoint(eager=True)
+    )
