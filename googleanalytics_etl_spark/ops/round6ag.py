@@ -87,7 +87,12 @@ def x_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns and dedupes equal-timestamp clicks with a min. Final
     counts are one distinct-aggregate row. Scan-bound at 100 TB.
     """
-    e = load(spark, sf_dir, "events")
+    return funnel_windowed_frame(load(spark, sf_dir, "events"))
+
+
+def funnel_windowed_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`x_funnel_windowed` (stress-testable
+    on synthetic event inputs)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -99,7 +99,12 @@ def x_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjusted mean needs no per-user re-pass because the adjustment is
     linear — the algebra IS the optimization. Scan-bound at 100 TB.
     """
-    e = load(spark, sf_dir, "events")
+    return ab_cuped_frame(load(spark, sf_dir, "events"))
+
+
+def ab_cuped_frame(e: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`x_ab_cuped` (stress-testable on
+    synthetic event inputs)."""
     split = F.lit(_CUPED_SPLIT).cast("timestamp_ntz")
     variant = F.when(
         F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1)

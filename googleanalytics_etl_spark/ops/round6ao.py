@@ -68,7 +68,12 @@ def x_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing without a second pass. At 100 TB the same KLL-sketch
     upgrade as x_outlier_iqr applies, feeding weights to the sketch.
     """
-    li = load(spark, sf_dir, "lineitem")
+    return weighted_percentile_frame(load(spark, sf_dir, "lineitem"))
+
+
+def weighted_percentile_frame(li: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`x_weighted_percentile`
+    (stress-testable on synthetic lineitem inputs)."""
     wq = F.col("l_quantity").cast("decimal(18,4)")
     wcum = (
         Window.partitionBy("l_returnflag")
