@@ -237,6 +237,8 @@ HEADLINE = [
     "x_simpsons_slope",
     "x_cohens_d",
     "s_error_budget",
+    "x_mixture_weights",
+    "x_embed_drift",
 ]
 
 

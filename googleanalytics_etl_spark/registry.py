@@ -294,6 +294,7 @@ _ROUND7_HEAD: list[str] = [
     "x_runs_test", "x_abc_class",
     "x_simpsons_slope", "x_cohens_d",
     "s_error_budget",
+    "x_mixture_weights", "x_embed_drift",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD

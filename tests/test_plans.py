@@ -218,6 +218,8 @@ _BNLJ_OK = {
     "x_runs_test",
     # 1-row pooled-moments broadcast (Simpson's comparison)
     "x_simpsons_slope",
+    # 1-row totals broadcast (mixture weights / ESS)
+    "x_mixture_weights",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
