@@ -297,7 +297,31 @@ _ROUND7_HEAD: list[str] = [
     "x_mixture_weights", "x_embed_drift",
 ]
 
-_WINDOW_OVERRIDE: list[str] | None = _ROUND6_WINDOW + _ROUND7_HEAD
+# Round 8 head start (pre-staged per VERDICT.md r6 item 2): lead with the
+# 61 `_ROUND7_HEAD` keys that fall outside round 7's 50-key window (the
+# remaining never-driver-tested set), then the 48 keys whose latest driver
+# evidence is round 2 plus the rows-only `s_stateful_user`, oldest-evidence-
+# first — same rotation discipline as rounds 4–7. Round 8 takes the first
+# 50 (clearing the never-tested debt to 11); round 9 takes the next 50.
+# Flip with `_WINDOW_OVERRIDE = _ROUND8_HEAD` as round 8's first commit.
+_ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
+    "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
+    "q_project_rename", "q_filter_pred", "q_derive_expr", "q_case_when",
+    "q_null_handling", "q_join_anti", "q_join_range", "q_join_asof",
+    "q_unpivot", "q_window_rank", "q_window_lag", "q_running_sum",
+    "q_window_range_frame", "q_first_last_touch", "q_ntile",
+    "q_percent_rank", "q_orderby_limit", "q_topk_per_group",
+    "q_union_all", "q_except", "q_intersect", "q_collect_sorted",
+    "q_date_spine", "s_tumbling", "s_sliding", "s_session",
+    "s_watermark", "s_dedup", "s_incremental_sync", "q_udf_scalar",
+    "q_udf_pandas", "q_udaf_pandas", "q_udtf_explode", "q_udtf_pairs",
+    "x_dedup_near", "x_dedup_simhash", "x_dedup_near_survivors",
+    "x_sample_hash", "x_stratified_sample", "x_chunk_docs",
+    "x_pack_sequences", "x_pii_scrub", "x_corpus_shard", "x_corpus_prep",
+    "s_stateful_user",
+]
+
+_WINDOW_OVERRIDE: list[str] | None = _ROUND7_HEAD
 
 
 def _ordered() -> list[str]:
