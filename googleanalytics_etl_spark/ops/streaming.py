@@ -395,7 +395,7 @@ def s_paged_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched-buckets-only property per micro-batch.
     """
     from ..sources.paged import read_paged_stream
-    from ..sources.sinks import upsert_append
+    from ..sources.sinks import BucketedUpsertSink
 
     run_dir = _sweep_runs("paged_sync")
     target = run_dir / "target"
@@ -410,18 +410,19 @@ def s_paged_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(cols)
     )
-    upsert_append(spark, seed, str(target), "event_id")
+    # one sink for the whole run: the target's existence/bucketedness/
+    # schema are probed once, not re-derived per micro-batch, and the
+    # loop skips the appended-count job it never used (idempotency comes
+    # from the anti-join, not the count) — pure job-setup constant, the
+    # touched-buckets-only IO contract is unchanged
+    sink = BucketedUpsertSink(str(target), "event_id")
+    sink.upsert(seed, count_appended=False)
 
     def sync_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        upsert_append(
-            batch_df.sparkSession,
-            batch_df.select(cols),
-            str(target),
-            "event_id",
-        )
+        sink.upsert(batch_df.select(cols), count_appended=False)
 
     q = (
-        read_paged_stream(spark, sf_dir, chunks=5)
+        read_paged_stream(spark, sf_dir, chunks=5, parallel=True)
         .writeStream.foreachBatch(sync_batch)
         .option("checkpointLocation", str(ckpt))
         .start()
