@@ -24,14 +24,40 @@ from ..io import load
 from ..registry import register
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """Decode a media payload to pixels/samples.
+def decode_media(payload: bytes, media_type: str):
+    """Decode a media payload to (width, height, mode) / sample stats.
 
-    STUB: real decoders (PIL/ffmpeg/soundfile) are not in this
-    environment. The Spark-side plumbing around this call (binary column,
-    Arrow batches, schema contract) is real; swap this function for an
-    actual codec to productionize.
+    Import-gated, not hard-stubbed: if a real codec is importable the
+    decode actually runs (images via PIL, audio via soundfile), so a
+    deployment that ships codecs gets real decode with no code change —
+    tests/test_env_gates.py probes this and un-skips automatically. In
+    this sandbox neither library exists, so the call raises the
+    documented ``NotImplementedError`` contract. The Spark-side plumbing
+    around this call (binary column, Arrow batches, schema contract) is
+    real either way.
     """
+    if media_type.startswith("image/"):
+        try:
+            from PIL import Image  # noqa: PLC0415
+        except ImportError:
+            raise NotImplementedError(
+                f"no codec available for {media_type!r} in this environment"
+            ) from None
+        import io
+
+        with Image.open(io.BytesIO(payload)) as img:
+            return (img.width, img.height, img.mode)
+    if media_type.startswith("audio/"):
+        try:
+            import soundfile  # noqa: PLC0415
+        except ImportError:
+            raise NotImplementedError(
+                f"no codec available for {media_type!r} in this environment"
+            ) from None
+        import io
+
+        data, rate = soundfile.read(io.BytesIO(payload))
+        return (int(data.shape[0]), rate)
     raise NotImplementedError(
         f"no codec available for {media_type!r} in this environment"
     )

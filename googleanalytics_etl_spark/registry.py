@@ -319,6 +319,10 @@ _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
     "x_sample_hash", "x_stratified_sample", "x_chunk_docs",
     "x_pack_sequences", "x_pii_scrub", "x_corpus_shard", "x_corpus_prep",
     "s_stateful_user",
+    # round-7 additions (never driver-tested; after the r2 tail since
+    # their local evidence is freshest)
+    "q_jdbc_roundtrip", "s_jdbc_sync", "x_countmin_bound",
+    "x_anova_oneway", "x_mann_whitney",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND7_HEAD

@@ -6,8 +6,11 @@ The reference appends typed rows to a SQL table via SQLAlchemy
 [REF-UNVERIFIED]. The Spark forms:
 
 - :func:`append_jdbc` — ``df.write.jdbc(mode='append')``; needs a JDBC
-  driver jar on the classpath (none in this container → the call is
-  import-gated and unit-tested for its error contract only).
+  driver jar on the classpath. Round-7 discovery: pyspark SHIPS Derby's
+  embedded driver (for the Hive metastore), so the real write path is
+  exercised end-to-end by ``q_jdbc_roundtrip`` / ``s_jdbc_sync``
+  (ops/round7.py, full hash oracles); server drivers (postgres, mysql)
+  are still absent and keep the tested error contract.
 - :func:`upsert_append` — insert-if-absent on a key: anti-join against
   the current target, then append. This is the batch form the streaming
   sync loop (ops/streaming.s_incremental_sync) reuses; on a lakehouse

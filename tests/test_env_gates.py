@@ -1,0 +1,137 @@
+"""Standing environment-gate probes (VERDICT.md r5/r6 item: one probe per
+missing dependency that UN-SKIPS AUTOMATICALLY if the sandbox ever gains
+it). Each test skips with a reason while the dependency is absent and
+exercises the real code path the moment it appears — so "env-gated" never
+silently rots into "never tested".
+
+Gates probed: image codec (PIL), audio codec (soundfile), protobuf
+(transformWithState worker — main coverage lives in test_streaming's
+importorskip; here we only pin the probe), JDBC driver jar, Delta Lake.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMALL  # noqa: F401  (session fixtures)
+
+
+def test_image_decode_unskips_with_pil(spark):
+    """decode_media on an image: real decode when PIL exists, the
+    documented NotImplementedError contract when it does not."""
+    from googleanalytics_etl_spark.ops.multimodal import decode_media
+
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="image/png"):
+            decode_media(b"\x89PNG\r\n\x1a\n", "image/png")
+        pytest.skip("PIL not in sandbox — error contract verified instead")
+
+    import io
+
+    img = Image.new("RGB", (7, 3))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    assert decode_media(buf.getvalue(), "image/png") == (7, 3, "RGB")
+
+
+def test_audio_decode_unskips_with_soundfile(spark):
+    from googleanalytics_etl_spark.ops.multimodal import decode_media
+
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="audio/wav"):
+            decode_media(b"RIFF", "audio/wav")
+        pytest.skip("soundfile not in sandbox — error contract verified")
+
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    soundfile.write(buf, np.zeros(16, dtype="float32"), 8000, format="WAV")
+    n, rate = decode_media(buf.getvalue(), "audio/wav")
+    assert (n, rate) == (16, 8000)
+
+
+def test_protobuf_gate_matches_tws_skip(spark):
+    """The transformWithState test (test_streaming) importorskips on
+    google.protobuf; this probe just asserts the gate is the dependency
+    itself, so if protobuf lands, BOTH that test and this one flip."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not in sandbox — TWS worker gated")
+    from googleanalytics_etl_spark.ops.streaming import (  # noqa: F401
+        transform_state_totals,
+    )
+
+
+def test_jdbc_roundtrip_unskips_with_driver_jar(spark, tmp_path):
+    """append_jdbc: a real write the moment ANY known embedded-capable
+    JDBC driver is on the classpath (H2/Derby/SQLite need no server);
+    until then, the tested error contract stands (test_sources_etl)."""
+    drivers = [
+        ("org.h2.Driver", f"jdbc:h2:{tmp_path}/h2db"),
+        ("org.apache.derby.jdbc.EmbeddedDriver",
+         f"jdbc:derby:{tmp_path}/derby;create=true"),
+        ("org.sqlite.JDBC", f"jdbc:sqlite:{tmp_path}/sqlite.db"),
+    ]
+    jvm = spark.sparkContext._jvm
+    avail = None
+    for cls, url in drivers:
+        try:
+            jvm.java.lang.Class.forName(cls)
+            avail = (cls, url)
+            break
+        except Exception:
+            continue
+    if avail is None:
+        pytest.skip("no embedded JDBC driver jar on the Spark classpath")
+
+    from googleanalytics_etl_spark.sources.sinks import append_jdbc
+
+    cls, url = avail
+    df = spark.range(5).withColumnRenamed("id", "k")
+    append_jdbc(df, url, "probe_t", driver=cls)
+    back = spark.read.format("jdbc").options(
+        url=url, dbtable="probe_t", driver=cls
+    ).load()
+    assert back.count() == 5
+
+
+def test_delta_merge_unskips_with_delta_spark(tmp_path):
+    """Delta MERGE: real table-format upsert when delta-spark is
+    importable; until then the copy-on-write bucket-manifest emulation
+    (ops/streaming s_cdc_apply) carries the semantics."""
+    delta = pytest.importorskip(
+        "delta", reason="delta-spark not in sandbox — CDC emulation covers"
+    )
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("delta-gate")
+        .config(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        )
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    )
+    s = delta.configure_spark_with_delta_pip(builder).getOrCreate()
+    path = str(tmp_path / "dtab")
+    s.range(3).write.format("delta").save(path)
+    tab = delta.tables.DeltaTable.forPath(s, path)
+    src = s.range(2, 5)
+    (
+        tab.alias("t")
+        .merge(src.alias("s"), "t.id = s.id")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert s.read.format("delta").load(path).count() == 5
