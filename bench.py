@@ -239,6 +239,19 @@ HEADLINE = [
     "s_error_budget",
     "x_mixture_weights",
     "x_embed_drift",
+    # round 7: the real JDBC sink path (embedded Derby) + sketch-bound
+    # and rank-test certifications
+    "q_jdbc_roundtrip",
+    "s_jdbc_sync",
+    "x_countmin_bound",
+    "x_anova_oneway",
+    "x_mann_whitney",
+    # round 7 batch 2: rank/divergence/drift statistics
+    "x_kruskal_wallis",
+    "x_pr_auc",
+    "x_cramers_v",
+    "x_js_divergence",
+    "x_page_hinkley",
 ]
 
 

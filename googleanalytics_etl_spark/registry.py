@@ -323,6 +323,8 @@ _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
     # their local evidence is freshest)
     "q_jdbc_roundtrip", "s_jdbc_sync", "x_countmin_bound",
     "x_anova_oneway", "x_mann_whitney",
+    "x_kruskal_wallis", "x_pr_auc", "x_cramers_v", "x_js_divergence",
+    "x_page_hinkley",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND7_HEAD
