@@ -252,6 +252,11 @@ HEADLINE = [
     "x_cramers_v",
     "x_js_divergence",
     "x_page_hinkley",
+    # round 7 batch 3: relational sketches with derived certifications,
+    # closed-form multi-feature OLS
+    "x_bloom_fpr",
+    "x_hll_relational",
+    "x_ols_multi",
 ]
 
 
