@@ -257,6 +257,9 @@ HEADLINE = [
     "x_bloom_fpr",
     "x_hll_relational",
     "x_ols_multi",
+    # round 7 batch 4: iterative linear algebra + streaming HLL merge
+    "x_power_iteration",
+    "s_hll_merge",
 ]
 
 

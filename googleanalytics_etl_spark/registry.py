@@ -326,6 +326,7 @@ _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
     "x_kruskal_wallis", "x_pr_auc", "x_cramers_v", "x_js_divergence",
     "x_page_hinkley",
     "x_bloom_fpr", "x_hll_relational", "x_ols_multi",
+    "x_power_iteration", "s_hll_merge",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND7_HEAD

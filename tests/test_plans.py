@@ -220,6 +220,21 @@ _BNLJ_OK = {
     "x_simpsons_slope",
     # 1-row totals broadcast (mixture weights / ESS)
     "x_mixture_weights",
+    # 1-row event-total broadcast (the εN slack of the CM bound)
+    "x_countmin_bound",
+    # 1-row totals / k-row group-frame broadcasts (ordered-fold stats)
+    "x_anova_oneway",
+    "x_kruskal_wallis",
+    # 1-row contingency-totals broadcast (χ² denominators)
+    "x_cramers_v",
+    # |sources|×k vocab grid (the x_source_kl shape)
+    "x_js_divergence",
+    # ≤m-bit filter broadcast + 1-row totals (derived FPR bound)
+    "x_bloom_fpr",
+    # m-register frame + 1-row exact-distinct broadcast
+    "x_hll_relational",
+    # d-row vector / 1-row norm/eigenvalue/trace broadcasts per step
+    "x_power_iteration",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
