@@ -715,6 +715,11 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
+    # index schemas are captured from the first batch's frames and fed
+    # back to later reads — skips a parquet footer-inference pass per
+    # micro-batch per index (the s_paged_sync cached-sink recipe)
+    schemas: dict[str, object] = {}
+
     def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
         sp = bdf.sparkSession
         batch = bdf.localCheckpoint(eager=True)
@@ -728,7 +733,8 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("old_id"), "band", "bucket"
         )
         old_bands = (
-            sp.read.parquet(str(idx_bands))
+            sp.read.schema(schemas["bands"])
+            .parquet(str(idx_bands))
             .select(F.col("doc_id").alias("old_id"), "band", "bucket")
             .unionByName(self_bands)
             if os.path.exists(idx_bands)
@@ -741,7 +747,9 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         old_hsets = (
-            sp.read.parquet(str(idx_hsets)).unionByName(hset)
+            sp.read.schema(schemas["hsets"])
+            .parquet(str(idx_hsets))
+            .unionByName(hset)
             if os.path.exists(idx_hsets)
             else hset
         )
@@ -767,10 +775,11 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append")
             .parquet(str(out))
         )
-        banded.select("doc_id", "band", "bucket").write.mode("append").parquet(
-            str(idx_bands)
-        )
+        bands_out = banded.select("doc_id", "band", "bucket")
+        bands_out.write.mode("append").parquet(str(idx_bands))
         hset.write.mode("append").parquet(str(idx_hsets))
+        schemas.setdefault("bands", bands_out.schema)
+        schemas.setdefault("hsets", hset.schema)
 
     q = (
         spark.readStream.schema(
