@@ -260,6 +260,11 @@ HEADLINE = [
     # round 7 batch 4: iterative linear algebra + streaming HLL merge
     "x_power_iteration",
     "s_hll_merge",
+    # round 7 batch 5: experiment planning + evaluation analytics
+    "x_ab_power_mde",
+    "x_wilson_ci",
+    "x_seasonal_decompose",
+    "x_gains_table",
 ]
 
 
