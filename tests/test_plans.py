@@ -235,6 +235,10 @@ _BNLJ_OK = {
     "x_hll_relational",
     # d-row vector / 1-row norm/eigenvalue/trace broadcasts per step
     "x_power_iteration",
+    # 1-row distinct-user-total broadcast (Wilson denominators)
+    "x_wilson_ci",
+    # 1-row (n, p) totals broadcast (decile edges + capture/lift)
+    "x_gains_table",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
