@@ -265,6 +265,8 @@ HEADLINE = [
     "x_wilson_ci",
     "x_seasonal_decompose",
     "x_gains_table",
+    # round 7 batch 6: bounded-iteration graph peeling
+    "x_kcore_peel",
 ]
 
 

@@ -328,7 +328,7 @@ _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
     "x_bloom_fpr", "x_hll_relational", "x_ols_multi",
     "x_power_iteration", "s_hll_merge",
     "x_ab_power_mde", "x_wilson_ci", "x_seasonal_decompose",
-    "x_gains_table",
+    "x_gains_table", "x_kcore_peel",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND7_HEAD
