@@ -102,6 +102,19 @@ def test_jdbc_roundtrip_unskips_with_driver_jar(spark, tmp_path):
     assert back.count() == 5
 
 
+def test_avro_roundtrip_unskips_with_connector(spark, tmp_path):
+    """spark-avro is an external module (the bundled avro-*.jar files
+    are the core serde only, not the DataSource); probe the format and
+    run a real round-trip the moment the connector jar appears."""
+    probe = tmp_path / "avro_probe"
+    try:
+        spark.range(3).write.format("avro").save(str(probe))
+    except Exception as e:
+        assert "Failed to find data source: avro" in str(e)
+        pytest.skip("spark-avro connector not on the classpath")
+    assert spark.read.format("avro").load(str(probe)).count() == 3
+
+
 def test_delta_merge_unskips_with_delta_spark(tmp_path):
     """Delta MERGE: real table-format upsert when delta-spark is
     importable; until then the copy-on-write bucket-manifest emulation
