@@ -112,3 +112,113 @@ class SyncPipeline:
         # drop the sink's internal hash-bucket partition column (no-op
         # for flat/backfilled targets)
         return self.spark.read.parquet(self.target_path).drop("bucket")
+
+
+@dataclass
+class JdbcSyncPipeline(SyncPipeline):
+    """:class:`SyncPipeline` against a SQL-table target over JDBC — the
+    reference's ACTUAL deployment shape (``to_sql(append)`` into a DB)
+    [REF-UNVERIFIED: SURVEY.md §3.1]. ``target_path`` is the JDBC URL,
+    ``table`` the table name. Exercised for real against the embedded
+    Derby driver pyspark bundles (ops/round7.py carries the oracled
+    streaming twin ``s_jdbc_sync``); a server DB only changes the URL
+    and driver class.
+
+    Scale notes (the q_jdbc_roundtrip/s_jdbc_sync discipline): the HWM
+    and the already-loaded-id set are both fetched through dbtable
+    SUBQUERIES, so the aggregate and the range predicate execute inside
+    the DB — per-sync read IO is bounded by the incoming window, never
+    the accumulated table. The watermark crosses as epoch microseconds
+    (BIGINT) to keep java.sql.Timestamp zone semantics out entirely.
+    """
+
+    table: str = "hits"
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def _read(self, dbtable: str) -> DataFrame:
+        return (
+            self.spark.read.format("jdbc")
+            .options(url=self.target_path, driver=self.driver, dbtable=dbtable)
+            .load()
+        )
+
+    def _exists(self) -> bool:
+        try:
+            self._read(self.table).schema
+            return True
+        except Exception:
+            return False
+
+    def high_water_mark(self):
+        if not self._exists():
+            return None
+        wm = self.config["watermark_col"]
+        # aliases quoted: Derby uppercases unquoted identifiers, and the
+        # Spark-side row access is case-sensitive
+        row = self._read(
+            f'(SELECT MAX("unix_us") AS "hwm_us" FROM '
+            f'(SELECT "{wm}_us" AS "unix_us" FROM {self.table}) t) q'
+        ).first()
+        if row is None or row["hwm_us"] is None:
+            return None
+        import datetime as _dt
+
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=row["hwm_us"]
+        )
+
+    def _staged_for_jdbc(self, source: DataFrame) -> DataFrame:
+        wm = self.config["watermark_col"]
+        return self.project(source).withColumn(
+            f"{wm}_us", F.unix_micros(F.col(wm).cast("timestamp"))
+        ).drop(wm)
+
+    def sync(self, source: DataFrame, reextract_overlap: str = "1 hour") -> int:
+        wm = self.config["watermark_col"]
+        key = self.config["key"]
+        staged = self.project(source)
+        hwm = self.high_water_mark()
+        if hwm is not None:
+            cutoff = F.lit(hwm).cast("timestamp_ntz") - F.expr(
+                f"INTERVAL {reextract_overlap}"
+            )
+            staged = staged.where(F.col(wm) > cutoff)
+        inc = staged.withColumn(
+            f"{wm}_us", F.unix_micros(F.col(wm).cast("timestamp"))
+        ).drop(wm).persist()
+        try:
+            lo, hi = inc.agg(
+                F.min(f"{wm}_us"), F.max(f"{wm}_us")
+            ).first()
+            if lo is None:
+                return 0
+            fresh = inc
+            if self._exists():
+                loaded = self._read(
+                    f'(SELECT "{key}" FROM {self.table} '
+                    f'WHERE "{wm}_us" BETWEEN {lo} AND {hi}) q'
+                )
+                fresh = inc.join(loaded, key, "left_anti")
+            fresh = fresh.persist()
+            try:
+                n = fresh.count()
+                if n:
+                    fresh.write.mode("append").option(
+                        "driver", self.driver
+                    ).jdbc(self.target_path, self.table)
+            finally:
+                fresh.unpersist()
+            self._runs.append(n)
+            return n
+        finally:
+            inc.unpersist()
+
+    def backfill(self, source: DataFrame) -> int:
+        staged = self._staged_for_jdbc(source)
+        staged.write.mode("overwrite").option(
+            "truncate", "true"
+        ).option("driver", self.driver).jdbc(self.target_path, self.table)
+        return self._read(self.table).count()
+
+    def target(self) -> DataFrame:
+        return self._read(self.table)
