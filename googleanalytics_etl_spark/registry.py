@@ -331,6 +331,12 @@ _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
     "x_gains_table", "x_kcore_peel",
 ]
 
+# Round 9 head start: whatever _ROUND8_HEAD's 50-key window doesn't
+# reach — the remaining never-tested round-6/7 keys, the r2-evidence
+# tail, and the 20 round-7 additions. Flip with
+# `_WINDOW_OVERRIDE = _ROUND9_HEAD` as round 9's first commit.
+_ROUND9_HEAD: list[str] = _ROUND8_HEAD[50:]
+
 _WINDOW_OVERRIDE: list[str] | None = _ROUND7_HEAD
 
 
