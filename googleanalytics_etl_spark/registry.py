@@ -333,11 +333,15 @@ _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
 
 # Round 9 head start: whatever _ROUND8_HEAD's 50-key window doesn't
 # reach — the remaining never-tested round-6/7 keys, the r2-evidence
-# tail, and the 20 round-7 additions. Flip with
-# `_WINDOW_OVERRIDE = _ROUND9_HEAD` as round 9's first commit.
-_ROUND9_HEAD: list[str] = _ROUND8_HEAD[50:]
+# tail, and the 20 round-7 additions — plus the round-8 additions
+# (never driver-tested, freshest local evidence, so appended last).
+# Flip with `_WINDOW_OVERRIDE = _ROUND9_HEAD` as round 9's first commit.
+_ROUND9_HEAD: list[str] = _ROUND8_HEAD[50:] + [
+    # round-8 additions: mergeable-sketch streaming certifications
+    "s_kll_merge", "s_theta_merge",
+]
 
-_WINDOW_OVERRIDE: list[str] | None = _ROUND7_HEAD
+_WINDOW_OVERRIDE: list[str] | None = _ROUND8_HEAD
 
 
 def _ordered() -> list[str]:
