@@ -267,6 +267,10 @@ HEADLINE = [
     "x_gains_table",
     # round 7 batch 6: bounded-iteration graph peeling
     "x_kcore_peel",
+    # round 8: streaming mergeability certifications for the KLL-twin
+    # and theta (bottom-k) sketch families
+    "s_kll_merge",
+    "s_theta_merge",
 ]
 
 
@@ -303,17 +307,27 @@ def main() -> None:
         times[key] = round(samples[len(samples) // 2], 3)
 
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # The grading driver archives only a bounded tail of stdout, which
+    # truncates the per-key map once HEADLINE outgrew ~60 keys. Persist the
+    # full record locally so every round's complete per-key timings are
+    # recoverable from the repo (BENCH_local_latest.json is committed per
+    # round; the history file accumulates every run on this host).
+    try:
+        here = Path(__file__).resolve().parent
+        full = dict(record, ts=time.strftime("%Y-%m-%dT%H:%M:%S"), reps=reps)
+        (here / "BENCH_local_latest.json").write_text(json.dumps(full, indent=1))
+        with open(here / "BENCH_local_history.jsonl", "a") as fh:
+            fh.write(json.dumps(full) + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed line is still the contract
 
 
 if __name__ == "__main__":

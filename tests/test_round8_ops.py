@@ -1,0 +1,106 @@
+"""Semantic tests for round-8 batch 1 (streaming mergeable quantile
+histogram, streaming theta/KMV distinct). test_oracle.py proves
+Spark == DuckDB; these check the merge algebra directly — the fold
+result must equal the whole-log sketch computed in one batch — plus
+the estimator bounds and determinism across re-runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+from googleanalytics_etl_spark.io import load
+from googleanalytics_etl_spark.ops.round8 import (
+    _KLL_B,
+    _KLL_QS,
+    _KLL_W,
+    _KMV_K,
+    _KMV_SPACE,
+)
+from googleanalytics_etl_spark.registry import queries
+
+
+def test_kll_merge_rank_certified_and_deterministic(spark):
+    rows = queries()["s_kll_merge"](spark, SF_SMALL).collect()
+    assert [r["q"] for r in rows] == sorted(_KLL_QS)
+    n = load(spark, SF_SMALL, "events").count()
+    for r in rows:
+        # rank certification held on every quantile
+        assert r["in_bound"] == 1
+        assert r["target_rank"] == math.ceil(r["q"] * n)
+        assert 0 <= r["bin_idx"] < _KLL_B
+        assert r["est"] == (r["bin_idx"] + 1) * _KLL_W
+        # the estimate brackets the true quantile within one bin: at
+        # least target_rank values below the upper edge, and fewer than
+        # target_rank strictly below the lower edge
+        assert r["cnt_below"] >= r["target_rank"]
+    # deterministic across re-runs (fresh checkpoint, same fold)
+    again = queries()["s_kll_merge"](spark, SF_SMALL).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_kll_merge_fold_equals_whole_log_histogram(spark):
+    # replay the fold's defining property: summing per-chunk histograms
+    # equals the whole-log histogram (count addition is a monoid)
+    ev = load(spark, SF_SMALL, "events").select(
+        F.least(F.floor(F.col("value") / _KLL_W), F.lit(_KLL_B - 1))
+        .cast("long")
+        .alias("b")
+    )
+    whole = {
+        r["b"]: r["c"]
+        for r in ev.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    halves = ev.randomSplit([0.5, 0.5], seed=8)
+    folded: dict[int, int] = {}
+    for h in halves:
+        for r in h.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect():
+            folded[r["b"]] = folded.get(r["b"], 0) + r["c"]
+    assert folded == whole
+
+
+def test_theta_merge_bound_and_semilattice(spark):
+    row = queries()["s_theta_merge"](spark, SF_SMALL).collect()[0]
+    assert row["k"] == _KMV_K
+    assert row["in_bound"] == 1
+    assert 0 < row["kth_hv"] < int(_KMV_SPACE)
+    assert math.isfinite(row["rel_err"])
+
+    # semilattice replay: bottom-k of the union of per-half bottom-ks
+    # equals the whole-log bottom-k
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("kmv:"), F.col("event_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ev = load(spark, SF_SMALL, "events").select(hv.alias("hv")).distinct()
+    whole = [r["hv"] for r in ev.orderBy("hv").limit(_KMV_K).collect()]
+    folded: set[int] = set()
+    for h in ev.randomSplit([0.5, 0.5], seed=8):
+        folded.update(
+            r["hv"] for r in h.orderBy("hv").limit(_KMV_K).collect()
+        )
+    assert sorted(folded)[:_KMV_K] == whole
+
+    # the estimate the key reports is the KMV formula on that state
+    n_seen = len(whole)
+    if n_seen >= _KMV_K:
+        expect = (_KMV_K - 1) * _KMV_SPACE / float(whole[-1])
+    else:
+        expect = float(n_seen)
+    assert row["est"] == round(expect, 2)
+
+    again = queries()["s_theta_merge"](spark, SF_SMALL).collect()[0]
+    assert tuple(again) == tuple(row)
