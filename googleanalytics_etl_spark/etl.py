@@ -143,11 +143,29 @@ class JdbcSyncPipeline(SyncPipeline):
         )
 
     def _exists(self) -> bool:
+        """True iff the target table exists. Only the driver's
+        table-not-found condition maps to False (Derby SQLState 42X05 /
+        a "does not exist" message anywhere in the chain); anything
+        else — a transient connection failure, auth, timeout — re-raises.
+        Swallowing those would simultaneously disable the HWM filter AND
+        the anti-join dedup and append a wholesale duplicate load (the
+        base class documents the invariant: a read error on an existing
+        target must raise, not silently restart the sync from zero).
+        """
         try:
             self._read(self.table).schema
             return True
-        except Exception:
-            return False
+        except Exception as e:
+            seen, cur = set(), e
+            while cur is not None and id(cur) not in seen:
+                seen.add(id(cur))
+                msg = str(cur)
+                if "42X05" in msg or "does not exist" in msg.lower():
+                    return False
+                cur = getattr(cur, "__cause__", None) or getattr(
+                    cur, "java_exception", None
+                )
+            raise
 
     def high_water_mark(self):
         if not self._exists():

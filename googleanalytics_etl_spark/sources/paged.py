@@ -82,6 +82,41 @@ def _stat_ns(v) -> int:
     return int(v)
 
 
+def _range_table(path: str, start_ns: int, end_ns: int):
+    """Footer-stats row-group pruning + ts normalization for events with
+    ts in [start_ns, end_ns): only row groups whose min/max overlap the
+    range are read, the ts column is scaled to int64 nanoseconds
+    (unit-aware — the driver fixtures are NANOS, Spark-written files
+    µs), and the exact range filter is applied. Returns a pyarrow Table
+    or None. The single implementation behind the batch reader, the
+    Simple stream reader, and the parallel stream reader — one overlap
+    test to maintain, not three."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(path)
+    ts_idx = next(
+        i for i in range(len(meta.schema)) if meta.schema.column(i).name == "ts"
+    )
+    groups = []
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(ts_idx).statistics
+        if st is None or st.min is None or st.max is None:
+            groups.append(rg)  # unknown range: must read
+            continue
+        mn, mx = _stat_ns(st.min), _stat_ns(st.max)
+        if mx >= start_ns and mn < end_ns:
+            groups.append(rg)
+    if not groups:
+        return None
+    table = pq.ParquetFile(path).read_row_groups(groups)
+    unit = getattr(table["ts"].type, "unit", "ns")
+    ts = pc.multiply(pc.cast(table["ts"], "int64"), _TS_UNIT_TO_NS.get(unit, 1))
+    return table.set_column(
+        table.schema.get_field_index("ts"), "ts", ts
+    ).filter(pc.and_(pc.greater_equal(ts, start_ns), pc.less(ts, end_ns)))
+
+
 class PagedEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -162,49 +197,14 @@ class PagedEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: DateChunk):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
         # The 'server side': date-range filter applied at the source
-        # (the reference's dateRanges request field), then the pageToken
-        # loop — fixed-size record batches, one yield per 'page'.
-        # Row groups outside this partition's ts range are skipped from
-        # footer stats — each chunk reads ~1/n_chunks of the file, not
-        # all of it.
-        meta = pq.read_metadata(self.path)
-        ts_idx = next(
-            i
-            for i in range(len(meta.schema))
-            if meta.schema.column(i).name == "ts"
-        )
-        groups = []
-        for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(ts_idx).statistics
-            if st is None or st.min is None or st.max is None:
-                groups.append(rg)  # unknown range: must read
-                continue
-            mn, mx = _stat_ns(st.min), _stat_ns(st.max)
-            if mx >= partition.start_ns and mn < partition.end_ns:
-                groups.append(rg)
-        if not groups:
+        # (the reference's dateRanges request field) via the shared
+        # footer-pruned range read, then the pageToken loop —
+        # fixed-size record batches, one yield per 'page'.
+        table = _range_table(self.path, partition.start_ns, partition.end_ns)
+        if table is None:
             return
-        f = pq.ParquetFile(self.path)
-        table = f.read_row_groups(groups)
-        # unit-aware: the raw int64 is in the column's own unit (ns for
-        # the driver fixtures, µs for Spark-written files) — scale to ns
-        # so chunk bounds and the emitted ts column are always ns.
-        unit = getattr(table["ts"].type, "unit", "ns")
-        ts = pc.multiply(
-            pc.cast(table["ts"], "int64"), _TS_UNIT_TO_NS.get(unit, 1)
-        )
-        mask = pc.and_(
-            pc.greater_equal(ts, partition.start_ns),
-            pc.less(ts, partition.end_ns),
-        )
-        page = table.set_column(
-            table.schema.get_field_index("ts"), "ts", ts
-        ).filter(mask)
-        page = self._apply_filters(page)
+        page = self._apply_filters(table)
         for batch in page.to_batches(max_chunksize=self.page_size):
             yield batch
 
@@ -314,45 +314,22 @@ class PagedEventsStreamReader(SimpleDataSourceStreamReader):
             self._bounds = [-(2**62), 2**62]
             return self._bounds
         span = (hi - lo) // self.n_chunks + 1
-        self._bounds = [lo + i * span for i in range(self.n_chunks)] + [hi + 1]
+        # strictly increasing, terminal element ALWAYS the true maximum
+        # hi+1: for a degenerate ts span (< n_chunks ns) lo + i*span can
+        # overshoot hi+1, and an unsorted bounds list would let
+        # latestOffset() return an offset lower than one it already
+        # returned — an error to structured streaming.
+        cuts = [lo + i * span for i in range(1, self.n_chunks)]
+        self._bounds = [lo] + [c for c in cuts if c < hi + 1] + [hi + 1]
         return self._bounds
 
     def initialOffset(self) -> dict:
         return {"hwm_ns": self._chunk_bounds()[0]}
 
     def _rows_between(self, start_ns: int, end_ns: int):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        meta = pq.read_metadata(self.path)
-        ts_idx = next(
-            i
-            for i in range(len(meta.schema))
-            if meta.schema.column(i).name == "ts"
-        )
-        groups = []
-        for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(ts_idx).statistics
-            if st is None or st.min is None or st.max is None:
-                groups.append(rg)
-                continue
-            mn, mx = _stat_ns(st.min), _stat_ns(st.max)
-            if mx >= start_ns and mn < end_ns:
-                groups.append(rg)
-        if not groups:
-            return
-        table = pq.ParquetFile(self.path).read_row_groups(groups)
-        unit = getattr(table["ts"].type, "unit", "ns")
-        ts = pc.multiply(
-            pc.cast(table["ts"], "int64"), _TS_UNIT_TO_NS.get(unit, 1)
-        )
-        mask = pc.and_(
-            pc.greater_equal(ts, start_ns), pc.less(ts, end_ns)
-        )
-        page = table.set_column(
-            table.schema.get_field_index("ts"), "ts", ts
-        ).filter(mask)
-        for batch in page.to_batches():
+        # the Simple-reader contract is rows-on-the-driver: the shared
+        # footer-pruned range read plus a tuple materialization loop
+        for batch in _range_batches(self.path, start_ns, end_ns):
             for row in batch.to_pylist():
                 yield (
                     row["event_id"],
@@ -396,34 +373,12 @@ class PagedEventsStreamSource(DataSource):
 
 def _range_batches(path: str, start_ns: int, end_ns: int):
     """Row-group-pruned Arrow read of events with ts in [start_ns,
-    end_ns): only row groups whose footer min/max overlap the range are
-    read, the ts column is normalized to int64 nanoseconds, and data is
-    yielded as RecordBatches — no per-row Python anywhere."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    meta = pq.read_metadata(path)
-    ts_idx = next(
-        i for i in range(len(meta.schema)) if meta.schema.column(i).name == "ts"
-    )
-    groups = []
-    for rg in range(meta.num_row_groups):
-        st = meta.row_group(rg).column(ts_idx).statistics
-        if st is None or st.min is None or st.max is None:
-            groups.append(rg)  # unknown range: must read
-            continue
-        mn, mx = _stat_ns(st.min), _stat_ns(st.max)
-        if mx >= start_ns and mn < end_ns:
-            groups.append(rg)
-    if not groups:
+    end_ns) as RecordBatches — no per-row Python anywhere (the shared
+    :func:`_range_table` does the footer pruning + ts normalization)."""
+    table = _range_table(path, start_ns, end_ns)
+    if table is None:
         return
-    table = pq.ParquetFile(path).read_row_groups(groups)
-    unit = getattr(table["ts"].type, "unit", "ns")
-    ts = pc.multiply(pc.cast(table["ts"], "int64"), _TS_UNIT_TO_NS.get(unit, 1))
-    page = table.set_column(
-        table.schema.get_field_index("ts"), "ts", ts
-    ).filter(pc.and_(pc.greater_equal(ts, start_ns), pc.less(ts, end_ns)))
-    yield from page.to_batches()
+    yield from table.to_batches()
 
 
 class PagedEventsParallelStreamReader(DataSourceStreamReader):

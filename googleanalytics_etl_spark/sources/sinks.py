@@ -121,6 +121,16 @@ class BucketedUpsertSink:
     contract is byte-identical to :func:`upsert_append` and covered by
     the same tests (tests/test_streaming.py asserts appended files land
     only under incoming-key buckets when driven through this sink).
+
+    PRECONDITION — single writer: the cached state/schema are valid only
+    while this instance is the path's sole writer for the run. If the
+    target is created, replaced, or schema-evolved by anything else
+    between calls (a second sink on the same path, a concurrent
+    stateless ``upsert_append``), the stale "empty" probe would skip the
+    anti-join and duplicate rows. Callers that share a path must create
+    a fresh instance (or call :meth:`invalidate`) after any external
+    write; the registered streaming keys each own a run-scoped scratch
+    path, so they satisfy this by construction.
     """
 
     def __init__(
@@ -134,6 +144,12 @@ class BucketedUpsertSink:
         self.n_buckets = n_buckets
         self._state: str | None = None  # None → unprobed; "empty"/"flat"/"bucketed"
         self._schema = None  # target schema once known (incl. bucket partition col)
+
+    def invalidate(self) -> None:
+        """Drop the cached probe/schema — call after any OTHER writer
+        touches the target path, so the next upsert re-probes."""
+        self._state = None
+        self._schema = None
 
     def _probe(self, spark: SparkSession) -> str:
         if self._state is None:

@@ -49,3 +49,25 @@ def test_jdbc_backfill_overwrites(spark):
     n = pipe.backfill(ev)
     assert n == ev.count()
     assert pipe.target().count() == ev.count()
+
+
+def test_exists_distinguishes_absent_table_from_broken_connection(spark):
+    # absent table on a live DB → False (the sync-from-scratch path)
+    pipe = _pipe(spark)
+    assert pipe._exists() is False
+
+    # a connection-level failure must RAISE, never read as "absent":
+    # treating it as absence would disable both the HWM filter and the
+    # anti-join dedup and duplicate the whole load on a transient outage
+    import pytest
+
+    broken = JdbcSyncPipeline(
+        spark=spark,
+        config=EXAMPLE_CONFIG,
+        # no ;create=true and no such on-disk DB → connection error
+        target_path="jdbc:derby:/nonexistent/dir/nope_db",
+        table="hits",
+    )
+    with pytest.raises(Exception) as exc:
+        broken._exists()
+    assert "does not exist" not in str(exc.value).lower() or "database" in str(exc.value).lower()

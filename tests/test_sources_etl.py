@@ -519,3 +519,44 @@ def test_cli_query_and_list(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(["query", "no_such_key", "--source-dir", SF_SMALL])
+
+
+def test_chunk_bounds_monotonic_on_degenerate_span(spark, tmp_path):
+    # a ts span smaller than n_chunks ns used to produce an UNSORTED
+    # bounds list (lo + i*span overshooting hi+1), letting latestOffset
+    # return an offset lower than one it had already returned — which
+    # structured streaming treats as an error
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from googleanalytics_etl_spark.sources.paged import (
+        PagedEventsParallelStreamReader,
+        PagedEventsStreamReader,
+    )
+
+    path = str(tmp_path / "const_ts.parquet")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1_000_000] * 3, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(t, path)
+
+    simple = PagedEventsStreamReader({"path": path, "chunks": "5"})
+    bounds = simple._chunk_bounds()
+    assert bounds == sorted(bounds)
+    assert len(set(bounds)) == len(bounds)  # strictly increasing
+    hi_ns = 1_000_000 * 1_000  # µs file → ns
+    assert bounds[-1] == hi_ns + 1
+
+    par = PagedEventsParallelStreamReader({"path": path, "chunks": "5"})
+    seen = [par.initialOffset()["hwm_ns"]]
+    for _ in range(8):
+        seen.append(par.latestOffset()["hwm_ns"])
+    assert seen == sorted(seen)  # never moves backwards
+    assert seen[-1] == hi_ns + 1
