@@ -405,8 +405,32 @@ class PagedEventsParallelStreamReader(DataSourceStreamReader):
         self.subsplits = int(options.get("subsplits", 4))
         self._bounds: list[int] | None = None
         self._hwm_ns: int | None = None
+        self._rg_bounds: list[tuple[int, int] | None] | None = None
 
     _chunk_bounds = PagedEventsStreamReader._chunk_bounds
+
+    def _row_group_bounds(self) -> list[tuple[int, int] | None]:
+        """Per-row-group (min_ns, max_ns) from footer stats, cached
+        (None = stats-less group, treated as overlapping everything)."""
+        if self._rg_bounds is not None:
+            return self._rg_bounds
+        import pyarrow.parquet as pq
+
+        meta = pq.read_metadata(self.path)
+        ts_idx = next(
+            i
+            for i in range(len(meta.schema))
+            if meta.schema.column(i).name == "ts"
+        )
+        out: list[tuple[int, int] | None] = []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ts_idx).statistics
+            if st is None or st.min is None or st.max is None:
+                out.append(None)
+            else:
+                out.append((_stat_ns(st.min), _stat_ns(st.max)))
+        self._rg_bounds = out
+        return out
 
     def initialOffset(self) -> dict:
         return {"hwm_ns": self._chunk_bounds()[0]}
@@ -429,10 +453,23 @@ class PagedEventsParallelStreamReader(DataSourceStreamReader):
         s, e = start["hwm_ns"], end["hwm_ns"]
         if e <= s:
             return [DateChunk(s, s)]  # empty batch
-        span = (e - s) // self.subsplits + 1
+        # cap the fan-out at the number of row groups overlapping this
+        # span: every sub-range must read each overlapping group whole
+        # (row groups are the read unit), so splitting finer than the
+        # group count only multiplies read amplification — with one
+        # group, 4 subsplits each re-read the full group and keep a
+        # quarter. At scale (thousands of groups per span) the cap
+        # never binds and the configured parallelism applies.
+        overlap = sum(
+            1
+            for b in self._row_group_bounds()
+            if b is None or (b[1] >= s and b[0] < e)
+        )
+        n = max(1, min(self.subsplits, overlap))
+        span = (e - s) // n + 1
         return [
             DateChunk(s + i * span, min(s + (i + 1) * span, e))
-            for i in range(self.subsplits)
+            for i in range(n)
             if s + i * span < e
         ]
 
