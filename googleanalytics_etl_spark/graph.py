@@ -128,3 +128,123 @@ def connected_components_star(
         .agg(F.min("label").alias("label"))
     )
     return labels, rounds
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> tuple[DataFrame, int]:
+    """The k-core of an undirected edge list, peeled to CONVERGENCE.
+
+    The registered ``x_kcore_peel`` (ops/round7f.py) unrolls a fixed 3
+    rounds so it can carry a full cross-engine SQL oracle; this is the
+    library form for callers that need the true core — e.g. a pendant
+    chain of length L takes ~L/2 rounds to dissolve, which no fixed
+    depth covers. Per round: one degree hash-aggregate over current
+    edges plus two semi joins restricting edges to surviving endpoints,
+    all edge-grain (the x_kcore_peel plan shape), localCheckpointed so
+    round r never re-executes rounds < r (the connected_components_star
+    lineage discipline).
+
+    Convergence is EXACT, not a signature: each round's edge set is a
+    subset of the previous one, so an unchanged count means an
+    identical set — and an unchanged set means no node fell below k,
+    i.e. every remaining degree is ≥ k (the k-core fixpoint).
+
+    Returns ``(core_edges, rounds)`` — canonical (a, b) pairs of the
+    k-core (possibly empty), and the number of peel rounds executed
+    including the one that observed the fixpoint.
+    """
+    cur = _canon(edges).localCheckpoint(eager=True)
+    n_cur = cur.count()
+    rounds = 0
+    for _ in range(max_rounds):
+        if n_cur == 0:
+            return cur, rounds
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("v")
+        nxt = (
+            cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            return nxt, rounds
+        cur, n_cur = nxt, n_nxt
+    raise RuntimeError(f"kcore: no fixpoint after {max_rounds} rounds")
+
+
+def top_eigvec(
+    gram: DataFrame,
+    d: int,
+    tol: float = 1e-9,
+    max_iters: int = 500,
+) -> tuple[list[float], float, int]:
+    """Dominant eigenvector of a symmetric PSD d×d matrix given as
+    (i, j, gv) rows, by power iteration to TOLERANCE.
+
+    The registered ``x_power_iteration`` (ops/round7d.py) unrolls a
+    fixed 3 steps so every term can be DECIMAL-quantized into a full
+    cross-engine hash oracle; this is the library form for callers that
+    need convergence. Per step one distributed matvec (gram joined
+    against the broadcast d-row iterate, groupBy(i) sum); the iterate
+    itself is bounded metadata (d doubles on the driver — the
+    bloom-manifest collect contract), so the driver-side normalize +
+    delta test costs nothing at any data scale. The Gram frame is the
+    only data-derived input and is built ONCE by the caller (one
+    data-scale aggregate); iteration never touches raw data again.
+
+    PSD matrix + strictly positive start vector pin the sign (no
+    eigenvector sign ambiguity). Convergence: max_j |v_{t+1} - v_t|
+    ≤ tol. Returns ``(v, eigenvalue, iters)`` with the Rayleigh
+    quotient as the eigenvalue estimate.
+    """
+    spark = gram.sparkSession
+    g = gram.select("i", "j", "gv").persist()
+    try:
+        v = [1.0 / d**0.5] * d
+        iters = 0
+        for _ in range(max_iters):
+            vdf = spark.createDataFrame(
+                [(j, x) for j, x in enumerate(v)], "j long, vv double"
+            )
+            y = {
+                int(r["i"]): float(r["yv"])
+                for r in g.join(F.broadcast(vdf), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("gv") * F.col("vv")).alias("yv"))
+                .collect()
+            }
+            yv = [y.get(i, 0.0) for i in range(d)]
+            nrm = sum(x * x for x in yv) ** 0.5
+            if nrm == 0.0:
+                raise ValueError("top_eigvec: zero matvec (null matrix?)")
+            nxt = [x / nrm for x in yv]
+            iters += 1
+            if max(abs(a - b) for a, b in zip(nxt, v)) <= tol:
+                v = nxt
+                break
+            v = nxt
+        else:
+            raise RuntimeError(
+                f"top_eigvec: no convergence to {tol} in {max_iters} iters"
+            )
+        # Rayleigh quotient λ = vᵀGv (v already unit-norm)
+        vdf = spark.createDataFrame(
+            [(j, x) for j, x in enumerate(v)], "j long, vv double"
+        )
+        va = vdf.select(F.col("j").alias("i"), F.col("vv").alias("va"))
+        lam = float(
+            g.join(F.broadcast(va), "i")
+            .join(F.broadcast(vdf), "j")
+            .agg(F.sum(F.col("gv") * F.col("va") * F.col("vv")).alias("l"))
+            .first()["l"]
+        )
+        return v, lam, iters
+    finally:
+        g.unpersist()
