@@ -304,7 +304,9 @@ _ROUND7_HEAD: list[str] = [
 # first — same rotation discipline as rounds 4–7. Round 8 takes the first
 # 50 (clearing the never-tested debt to 11); round 9 takes the next 50.
 # Flip with `_WINDOW_OVERRIDE = _ROUND8_HEAD` as round 8's first commit.
-_ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
+# the 48 keys whose latest driver evidence is round 2, plus the
+# rows-only s_stateful_user — the oldest-evidence refresh segment
+_R2_TAIL: list[str] = [
     "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
     "q_project_rename", "q_filter_pred", "q_derive_expr", "q_case_when",
     "q_null_handling", "q_join_anti", "q_join_range", "q_join_asof",
@@ -319,8 +321,10 @@ _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
     "x_sample_hash", "x_stratified_sample", "x_chunk_docs",
     "x_pack_sequences", "x_pii_scrub", "x_corpus_shard", "x_corpus_prep",
     "s_stateful_user",
-    # round-7 additions (never driver-tested; after the r2 tail since
-    # their local evidence is freshest)
+]
+
+# round-7 additions (never driver-tested when round 8 opened)
+_R7_ADDITIONS: list[str] = [
     "q_jdbc_roundtrip", "s_jdbc_sync", "x_countmin_bound",
     "x_anova_oneway", "x_mann_whitney",
     "x_kruskal_wallis", "x_pr_auc", "x_cramers_v", "x_js_divergence",
@@ -331,15 +335,26 @@ _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + [
     "x_gains_table", "x_kcore_peel",
 ]
 
-# Round 9 head start: whatever _ROUND8_HEAD's 50-key window doesn't
-# reach — the remaining never-tested round-6/7 keys, the r2-evidence
-# tail, and the 20 round-7 additions — plus the round-8 additions
-# (never driver-tested, freshest local evidence, so appended last).
-# Flip with `_WINDOW_OVERRIDE = _ROUND9_HEAD` as round 9's first commit.
-_ROUND9_HEAD: list[str] = _ROUND8_HEAD[50:] + [
-    # round-8 additions: mergeable-sketch streaming certifications
-    "s_kll_merge", "s_theta_merge",
-]
+# round-8 additions: mergeable-sketch streaming certifications
+_R8_ADDITIONS: list[str] = ["s_kll_merge", "s_theta_merge"]
+
+# Round-8 head (LIVE window this round, per the comment above
+# _R2_TAIL): the 61 never-driver-tested _ROUND7_HEAD overflow keys,
+# then the oldest-evidence refresh, then the round-7 additions —
+# round 8's window takes the first 50.
+_ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + _R2_TAIL + _R7_ADDITIONS
+
+# Round 9 head start: ALL remaining never-driver-tested keys first —
+# the 11 round-6/7 keys the round-8 window didn't reach
+# (_ROUND7_HEAD[100:]), then the round-7 and round-8 additions — so
+# the full never-tested debt (33 keys) clears inside round 9's 50-slot
+# window; the remaining slots refresh the oldest (r2) evidence, and
+# the r2 overflow spills to round 10 (every key then carries official
+# driver evidence, r9 having covered all first-timers). Flip with
+# `_WINDOW_OVERRIDE = _ROUND9_HEAD` as round 9's first commit.
+_ROUND9_HEAD: list[str] = (
+    _ROUND7_HEAD[100:] + _R7_ADDITIONS + _R8_ADDITIONS + _R2_TAIL
+)
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND8_HEAD
 
