@@ -144,3 +144,27 @@ def theta_intersection_estimate(sketches: DataFrame) -> int:
         .first()
     )
     return int(row["est"])
+
+
+def theta_difference_estimate(
+    sketches: DataFrame, a: str, b: str
+) -> int:
+    """Distinct-user estimate of segment A MINUS segment B (users who
+    did ``a`` but never ``b``) — the third set operation Theta closes
+    that HLL cannot express at all (union-only) and exact SQL needs a
+    data-scale anti-join for. ``theta_difference`` is a two-argument
+    scalar over the two segments' sketches: a self-join of the few-row
+    sketch frame on event_type, never a data scan.
+    """
+    sa = sketches.where(F.col("event_type") == a).select(
+        F.col("tsketch").alias("ta")
+    )
+    sb = sketches.where(F.col("event_type") == b).select(
+        F.col("tsketch").alias("tb")
+    )
+    row = sa.crossJoin(sb).select(
+        F.theta_sketch_estimate(
+            F.theta_difference("ta", "tb")
+        ).alias("est")
+    ).first()
+    return int(row["est"])

@@ -476,3 +476,23 @@ def test_theta_set_algebra_tracks_exact(spark):
         3, 0.1 * exact_overlap
     )
     sk.unpersist()
+
+
+def test_theta_difference_tracks_exact(spark):
+    """view MINUS purchase audience within sketch error of the exact
+    anti-join count — the set operation HLL cannot express at all."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.sketches import (
+        segment_user_theta,
+        theta_difference_estimate,
+    )
+
+    e = load(spark, SF_SMALL, "events")
+    sk = segment_user_theta(e).persist()
+    v = e.where(F.col("event_type") == "view").select("user_id").distinct()
+    p = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_diff = v.join(p, "user_id", "left_anti").count()
+    est = theta_difference_estimate(sk, "view", "purchase")
+    assert abs(est - exact_diff) <= max(3, 0.1 * exact_diff)
+    sk.unpersist()
