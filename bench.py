@@ -268,9 +268,10 @@ HEADLINE = [
     # round 7 batch 6: bounded-iteration graph peeling
     "x_kcore_peel",
     # round 8: streaming mergeability certifications for the KLL-twin
-    # and theta (bottom-k) sketch families
+    # and theta (bottom-k) sketch families, + sketch-space difference
     "s_kll_merge",
     "s_theta_merge",
+    "x_kmv_diff",
 ]
 
 

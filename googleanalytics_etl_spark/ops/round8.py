@@ -294,3 +294,167 @@ def s_theta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("in_bound"),
     )
+
+
+# --- x_kmv_diff: sketch-space set DIFFERENCE --------------------------
+# Domain: (user_id, day) activity pairs — "view-days minus purchase-
+# days". Cardinality ~ users x days clears k at every fixture SF (the
+# raw user_id domain at sf0.01 is 150 < k and would degenerate to the
+# exact branch).
+_KMVD_K = 256
+
+_KMVD_ORACLE = f"""
+WITH pairs AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id, CAST(ts AS DATE)
+), hashed AS (
+    SELECT CAST('0x' || substr(md5('kmvd:' || CAST(user_id AS VARCHAR)
+               || ':' || CAST(day AS VARCHAR)), 1, 15) AS BIGINT) AS hv,
+           in_a, in_b
+    FROM pairs
+), bot AS (
+    SELECT hv, in_a, in_b FROM hashed ORDER BY hv LIMIT {_KMVD_K}
+), kk AS (
+    SELECT CAST(MAX(hv) AS BIGINT) AS kth_hv,
+           CAST(COUNT(*) AS BIGINT) AS seen,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_diff
+    FROM bot
+), ex AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_diff
+    FROM pairs
+), est AS (
+    SELECT kk.kth_hv, kk.seen, kk.k_diff, ex.n_union, ex.n_diff,
+           CASE WHEN kk.seen < {_KMVD_K} THEN CAST(kk.seen AS DOUBLE)
+                ELSE {_KMVD_K - 1}.0 * {float(1 << 60)!r}
+                     / CAST(kk.kth_hv AS DOUBLE) END AS est_union,
+           CAST(kk.k_diff AS DOUBLE) / kk.seen AS frac_k,
+           CAST(ex.n_diff AS DOUBLE) / ex.n_union AS frac_exact
+    FROM kk CROSS JOIN ex
+)
+SELECT CAST({_KMVD_K} AS BIGINT) AS k, n_union, n_diff, kth_hv,
+       ROUND(est_union, 2) AS est_union,
+       ROUND(frac_k, 6) AS frac_k,
+       ROUND(frac_k * est_union, 2) AS est_diff,
+       ROUND(ABS(frac_k - frac_exact), 6) AS frac_err,
+       CAST(CASE WHEN ABS(frac_k - frac_exact)
+                      <= 3.0 * SQRT(0.25 / {_KMVD_K}.0)
+            THEN 1 ELSE 0 END AS BIGINT) AS in_bound
+FROM est
+"""
+
+
+@register("x_kmv_diff", oracle=_KMVD_ORACLE)
+def x_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-space set DIFFERENCE — |view-days \\ purchase-days| from
+    one bottom-k sketch of the union: the bottom-k hashes are a
+    uniform sample of the distinct union, so carrying per-element
+    membership flags into the sketch prices ANY set expression
+    (difference, intersection, symmetric difference) at k rows of
+    state — the operation HLL cannot express at all and exact SQL
+    pays a data-scale anti-join for (the theta-sketch trick,
+    deterministic here because the hash is md5: full cross-engine
+    oracle, like ``s_theta_merge``). Estimate = (fraction of the k
+    sample in A\\B) x (KMV union estimate); the sampling-fraction
+    error is certified against the exact fraction with the 3-sigma
+    Bernoulli bound 3*sqrt(0.25/k).
+
+    Scale shape: one (user, day) hash-aggregate (map-side-combinable
+    flags), a distributed TakeOrdered(k) — k rows of metadata to the
+    driver, never data — and an exact-count scan for the
+    certification columns only; a production caller keeps just the
+    k-row sketch per segment/partition and merges by re-taking the
+    k smallest (the ``s_theta_merge`` semilattice).
+    """
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("kmvd:"),
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("day").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = pairs.select(hv.alias("hv"), "in_a", "in_b")
+    bot = hashed.orderBy("hv").limit(_KMVD_K)
+    kk = bot.agg(
+        F.max("hv").cast("long").alias("kth_hv"),
+        F.count(F.lit(1)).cast("long").alias("seen"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("k_diff"),
+    )
+    ex = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_diff"),
+    )
+    est_union = F.when(
+        F.col("seen") < _KMVD_K, F.col("seen").cast("double")
+    ).otherwise(
+        F.lit(float(_KMVD_K - 1))
+        * F.lit(float(1 << 60))
+        / F.col("kth_hv").cast("double")
+    )
+    frac_k = F.col("k_diff").cast("double") / F.col("seen")
+    frac_exact = F.col("n_diff").cast("double") / F.col("n_union")
+    return (
+        kk.crossJoin(ex)
+        .withColumn("eu", est_union)
+        .withColumn("fk", frac_k)
+        .select(
+            F.lit(_KMVD_K).cast("long").alias("k"),
+            "n_union",
+            "n_diff",
+            "kth_hv",
+            F.round(F.col("eu"), 2).alias("est_union"),
+            F.round(F.col("fk"), 6).alias("frac_k"),
+            F.round(F.col("fk") * F.col("eu"), 2).alias("est_diff"),
+            F.round(F.abs(F.col("fk") - frac_exact), 6).alias("frac_err"),
+            F.when(
+                F.abs(F.col("fk") - frac_exact)
+                <= 3.0 * (0.25 / _KMVD_K) ** 0.5,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("in_bound"),
+        )
+    )

@@ -104,3 +104,19 @@ def test_theta_merge_bound_and_semilattice(spark):
 
     again = queries()["s_theta_merge"](spark, SF_SMALL).collect()[0]
     assert tuple(again) == tuple(row)
+
+
+def test_kmv_diff_flags_and_bound(spark):
+    row = queries()["x_kmv_diff"](spark, SF_SMALL).collect()[0]
+    assert row["k"] == 256
+    assert row["in_bound"] == 1
+    assert 0 <= row["frac_k"] <= 1
+    assert row["n_diff"] <= row["n_union"]
+    # difference can never exceed the union estimate
+    assert row["est_diff"] <= row["est_union"] + 1e-9
+    # deterministic across re-runs (pure batch op)
+    again = queries()["x_kmv_diff"](spark, SF_SMALL).collect()[0]
+    assert tuple(again) == tuple(row)
+    # the sampled fraction tracks the exact one within the 3-sigma
+    # Bernoulli bound the key itself certifies
+    assert row["frac_err"] <= 3.0 * (0.25 / 256) ** 0.5
