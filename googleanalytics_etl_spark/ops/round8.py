@@ -75,8 +75,11 @@ hist AS (
     FROM tgt t JOIN cum c ON c.cum >= t.target_rank
     GROUP BY t.q, t.target_rank
 ), est AS (
+    -- CAST: bigint * decimal-literal is DECIMAL(21,1) in DuckDB, but
+    -- the Spark side computes a DOUBLE (exact either way — W is a
+    -- power of two and bin_idx is small)
     SELECT q, target_rank, bin_idx,
-           (bin_idx + 1) * {_KLL_W} AS est
+           CAST((bin_idx + 1) * {_KLL_W} AS DOUBLE) AS est
     FROM pick
 )
 SELECT e.q, e.target_rank, e.bin_idx, e.est,
