@@ -239,6 +239,11 @@ _BNLJ_OK = {
     "x_wilson_ci",
     # 1-row (n, p) totals broadcast (decile edges + capture/lift)
     "x_gains_table",
+    # 3-row quantile-target frame broadcast vs the event scan (the
+    # rank-certification non-equi join of the folded histogram)
+    "s_kll_merge",
+    # 1-row sketch-stats × 1-row exact-totals cross (certification cols)
+    "x_kmv_diff",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
