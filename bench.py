@@ -272,6 +272,7 @@ HEADLINE = [
     "s_kll_merge",
     "s_theta_merge",
     "x_kmv_diff",
+    "s_countmin_merge",
 ]
 
 

@@ -461,3 +461,143 @@ def x_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_bound"),
         )
     )
+
+
+# --- s_countmin_merge: streaming fold of the Count-Min counter matrix --
+def _s_countmin_oracle() -> str:
+    from .round7 import _countmin_bound_oracle
+
+    return _countmin_bound_oracle()
+
+
+@register("s_countmin_merge", oracle=_s_countmin_oracle())
+def s_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable Count-Min — the last of the four mergeable
+    sketch families to get its fold certification (HLL register-MAX
+    r7, histogram/theta count-ADD and bottom-k r8): per micro-batch the
+    batch's d×w counter increments are computed distributed (the
+    x_countmin hash aggregate — ≤ d·w rows of bounded metadata per
+    batch however many events it held) and folded into running state by
+    integer ADDITION. Counter matrices form a commutative monoid, so
+    the fold equals the whole-log sketch EXACTLY — certified by sharing
+    x_countmin_bound's full oracle: top-10 heavy-hitter estimates from
+    the FOLDED counters must hash-match the batch-sketch computation
+    cell-for-cell, and every estimate must satisfy
+    ``true ≤ est ≤ true + ⌈(e/w)·N⌉``.
+
+    This is the 100 TB frequency rollup: per-partition/hour CM matrices
+    add without re-reading history (constant d×w state), exactly how a
+    streaming heavy-hitter monitor ships its counters to a central
+    fold.
+    """
+    from .extensions import _CM_D, _CM_W
+    from .streaming import _events_stream, _stage_events, _sweep_runs
+
+    stage = _stage_events(spark, sf_dir)
+    ckpt = _sweep_runs("cm_merge") / "ckpt"
+    state: dict[tuple[int, int], int] = {}
+
+    i = F.explode(F.array(*[F.lit(k) for k in range(_CM_D)])).alias("i")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("i").cast("string"), F.col("uid")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_W
+    ).alias("bucket")
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            batch_df.select(F.col("user_id").cast("string").alias("uid"))
+            .select("uid", i)
+            .select("uid", "i", bucket)
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )  # <= d*w rows — bounded metadata, never data-scale
+        for r in rows:
+            key = (int(r["i"]), int(r["bucket"]))
+            state[key] = state.get(key, 0) + int(r["n"])
+
+    q = (
+        _events_stream(spark, stage)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    counters = spark.createDataFrame(
+        [(ik, bk, n) for (ik, bk), n in state.items()],
+        "i int, bucket long, n long",
+    )
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    cand = keyed.orderBy(F.desc("true_n"), "user_id").limit(10)
+    probes = (
+        cand.select(
+            "user_id", "true_n", F.col("user_id").cast("string").alias("uid")
+        )
+        .select("user_id", "true_n", i)
+        .select(
+            "user_id",
+            "true_n",
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("i").cast("string"),
+                                F.col("user_id").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CM_W
+            ).alias("bucket"),
+        )
+    )
+    est = (
+        F.broadcast(probes)
+        .join(counters, ["i", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("n").cast("long").alias("est_n"))
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    slack = F.ceil(
+        F.lit(2.718281828459045) * F.col("n_total").cast("double") / F.lit(_CM_W)
+    ).cast("long")
+    return est.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "true_n",
+        "est_n",
+        "n_total",
+        F.when(
+            (F.col("est_n") >= F.col("true_n"))
+            & (F.col("est_n") <= F.col("true_n") + slack),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("in_bound"),
+    )

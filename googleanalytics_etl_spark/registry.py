@@ -337,7 +337,9 @@ _R7_ADDITIONS: list[str] = [
 
 # round-8 additions: mergeable-sketch streaming certifications + the
 # sketch-space set-difference estimator
-_R8_ADDITIONS: list[str] = ["s_kll_merge", "s_theta_merge", "x_kmv_diff"]
+_R8_ADDITIONS: list[str] = [
+    "s_kll_merge", "s_theta_merge", "x_kmv_diff", "s_countmin_merge",
+]
 
 # Round-8 head (LIVE window this round, per the comment above
 # _R2_TAIL): the 61 never-driver-tested _ROUND7_HEAD overflow keys,

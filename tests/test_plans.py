@@ -244,6 +244,8 @@ _BNLJ_OK = {
     "s_kll_merge",
     # 1-row sketch-stats × 1-row exact-totals cross (certification cols)
     "x_kmv_diff",
+    # 1-row event-total broadcast (the εN slack — the x_countmin_bound shape)
+    "s_countmin_merge",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless

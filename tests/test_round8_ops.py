@@ -120,3 +120,18 @@ def test_kmv_diff_flags_and_bound(spark):
     # the sampled fraction tracks the exact one within the 3-sigma
     # Bernoulli bound the key itself certifies
     assert row["frac_err"] <= 3.0 * (0.25 / 256) ** 0.5
+
+
+def test_countmin_merge_equals_batch_sketch(spark):
+    # the monoid property: streaming counter fold == the batch sketch,
+    # so the estimates must equal x_countmin_bound's row-for-row
+    merged = {
+        r["user_id"]: tuple(r)
+        for r in queries()["s_countmin_merge"](spark, SF_SMALL).collect()
+    }
+    batch = {
+        r["user_id"]: tuple(r)
+        for r in queries()["x_countmin_bound"](spark, SF_SMALL).collect()
+    }
+    assert merged == batch
+    assert all(r[-1] == 1 for r in merged.values())  # every in_bound
