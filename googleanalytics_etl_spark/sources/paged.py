@@ -23,6 +23,7 @@ on — is real.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +83,27 @@ def _stat_ns(v) -> int:
     return int(v)
 
 
+# (path, size, mtime_ns) -> parsed footer metadata. Every partition of
+# every micro-batch calls _range_table; with spark.python.worker.reuse
+# (default on) the same worker serves many reads, so caching the parsed
+# footer removes a per-read metadata parse. Keyed on stat so an
+# in-place rewrite invalidates; bounded by the handful of distinct
+# source files a worker ever sees.
+_META_CACHE: dict = {}
+
+
+def _read_metadata_cached(path: str):
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    meta = _META_CACHE.get(key)
+    if meta is None:
+        _META_CACHE.clear()  # stale versions of the same path
+        meta = _META_CACHE[key] = pq.read_metadata(path)
+    return meta
+
+
 def _range_table(path: str, start_ns: int, end_ns: int):
     """Footer-stats row-group pruning + ts normalization for events with
     ts in [start_ns, end_ns): only row groups whose min/max overlap the
@@ -94,7 +116,7 @@ def _range_table(path: str, start_ns: int, end_ns: int):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    meta = pq.read_metadata(path)
+    meta = _read_metadata_cached(path)
     ts_idx = next(
         i for i in range(len(meta.schema)) if meta.schema.column(i).name == "ts"
     )
