@@ -273,6 +273,7 @@ HEADLINE = [
     "s_theta_merge",
     "x_kmv_diff",
     "s_countmin_merge",
+    "s_semdedup",
 ]
 
 

@@ -601,3 +601,263 @@ def s_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("in_bound"),
     )
+
+
+# --- s_semdedup: streaming incremental EMBEDDING near-dedup ------------
+# Sign-LSH blocking (the x_sim_knn_lsh 16-plane / 4-band machinery) +
+# exact-cosine verification, with the s_dedup_near accumulation recipe.
+_SSD_THRESH = 0.9  # the x_embed_cosine_dedup house threshold
+
+
+def _s_semdedup_oracle() -> str:
+    from .extensions import _planes_sql
+
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding, label
+    FROM embeddings WHERE vec_id < 10
+), sigs AS (
+    SELECT vec_id,
+           list_transform({_planes_sql()}, h ->
+               CASE WHEN list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           (x, i) -> x * h[i])),
+                   (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) AS bits
+    FROM corpus
+), keys AS (
+    SELECT vec_id,
+           list_transform(range(4), b ->
+               bits[4 * b + 1] * 8 + bits[4 * b + 2] * 4 +
+               bits[4 * b + 3] * 2 + bits[4 * b + 4]) AS ks
+    FROM sigs
+), buckets AS (
+    SELECT vec_id, band, ks[band + 1] AS bkey
+    FROM keys, range(4) t(band)
+), cand AS (
+    SELECT DISTINCT a.vec_id AS old_id, b.vec_id AS new_id
+    FROM buckets a JOIN buckets b USING (band, bkey)
+    WHERE a.vec_id < b.vec_id
+), normed AS (
+    -- norms hoisted to vector grain (computed once, not once per
+    -- candidate pair) with the engine's canonical left-fold order —
+    -- the Spark side mirrors term-for-term, so ROUND(.,6) agrees
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+               (acc, v) -> acc + v)) AS nrm
+    FROM corpus
+), dropped AS (
+    SELECT DISTINCT c.new_id AS vec_id
+    FROM cand c
+    JOIN normed ca ON ca.vec_id = c.old_id
+    JOIN normed cb ON cb.vec_id = c.new_id
+    WHERE ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(ca.e, (x, i) -> x * cb.e[i])),
+              (acc, v) -> acc + v) / (ca.nrm * cb.nrm), 6)
+          >= {_SSD_THRESH}
+)
+SELECT c.vec_id, c.label
+FROM corpus c LEFT JOIN dropped d USING (vec_id)
+WHERE d.vec_id IS NULL
+"""
+
+
+def _lsh_band_keys(emb):
+    """4 band keys (4 bits each) of the 16-plane sign-LSH signature —
+    identical fold order to x_sim_knn_lsh (its green oracle proves the
+    sign decisions match DuckDB bit-for-bit)."""
+    from .extensions import LSH_PLANES, LSH_SIGN_BANDS, _hyperplanes
+
+    planes = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in _hyperplanes()]
+    )
+    bits = F.transform(
+        planes,
+        lambda h: F.when(
+            F.aggregate(
+                F.zip_with(emb, h, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    per = LSH_PLANES // LSH_SIGN_BANDS
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(bits, b * per + 1, per),
+                F.lit(0),
+                lambda acc, bit: acc * 2 + bit,
+            )
+            for b in range(LSH_SIGN_BANDS)
+        ]
+    )
+
+
+@register("s_semdedup", oracle=_s_semdedup_oracle())
+def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental EMBEDDING near-dedup — the vector twin of
+    ``s_dedup_near``: embeddings arrive in 4 vec_id-ordered micro-batches
+    (the planted +1e6 identical tail lands last, so its originals are
+    already indexed); each batch sign-LSH-bands its vectors (16
+    hyperplanes, 4 bands of 4 bits — identical vectors share every
+    band, so planted dups are never missed), band-joins against the
+    ACCUMULATED bucket index (plus smaller-id vectors of the same
+    batch), verifies candidates at exact cosine ≥ {t}, keeps survivors.
+    The standing corpus is never re-projected and never self-joined —
+    per batch the work is O(|batch| + bucket collisions), the daily
+    embedding-ingest loop against a 100 TB standing vector store
+    (x_embed_cosine_dedup is the batch label-blocked twin;
+    x_sim_knn_lsh proves this exact LSH machinery cross-engine).
+
+    Arrival follows vec_id order and every candidate join keeps
+    ``old_id < new_id``, so the final survivor set equals the batch
+    rule — certified by the full inlined-hyperplane oracle. Per-batch
+    index slices (band keys ~4 ints/vector, plus the vectors themselves
+    for the verify join) are localCheckpointed once at arrival and
+    accumulated as block-manager unions (the s_dedup_near recipe; at
+    scale: bucketBy(band, key) parquet for an exchange-free candidate
+    join).
+    """
+    import hashlib
+    import os
+    import shutil
+    from pathlib import Path as _P
+
+    from .streaming import SCRATCH, _sweep_runs, write_chunks_pinned
+
+    ckpt = _sweep_runs("ssemdedup") / "ckpt"
+
+    src = _P(sf_dir) / "embeddings.parquet"
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|4".encode()
+    ).hexdigest()[:16]
+    chunks = SCRATCH / "ssemdedup_stage" / f"{_P(sf_dir).name}_{fp}"
+    if not (chunks / "_STAGED").exists():
+        shutil.rmtree(chunks, ignore_errors=True)
+        chunks.mkdir(parents=True)
+        base = load(spark, sf_dir, "embeddings")
+        tail = base.where(F.col("vec_id") < 10).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+        corpus = base.unionByName(tail).select("vec_id", "embedding", "label")
+        n = base.count()  # organic ids contiguous from 0 at every SF
+        bounds = [0, n // 4, n // 2, (3 * n) // 4, None]
+        write_chunks_pinned(
+            chunks,
+            [
+                corpus.where(
+                    (F.col("vec_id") >= lo)
+                    if hi is None
+                    else (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                )
+                for lo, hi in zip(bounds, bounds[1:])
+            ],
+        )
+        (chunks / "_STAGED").touch()
+
+    acc: dict[str, DataFrame | None] = {"bands": None, "vecs": None}
+    survivors: list[DataFrame] = []
+
+    def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
+        batch = bdf.localCheckpoint(eager=True)
+        banded = (
+            batch.select(
+                "vec_id",
+                F.posexplode(_lsh_band_keys(F.col("embedding"))).alias(
+                    "band", "key"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # norm hoisted to vector grain at arrival (the x_semdedup
+        # hoisted-norm recipe): the verify join then pays one dot fold
+        # per candidate pair instead of dot + two norms
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        vecs = batch.select(
+            "vec_id", "embedding", nrm.alias("nrm")
+        ).localCheckpoint(eager=True)
+        nb = banded.select(F.col("vec_id").alias("new_id"), "band", "key")
+        self_bands = banded.select(F.col("vec_id").alias("old_id"), "band", "key")
+        old_bands = (
+            acc["bands"].unionByName(self_bands)
+            if acc["bands"] is not None
+            else self_bands
+        )
+        cand = (
+            nb.join(old_bands, ["band", "key"])
+            .where(F.col("old_id") < F.col("new_id"))
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        old_vecs = (
+            acc["vecs"].unionByName(vecs) if acc["vecs"] is not None else vecs
+        )
+        s_new = vecs.select(
+            F.col("vec_id").alias("new_id"),
+            F.col("embedding").alias("e_new"),
+            F.col("nrm").alias("n_new"),
+        )
+        s_old = old_vecs.select(
+            F.col("vec_id").alias("old_id"),
+            F.col("embedding").alias("e_old"),
+            F.col("nrm").alias("n_old"),
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("e_old"),
+                F.col("e_new"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dropped = (
+            cand.join(s_new, "new_id")
+            .join(s_old, "old_id")
+            .where(
+                F.round(dot / (F.col("n_old") * F.col("n_new")), 6)
+                >= _SSD_THRESH
+            )
+            .select(F.col("new_id").alias("vec_id"))
+            .distinct()
+        )
+        survivors.append(
+            batch.join(dropped, "vec_id", "left_anti")
+            .select("vec_id", "label")
+            .localCheckpoint(eager=True)
+        )
+        acc["bands"], acc["vecs"] = old_bands, old_vecs
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = survivors[0]
+    for s in survivors[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+s_semdedup.__doc__ = s_semdedup.__doc__.format(t=_SSD_THRESH)

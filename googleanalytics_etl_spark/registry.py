@@ -339,6 +339,7 @@ _R7_ADDITIONS: list[str] = [
 # sketch-space set-difference estimator
 _R8_ADDITIONS: list[str] = [
     "s_kll_merge", "s_theta_merge", "x_kmv_diff", "s_countmin_merge",
+    "s_semdedup",
 ]
 
 # Round-8 head (LIVE window this round, per the comment above

@@ -135,3 +135,22 @@ def test_countmin_merge_equals_batch_sketch(spark):
     }
     assert merged == batch
     assert all(r[-1] == 1 for r in merged.values())  # every in_bound
+
+
+def test_s_semdedup_matches_batch_rule_and_drops_planted(spark):
+    from pyspark.sql import functions as F
+
+    surv = queries()["s_semdedup"](spark, SF_SMALL)
+    ids = {r["vec_id"] for r in surv.collect()}
+    em = load(spark, SF_SMALL, "embeddings")
+    n = em.count()
+    # every organic vector survives (fixture vectors are near-orthogonal,
+    # max organic cosine ~0.48 < 0.9)...
+    assert set(range(n)) <= ids
+    # ...and every planted identical tail copy (vec_id+1e6, arriving
+    # after its original is indexed) is dropped
+    assert not any(v >= 1_000_000 for v in ids)
+    assert len(ids) == n
+    # deterministic across re-runs (fresh checkpoint, same fold)
+    again = {r["vec_id"] for r in queries()["s_semdedup"](spark, SF_SMALL).collect()}
+    assert again == ids
