@@ -15,6 +15,7 @@ ops/streaming.py — identical semantics, per the §1.2 contract.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -156,11 +157,19 @@ class JdbcSyncPipeline(SyncPipeline):
             self._read(self.table).schema
             return True
         except Exception as e:
+            table_absent = re.compile(
+                r"42X05|(table|view)\b[^\n]{0,120}?\b(does not exist|not found)",
+                re.IGNORECASE,
+            )
             seen, cur = set(), e
             while cur is not None and id(cur) not in seen:
                 seen.add(id(cur))
-                msg = str(cur)
-                if "42X05" in msg or "does not exist" in msg.lower():
+                # Only TABLE-scoped absence maps to False. A broader
+                # "does not exist" (database/schema from a misconfigured
+                # URL) must raise: treating it as table-absent would
+                # silently disable the HWM filter + anti-join dedup and
+                # restart the sync from zero.
+                if table_absent.search(str(cur)):
                     return False
                 cur = getattr(cur, "__cause__", None) or getattr(
                     cur, "java_exception", None

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -28,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register, sql_dsum, dsum
+from .streaming import stage_atomic
 
 SCRATCH = Path(__file__).resolve().parents[2] / ".scratch"
 
@@ -115,39 +115,51 @@ def _zonemap_stage(spark: SparkSession, sf_dir: str) -> Path:
     write happens once per fixture; every later call only reads)."""
     src = Path(sf_dir) / "orders.parquet"
     st = os.stat(src)
+    # |v2: manifest switched to relative basenames (the staged dir is
+    # built in a temp sibling and atomically renamed into place, so
+    # absolute paths recorded at build time would go stale)
     fp = hashlib.md5(
-        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{_ZONE_FILES}".encode()
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{_ZONE_FILES}|v2".encode()
     ).hexdigest()[:16]
     stage = SCRATCH / "zonemap" / f"{Path(sf_dir).name}_{fp}"
-    done = stage / "_STAGED"
-    if done.exists():
-        return stage
-    shutil.rmtree(stage, ignore_errors=True)
-    (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .repartitionByRange(_ZONE_FILES, "o_totalprice", "o_orderkey")
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .write.parquet(str(stage))
-    )
-    # zone stats are computed at WRITE time and persisted beside the
-    # data — the manifest discipline of Delta/Iceberg (and what parquet
-    # footers already hold). Readers never scan to learn the zones.
-    import json
 
-    zones = (
-        spark.read.parquet(str(stage))
-        .groupBy(F.input_file_name().alias("f"))
-        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
-        .collect()
-    )
-    (stage / "_zones.json").write_text(
-        json.dumps(
-            {"o_totalprice": [[r["f"], r["lo"], r["hi"]] for r in zones]}
+    def _build(tmp: Path) -> None:
+        import json
+        import os as _os
+
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .repartitionByRange(_ZONE_FILES, "o_totalprice", "o_orderkey")
+            .sortWithinPartitions("o_totalprice", "o_orderkey")
+            .write.mode("overwrite")
+            .parquet(str(tmp))
         )
-    )
-    done.touch()
-    return stage
+        # zone stats are computed at WRITE time and persisted beside the
+        # data — the manifest discipline of Delta/Iceberg (and what
+        # parquet footers already hold). Readers never scan to learn
+        # the zones.
+        zones = (
+            spark.read.parquet(str(tmp))
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("o_totalprice").alias("lo"),
+                F.max("o_totalprice").alias("hi"),
+            )
+            .collect()
+        )
+        (tmp / "_zones.json").write_text(
+            json.dumps(
+                {
+                    "o_totalprice": [
+                        [_os.path.basename(r["f"]), r["lo"], r["hi"]]
+                        for r in zones
+                    ]
+                }
+            )
+        )
+
+    return stage_atomic(stage, _build)
 
 
 def zonemap_pruned_scan(
@@ -164,8 +176,10 @@ def zonemap_pruned_scan(
 
     manifest = Path(stage) / "_zones.json"
     if manifest.exists():
+        # manifest paths are relative basenames (v2); absolute entries
+        # from pre-v2 layouts pass through os.path.join unchanged
         zones = [
-            {"f": f, "lo": zlo, "hi": zhi}
+            {"f": os.path.join(stage, f), "lo": zlo, "hi": zhi}
             for f, zlo, zhi in json.loads(manifest.read_text())[column]
         ]
     else:  # pre-manifest layout: derive zones with one aggregate

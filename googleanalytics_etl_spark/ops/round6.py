@@ -687,10 +687,14 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
     import os
-    import shutil
 
     from .round5e import _km_sigs
-    from .streaming import SCRATCH, _sweep_runs, write_chunks_pinned
+    from .streaming import (
+        SCRATCH,
+        _sweep_runs,
+        stage_atomic,
+        write_chunks_pinned,
+    )
 
     ckpt = _sweep_runs("sdedup_near") / "ckpt"
 
@@ -707,9 +711,8 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|4".encode()
     ).hexdigest()[:16]
     chunks = SCRATCH / "sdedup_stage" / f"{_P(sf_dir).name}_{fp}"
-    if not (chunks / "_STAGED").exists():
-        shutil.rmtree(chunks, ignore_errors=True)
-        chunks.mkdir(parents=True)
+
+    def _build(tmp) -> None:
         d = load(spark, sf_dir, "documents")
         tail = d.where(F.col("doc_id") < 10).withColumn(
             "doc_id", F.col("doc_id") + 1_000_000
@@ -722,7 +725,7 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pinned ascending mtimes: FileStreamSource orders by timestamp,
         # and arrival order IS the dedup precedence (shared recipe)
         write_chunks_pinned(
-            chunks,
+            tmp,
             [
                 corpus.where(
                     (F.col("doc_id") >= lo)
@@ -732,7 +735,8 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for lo, hi in zip(bounds, bounds[1:])
             ],
         )
-        (chunks / "_STAGED").touch()
+
+    stage_atomic(chunks, _build)
 
     # the accumulated index: unions of per-batch localCheckpointed
     # signature slices (each batch shingled exactly once, at arrival)
@@ -813,6 +817,8 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
+    if not survivors:  # staging raced/empty: fail loudly, not IndexError
+        raise RuntimeError("s_dedup_near: no micro-batches fired")
     out = survivors[0]
     for s in survivors[1:]:
         out = out.unionByName(s)

@@ -69,9 +69,7 @@ def _stage_with_replay(spark: SparkSession, sf_dir: str) -> str:
     replay chunk (first {_LATE_HOURS} h ∪ last {_FRESH_MINUTES} min),
     pinned-mtime-ordered so the replay always arrives last. Same
     fingerprint-cached contract as streaming._stage_events."""
-    from .streaming import SCRATCH, write_chunks_pinned
-
-    import shutil
+    from .streaming import SCRATCH, stage_atomic, write_chunks_pinned
 
     src = Path(sf_dir) / "events.parquet"
     st = os.stat(src)
@@ -79,40 +77,38 @@ def _stage_with_replay(spark: SparkSession, sf_dir: str) -> str:
         f"late|{src.resolve()}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     stage = SCRATCH / "late_stage" / f"{Path(sf_dir).name}_{fingerprint}"
-    done = stage / "_STAGED"
-    if done.exists():
-        return str(stage)
-    shutil.rmtree(stage, ignore_errors=True)
-    stage.mkdir(parents=True, exist_ok=True)
-    e = load(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    b = e.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    lo, hi = b["lo"], b["hi"]
-    span = (hi - lo) / 5
-    chunks = []
-    for i in range(5):
-        start = lo + i * span
-        if i == 4:
-            chunks.append(e.where(F.col("ts") >= F.lit(start)))
-        else:
-            end = lo + (i + 1) * span
-            chunks.append(
-                e.where(
-                    (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
-                )
-            )
-    from datetime import timedelta
 
-    late_lo = lo + timedelta(hours=_LATE_HOURS)
-    fresh_hi = hi - timedelta(minutes=_FRESH_MINUTES)
-    chunks.append(
-        e.where(
-            (F.col("ts") < F.lit(late_lo)) | (F.col("ts") >= F.lit(fresh_hi))
+    def _build(tmp: Path) -> None:
+        e = load(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
         )
-    )
-    write_chunks_pinned(stage, chunks)
-    done.touch()
+        b = e.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        lo, hi = b["lo"], b["hi"]
+        span = (hi - lo) / 5
+        chunks = []
+        for i in range(5):
+            start = lo + i * span
+            if i == 4:
+                chunks.append(e.where(F.col("ts") >= F.lit(start)))
+            else:
+                end = lo + (i + 1) * span
+                chunks.append(
+                    e.where(
+                        (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+                    )
+                )
+        from datetime import timedelta
+
+        late_lo = lo + timedelta(hours=_LATE_HOURS)
+        fresh_hi = hi - timedelta(minutes=_FRESH_MINUTES)
+        chunks.append(
+            e.where(
+                (F.col("ts") < F.lit(late_lo)) | (F.col("ts") >= F.lit(fresh_hi))
+            )
+        )
+        write_chunks_pinned(tmp, chunks)
+
+    stage_atomic(stage, _build)
     return str(stage)
 
 

@@ -726,10 +726,14 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
     import os
-    import shutil
     from pathlib import Path as _P
 
-    from .streaming import SCRATCH, _sweep_runs, write_chunks_pinned
+    from .streaming import (
+        SCRATCH,
+        _sweep_runs,
+        stage_atomic,
+        write_chunks_pinned,
+    )
 
     ckpt = _sweep_runs("ssemdedup") / "ckpt"
 
@@ -739,9 +743,8 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|4".encode()
     ).hexdigest()[:16]
     chunks = SCRATCH / "ssemdedup_stage" / f"{_P(sf_dir).name}_{fp}"
-    if not (chunks / "_STAGED").exists():
-        shutil.rmtree(chunks, ignore_errors=True)
-        chunks.mkdir(parents=True)
+
+    def _build(tmp) -> None:
         base = load(spark, sf_dir, "embeddings")
         tail = base.where(F.col("vec_id") < 10).withColumn(
             "vec_id", F.col("vec_id") + 1_000_000
@@ -750,7 +753,7 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = base.count()  # organic ids contiguous from 0 at every SF
         bounds = [0, n // 4, n // 2, (3 * n) // 4, None]
         write_chunks_pinned(
-            chunks,
+            tmp,
             [
                 corpus.where(
                     (F.col("vec_id") >= lo)
@@ -760,7 +763,8 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for lo, hi in zip(bounds, bounds[1:])
             ],
         )
-        (chunks / "_STAGED").touch()
+
+    stage_atomic(chunks, _build)
 
     acc: dict[str, DataFrame | None] = {"bands": None, "vecs": None}
     survivors: list[DataFrame] = []
@@ -854,6 +858,8 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
+    if not survivors:  # staging raced/empty: fail loudly, not IndexError
+        raise RuntimeError("s_semdedup: no micro-batches fired")
     out = survivors[0]
     for s in survivors[1:]:
         out = out.unionByName(s)

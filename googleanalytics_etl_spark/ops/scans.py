@@ -138,7 +138,8 @@ def staged_events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     dynamic-pruning (``x_dpp_join``) operators."""
     import hashlib
     import os
-    import shutil
+
+    from .streaming import stage_atomic
 
     src = Path(sf_dir) / "events.parquet"
     st = os.stat(src)
@@ -146,19 +147,18 @@ def staged_events_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|bydate".encode()
     ).hexdigest()[:16]
     stage = _SCRATCH / "part_stage" / f"{Path(sf_dir).name}_{fingerprint}"
-    done = stage / "_STAGED"
-    if not done.exists():
-        shutil.rmtree(stage, ignore_errors=True)
+
+    def _build(tmp: Path) -> None:
         (
             load(spark, sf_dir, "events")
             .withColumn("event_date", F.col("ts").cast("timestamp").cast("date"))
             .repartition("event_date")  # one shuffle -> one file per day dir
             .write.partitionBy("event_date")
             .mode("overwrite")
-            .parquet(str(stage))
+            .parquet(str(tmp))
         )
-        done.touch()
-    return spark.read.parquet(str(stage))
+
+    return spark.read.parquet(str(stage_atomic(stage, _build)))
 
 
 @register("x_partition_prune", oracle=_PARTITION_PRUNE_ORACLE)

@@ -190,6 +190,49 @@ def write_chunks_pinned(chunks_dir: Path, frames: list) -> None:
         seen |= fresh
 
 
+def stage_atomic(target: Path, build) -> Path:
+    """Content-cached staging with an ATOMIC publish. ``build(tmp)``
+    populates a unique temp sibling; the ``_STAGED`` marker is written
+    inside it and the whole directory is ``os.rename``d into place in
+    one step. Concurrent invocations (parallel pytest workers, bench
+    beside tests) may both build, but exactly one rename wins and a
+    reader can never observe a half-staged directory — the earlier
+    check-then-rmtree-then-mkdir recipe raced (mkdir without exist_ok
+    raised FileExistsError; a stream could read a partial stage and
+    fire fewer batches; ADVICE.md round 8). The loser's temp dir is
+    discarded; a stale UNMARKED target (crashed prior run) is swept
+    aside before retrying the rename."""
+    done = target / "_STAGED"
+    if done.exists():
+        return target
+    tmp = target.parent / f".tmp-{uuid.uuid4().hex[:12]}-{target.name}"
+    tmp.mkdir(parents=True)
+    try:
+        build(tmp)
+        (tmp / "_STAGED").touch()
+        for _ in range(2):
+            try:
+                os.rename(tmp, target)
+                return target
+            except OSError:
+                if done.exists():  # another invocation won — use theirs
+                    return target
+                # stale half-staged target from a crashed run: sweep it
+                # aside (rename, not rmtree — atomic w.r.t. readers of
+                # the OLD path is irrelevant since it was never marked)
+                stale = target.parent / f".stale-{uuid.uuid4().hex[:12]}"
+                try:
+                    os.rename(target, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                except OSError:
+                    pass
+        if not done.exists():
+            raise RuntimeError(f"could not publish staged dir {target}")
+        return target
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
     """Stage the event log as ``n_chunks`` time-ordered parquet files.
 
@@ -208,32 +251,31 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_chunks: int = 5) -> str:
         f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{n_chunks}".encode()
     ).hexdigest()[:16]
     stage = SCRATCH / "stream_stage" / f"{Path(sf_dir).name}_{fingerprint}"
-    done = stage / "_STAGED"
-    if done.exists():
-        return str(stage)
-    shutil.rmtree(stage, ignore_errors=True)
-    e = load(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    bounds = e.select(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
-    ).first()
-    lo, hi = bounds["lo"], bounds["hi"]
-    span = (hi - lo) / n_chunks
-    chunks = []
-    for i in range(n_chunks):
-        start = lo + i * span
-        end = hi if i == n_chunks - 1 else lo + (i + 1) * span
-        chunks.append(
-            e.where(
-                (F.col("ts") >= F.lit(start)) & (F.col("ts") <= F.lit(end))
-                if i == n_chunks - 1
-                else (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
-            )
+
+    def _build(tmp: Path) -> None:
+        e = load(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
         )
-    write_chunks_pinned(stage, chunks)
-    done.touch()
-    return str(stage)
+        bounds = e.select(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        span = (hi - lo) / n_chunks
+        chunks = []
+        for i in range(n_chunks):
+            start = lo + i * span
+            end = hi if i == n_chunks - 1 else lo + (i + 1) * span
+            chunks.append(
+                e.where(
+                    (F.col("ts") >= F.lit(start)) & (F.col("ts") <= F.lit(end))
+                    if i == n_chunks - 1
+                    else (F.col("ts") >= F.lit(start))
+                    & (F.col("ts") < F.lit(end))
+                )
+            )
+        write_chunks_pinned(tmp, chunks)
+
+    return str(stage_atomic(stage, _build))
 
 
 def _events_stream(spark: SparkSession, stage: str) -> DataFrame:

@@ -360,7 +360,7 @@ _ROUND9_HEAD: list[str] = (
     _ROUND7_HEAD[100:] + _R7_ADDITIONS + _R8_ADDITIONS + _R2_TAIL
 )
 
-_WINDOW_OVERRIDE: list[str] | None = _ROUND8_HEAD
+_WINDOW_OVERRIDE: list[str] | None = _ROUND9_HEAD
 
 
 def _ordered() -> list[str]:

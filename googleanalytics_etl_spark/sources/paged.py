@@ -99,7 +99,12 @@ def _read_metadata_cached(path: str):
     key = (path, st.st_size, st.st_mtime_ns)
     meta = _META_CACHE.get(key)
     if meta is None:
-        _META_CACHE.clear()  # stale versions of the same path
+        # Evict only stale versions of THIS path — clearing the whole
+        # dict made the cache hold at most one entry when a reused
+        # worker alternates between distinct source files (it never
+        # hit; ADVICE.md round 8).
+        for k in [k for k in _META_CACHE if k[0] == path]:
+            _META_CACHE.pop(k, None)
         meta = _META_CACHE[key] = pq.read_metadata(path)
     return meta
 

@@ -33,6 +33,7 @@ factors (the smallest is dominated by fixed job-setup constants).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -65,11 +66,22 @@ KEYS = {
 
 
 def _signs(rep: int, d: int) -> list[float]:
-    """Deterministic Rademacher ±1 pattern (identity for rep 0)."""
+    """Deterministic Rademacher ±1 pattern (identity for rep 0).
+
+    Uses a real hash bit per (rep, dim): the earlier
+    ``(rep*ODD + dim*ODD) % 2`` recipe degenerated to ``(rep+dim) % 2``
+    (two patterns total — same-parity replicas became exact cosine
+    duplicates, inflating cross-replica candidate density and
+    contaminating the measured scaling exponents; ADVICE.md round 8).
+    md5 gives ~independent patterns, so cross-replica dot products stay
+    ≈0 and pair density is genuinely constant across factors.
+    """
     if rep == 0:
         return [1.0] * d
     return [
-        1.0 if (rep * 1315423911 + dim * 2654435761) % 2 == 0 else -1.0
+        1.0
+        if hashlib.md5(f"{rep}:{dim}".encode()).digest()[0] & 1 == 0
+        else -1.0
         for dim in range(d)
     ]
 
