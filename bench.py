@@ -274,6 +274,9 @@ HEADLINE = [
     "x_kmv_diff",
     "s_countmin_merge",
     "s_semdedup",
+    # round 9: x_semdedup above now measures the banded-LSH scale path;
+    # the ⌈√n⌉-IVF variant it replaced stays benched under its own key
+    "x_semdedup_ivf",
 ]
 
 

@@ -503,9 +503,14 @@ GROUP BY a.cluster
 """
 
 
-@register("x_semdedup", oracle=_SEMDEDUP_ORACLE)
-def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication: coarse-quantize every
+@register("x_semdedup_ivf", oracle=_SEMDEDUP_ORACLE)
+def x_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication, HIGH-RECALL variant
+    (exact within cell — recall 1.0 for any pair that shares a nearest
+    centroid; round-9 note: the registered scale path is now the
+    sign-LSH banded ``x_semdedup`` in ops/round9.py, because this
+    ⌈√n⌉-cell pair space is the designed n^1.5 — measured exponent 1.61
+    on the round-8 scale probe): coarse-quantize every
     embedding to its nearest :func:`ivf_seeds` centroid — **k = ⌈√n⌉**
     Lloyd-refined cells, so the intra-cell pair space is Σ|cell|² ≈
     n^1.5 at ANY corpus size (a fixed k would degenerate to n²/k) —

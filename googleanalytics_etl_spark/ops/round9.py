@@ -1,0 +1,283 @@
+"""Round-9 operators: scale-safe batch semantic dedup.
+
+``x_semdedup`` is re-pointed here at a sign-LSH **banded** candidate
+generator (256 md5-derived Rademacher hyperplanes, 16 bands x 16 bits),
+replacing the round-5 ``x_semdedup`` whose ⌈√n⌉-cell IVF blocking is the
+designed Σ|cell|² ≈ n^1.5 pair space — the one superlinear key on the
+round-8 scale probe (measured exponent 1.61; VERDICT.md round 8 "What's
+wrong"). The exact-within-cell IVF path stays registered as
+``x_semdedup_ivf`` (ops/round5b.py), the high-recall variant.
+
+Cost shape of the banded path (the 100 TB story):
+
+- signatures: one n x 256-plane broadcast scan, O(n·P·d) JVM-side fold
+  work, map-side-combined to n x 16 band-key rows before the only
+  data-grain shuffle;
+- candidates: self-join on (band, 16-bit key) — Σ bucket² per band key,
+  with near-orthogonal organic vectors colliding at ~16·2⁻¹⁶ ≈ 2.4e-4
+  per pair, so candidate volume stays ~linear in n at fixture density;
+- verify: exact round-6 cosine on candidates only, norms hoisted to
+  vector grain.
+
+Recall is the banding S-curve, documented honestly: ≥1-of-16 bands at
+cosine 0.92 ≈ 0.85, ≈ 0.999 at 0.98, and exactly 1.0 for identical
+vectors (they share every band) — the planted-dup certification the
+fixture oracles. A corpus needing exhaustive recall at exactly the 0.92
+boundary uses ``x_semdedup_ivf``.
+
+Reference parity: the reference tool has no vector path; this extends
+the dedup-before-append discipline [REF-UNVERIFIED: SURVEY.md §0] to
+embedding space, mirroring ``s_semdedup`` (ops/round8.py) whose
+streaming fold uses the same sign-LSH machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+# 256 planes / 16 bands x 16 bits: the band-key space (65536 per band)
+# keeps random-pair collisions ~2.4e-4 while 16 independent bands hold
+# threshold recall ≈ 0.85 at cosine 0.92 (S-curve in the module doc).
+XSD_PLANES = 256
+XSD_BANDS = 16
+XSD_BITS = XSD_PLANES // XSD_BANDS
+XSD_THRESH = 0.92  # the SemDeDup house threshold (x_semdedup_ivf's too)
+
+
+def rademacher_planes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
+    """``(plane, signs array<double>)`` — ±1 per (plane, dim) from one
+    md5 bit (first hex char < '8' → +1). Built as a tiny DataFrame
+    (n_planes rows, broadcast into the signature scan) instead of an
+    inlined 16k-literal expression, which would blow past whole-stage
+    codegen's method-size limit and fall back to interpreted eval.
+    DuckDB mirrors the construction with ``md5(p || ':' || d)`` on the
+    same decimal strings, so the hyperplanes are identical constants on
+    both engines — no literal tables to keep in sync."""
+    return spark.range(n_planes).select(
+        F.col("id").cast("int").alias("plane"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.when(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("id").cast("string"),
+                            d.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ).alias("signs"),
+    )
+
+
+def _fold_dot(a, b):
+    """Left-fold dot product in ascending element order — the exact
+    summation order DuckDB's list_reduce applies, so both engines
+    produce bit-identical doubles (the proven s_semdedup recipe)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def semdedup_banded(
+    em: DataFrame, threshold: float = XSD_THRESH
+) -> DataFrame:
+    """Banded semantic dedup over ``(vec_id, embedding, label)`` rows:
+    sign-LSH candidates → exact-cosine verify → per-label counts
+    ``(label, n_members, n_dup_pairs, n_removed)``. Pairs and removals
+    are attributed to the DROPPED (higher-id) side's label — the view a
+    mixture-rebalancing step consumes. Keep-lowest-id survivorship,
+    same as the MinHash family."""
+    spark = em.sparkSession
+    dim = len(em.select("embedding").first()["embedding"])
+    planes = rademacher_planes(spark, XSD_PLANES, dim)
+
+    # one n×P broadcast scan → bit per (vec, plane); the groupBy
+    # map-side-combines to n×B band keys before the only wide shuffle
+    bits = (
+        em.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "plane",
+            F.when(_fold_dot(F.col("embedding"), F.col("signs")) >= 0, 1)
+            .otherwise(0)
+            .alias("bit"),
+        )
+    )
+    buckets = (
+        bits.withColumn("band", F.expr(f"CAST(plane DIV {XSD_BITS} AS INT)"))
+        .withColumn(
+            "addend",
+            F.expr(
+                f"CAST(bit AS BIGINT) * shiftleft(CAST(1 AS BIGINT),"
+                f" plane % {XSD_BITS})"
+            ),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("addend").cast("long").alias("bkey"))
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            ["band", "bkey"],
+        )
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("old_id"),
+            F.col("b.vec_id").alias("new_id"),
+        )
+        .distinct()
+    )
+    # exact verify on candidates only; norms hoisted to vector grain
+    normed = em.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+    dup = (
+        cand.join(
+            normed.select(
+                F.col("vec_id").alias("old_id"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "old_id",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("new_id"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+                F.col("label").alias("new_label"),
+            ),
+            "new_id",
+        )
+        .where(
+            F.round(
+                _fold_dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= threshold
+        )
+    )
+    dups_by_label = dup.groupBy(F.col("new_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        F.countDistinct("new_id").cast("long").alias("n_removed"),
+    )
+    members = em.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return members.join(dups_by_label, "label", "left").select(
+        "label",
+        "n_members",
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
+def _xsemdedup_oracle() -> str:
+    # the hyperplanes are REBUILT in SQL from the same md5 bits — no
+    # literal table to drift; fold order and ROUND(,6) mirror the Spark
+    # side term-for-term (1-based list_transform index == dim+1)
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+    FROM embeddings WHERE vec_id < 10
+), dims AS (
+    -- dimension spine derived from the data (generate_subscripts is
+    -- 1-based; the md5 keys use 0-based dims like the Spark side)
+    SELECT generate_subscripts(e, 1) - 1 AS d
+    FROM (SELECT e FROM corpus LIMIT 1)
+), pd AS (
+    SELECT p, d,
+           CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                            1, 1) < '8'
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+    FROM range({XSD_PLANES}) t(p) CROSS JOIN dims
+), planes AS (
+    SELECT p, LIST(s ORDER BY d) AS sv FROM pd GROUP BY p
+), bits AS (
+    SELECT c.vec_id, pl.p,
+           CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(c.e, (x, i) -> x * pl.sv[i])),
+                    (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM corpus c, planes pl
+), buckets AS (
+    SELECT vec_id, p // {XSD_BITS} AS band,
+           SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (p % {XSD_BITS})))
+               AS bkey
+    FROM bits GROUP BY vec_id, p // {XSD_BITS}
+), cand AS (
+    SELECT DISTINCT a.vec_id AS old_id, b.vec_id AS new_id
+    FROM buckets a JOIN buckets b USING (band, bkey)
+    WHERE a.vec_id < b.vec_id
+), normed AS (
+    SELECT vec_id, e, label,
+           SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(e, x -> x * x)), (a, v) -> a + v)) AS nrm
+    FROM corpus
+), dup AS (
+    SELECT c.new_id, nb.label AS new_label
+    FROM cand c
+    JOIN normed na ON na.vec_id = c.old_id
+    JOIN normed nb ON nb.vec_id = c.new_id
+    WHERE ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(na.e, (x, i) -> x * nb.e[i])), (a, v) -> a + v)
+              / (na.nrm * nb.nrm), 6) >= {XSD_THRESH}
+)
+SELECT m.label,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(d.n_removed, 0) AS BIGINT) AS n_removed
+FROM (SELECT label, COUNT(*) AS n_members FROM corpus GROUP BY label) m
+LEFT JOIN (SELECT new_label AS label, COUNT(*) AS n_dup_pairs,
+                  COUNT(DISTINCT new_id) AS n_removed
+           FROM dup GROUP BY new_label) d USING (label)
+"""
+
+
+@register("x_semdedup", oracle=_xsemdedup_oracle())
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dedup, SCALE PATH (round-9 redesign): sign-LSH
+    banded candidates (256 md5-Rademacher planes, 16 bands x 16 bits) →
+    exact round-6 cosine ≥ 0.92 verify → per-label member/dup-pair/
+    removed counts. Supersedes the ⌈√n⌉-IVF blocking (now
+    ``x_semdedup_ivf``) whose Σ|cell|² pair space measured scaling
+    exponent 1.61 on the round-8 probe; the banded pair space is
+    collision-bounded and ~linear. Same planted-dup fixture (vec 0..9
+    re-inserted at +1e6): identical vectors share every band, so the 10
+    planted pairs are always candidates and always verified.
+    """
+    base = load(spark, sf_dir, "embeddings")
+    em = base.select("vec_id", "embedding", "label").unionByName(
+        base.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    return semdedup_banded(em)

@@ -348,17 +348,41 @@ _R8_ADDITIONS: list[str] = [
 # round 8's window takes the first 50.
 _ROUND8_HEAD: list[str] = _ROUND7_HEAD[50:] + _R2_TAIL + _R7_ADDITIONS
 
+# round-9 additions: the banded-LSH x_semdedup redesign (scale path,
+# NEW semantics — its old r5 driver row certified the IVF output, so it
+# needs a fresh official row) and the IVF path re-registered under its
+# own key (never driver-tested by that name)
+_R9_ADDITIONS: list[str] = ["x_semdedup", "x_semdedup_ivf"]
+
 # Round 9 head start: ALL remaining never-driver-tested keys first —
 # the 11 round-6/7 keys the round-8 window didn't reach
-# (_ROUND7_HEAD[100:]), then the round-7 and round-8 additions — so
-# the full never-tested debt (33 keys) clears inside round 9's 50-slot
-# window; the remaining slots refresh the oldest (r2) evidence, and
-# the r2 overflow spills to round 10 (every key then carries official
-# driver evidence, r9 having covered all first-timers). Flip with
+# (_ROUND7_HEAD[100:]), then the round-7/8/9 additions — so the full
+# never-tested debt clears inside round 9's 50-slot window; the
+# remaining slots refresh the oldest (r2) evidence, and the r2
+# overflow spills to round 10 (every key then carries official driver
+# evidence, r9 having covered all first-timers). Flip with
 # `_WINDOW_OVERRIDE = _ROUND9_HEAD` as round 9's first commit.
 _ROUND9_HEAD: list[str] = (
-    _ROUND7_HEAD[100:] + _R7_ADDITIONS + _R8_ADDITIONS + _R2_TAIL
+    _ROUND7_HEAD[100:]
+    + _R7_ADDITIONS
+    + _R8_ADDITIONS
+    + _R9_ADDITIONS
+    + _R2_TAIL
 )
+
+# Round 10 head start (pre-staged per the round-8 verdict's rotation
+# discipline): with round 9 clearing the last never-driver-tested keys,
+# the rotation becomes pure refresh. The 37 keys whose latest evidence
+# is still round 2 (the _R2_TAIL overflow round 9's window didn't
+# reach) lead, followed by the 13 oldest round-3-era keys to fill the
+# 50-slot window. Flip with `_WINDOW_OVERRIDE = _ROUND10_HEAD` as
+# round 10's first commit.
+_ROUND10_HEAD: list[str] = _R2_TAIL[12:] + [
+    "q_attribution", "q_bounce_rate", "q_cast_types", "q_correlation",
+    "q_entry_exit", "q_ewma", "q_gap_fill", "q_histogram",
+    "q_incremental_agg", "q_path_transitions", "q_percentiles",
+    "q_skew_distinct", "q_skew_join",
+]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND9_HEAD
 

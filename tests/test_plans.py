@@ -143,7 +143,8 @@ _BNLJ_OK = {
     # and the ≤8-row seed-centroid broadcast in the SemDeDup assignment
     "x_mixture_sample",
     "x_approx_topk",
-    "x_semdedup",
+    "x_semdedup",  # 256-row hyperplane broadcast (banded path)
+    "x_semdedup_ivf",
     # 1-row broadcasts: vocab-size (smoothed LM), elected merge pair
     # (BPE round), global row count (equi-depth bucket arithmetic)
     "x_bigram_heldout",

@@ -150,7 +150,7 @@ def test_bpe_merge_recount(spark):
 def test_semdedup_finds_planted_duplicates(spark):
     import math
 
-    rows = queries()["x_semdedup"](spark, SF_SMALL).collect()
+    rows = queries()["x_semdedup_ivf"](spark, SF_SMALL).collect()
     # k = ceil(sqrt(510)) IVF cells; every output row is a non-empty cell
     assert 2 <= len(rows) <= math.ceil(math.sqrt(510))
     # 510 vectors assigned (500 + 10 planted dups)
@@ -167,7 +167,7 @@ def test_semdedup_finds_planted_duplicates(spark):
 def test_semdedup_no_organic_false_positives(spark):
     # pairs beyond the 10 planted ones would mean organic cosine ≥ 0.92,
     # which the near-orthogonal fixture excludes (max ≈ 0.48)
-    rows = queries()["x_semdedup"](spark, SF_SMALL).collect()
+    rows = queries()["x_semdedup_ivf"](spark, SF_SMALL).collect()
     assert sum(r["n_dup_pairs"] for r in rows) == 10
 
 

@@ -24,10 +24,10 @@ def test_semdedup_survivors_drop_exactly_the_planted_copies(spark):
 
 def test_semdedup_survivors_consistent_with_counts(spark):
     """survivors + removed = members, cluster by cluster, against the
-    x_semdedup count report."""
+    x_semdedup_ivf count report."""
     counts = {
         r["cluster"]: r
-        for r in queries()["x_semdedup"](spark, SF_SMALL).collect()
+        for r in queries()["x_semdedup_ivf"](spark, SF_SMALL).collect()
     }
     surv = queries()["x_semdedup_survivors"](spark, SF_SMALL).collect()
     per_cluster: dict[int, int] = {}

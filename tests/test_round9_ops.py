@@ -1,0 +1,197 @@
+"""Round-9 tests: banded (sign-LSH) batch semantic dedup.
+
+The registered ``x_semdedup`` key moved from ⌈√n⌉-IVF blocking to
+256-plane/16-band sign-LSH candidates (round-8 verdict item 2). These
+tests pin the banded semantics: planted recall, hyperplane determinism,
+band-key shape, and a full in-Python differential replay of the
+pipeline on a synthetic corpus with exact and near duplicates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from googleanalytics_etl_spark.io import load
+from googleanalytics_etl_spark.ops.round9 import (
+    XSD_BANDS,
+    XSD_BITS,
+    XSD_PLANES,
+    XSD_THRESH,
+    rademacher_planes,
+    semdedup_banded,
+)
+from googleanalytics_etl_spark.registry import queries
+
+SF_SMALL = "/root/testdata/sf0.01"
+
+
+def _sign(plane: int, dim: int) -> float:
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[0]
+    return 1.0 if h < "8" else -1.0
+
+
+def test_planes_match_md5_formula(spark):
+    rows = rademacher_planes(spark, 8, 16).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["signs"]) == 16
+        for d, s in enumerate(r["signs"]):
+            assert s == _sign(r["plane"], d)
+
+
+def test_semdedup_banded_planted_recall(spark):
+    rows = queries()["x_semdedup"](spark, SF_SMALL).collect()
+    n = load(spark, SF_SMALL, "embeddings").count()
+    # per-label report covers the whole corpus (500 + 10 planted)
+    assert sum(r["n_members"] for r in rows) == n + 10
+    # identical vectors share every band: all 10 planted copies found,
+    # each removed exactly once; organic max cosine ≈ 0.48 → no extras
+    assert sum(r["n_removed"] for r in rows) == 10
+    assert sum(r["n_dup_pairs"] for r in rows) == 10
+    # one row per label present in the corpus
+    labels = {
+        r["label"]
+        for r in load(spark, SF_SMALL, "embeddings").select("label").collect()
+    }
+    assert {r["label"] for r in rows} == labels
+
+
+def test_band_keys_shape(spark):
+    """Every vector gets exactly XSD_BANDS band keys in [0, 2^bits)."""
+    from pyspark.sql import functions as F
+
+    em = load(spark, SF_SMALL, "embeddings").limit(50)
+    planes = rademacher_planes(spark, XSD_PLANES, 64)
+    bits = (
+        em.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "plane",
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "signs",
+                        lambda x, s: x.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                >= 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bit"),
+        )
+    )
+    buckets = (
+        bits.withColumn("band", F.expr(f"CAST(plane DIV {XSD_BITS} AS INT)"))
+        .withColumn(
+            "addend",
+            F.expr(
+                f"CAST(bit AS BIGINT) * shiftleft(CAST(1 AS BIGINT),"
+                f" plane % {XSD_BITS})"
+            ),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("addend").alias("bkey"))
+        .collect()
+    )
+    per_vec: dict[int, int] = {}
+    for r in buckets:
+        per_vec[r["vec_id"]] = per_vec.get(r["vec_id"], 0) + 1
+        assert 0 <= r["band"] < XSD_BANDS
+        assert 0 <= r["bkey"] < (1 << XSD_BITS)
+    assert all(c == XSD_BANDS for c in per_vec.values())
+
+
+def _python_banded(vecs: dict[int, list[float]], labels: dict[int, int]):
+    """Reference replay of the banded pipeline in plain Python: same md5
+    hyperplanes, same left-fold order, same keep-lowest-id rule."""
+    dim = len(next(iter(vecs.values())))
+    signs = [
+        [_sign(p, d) for d in range(dim)] for p in range(XSD_PLANES)
+    ]
+    keys: dict[int, list[int]] = {}
+    for vid, e in vecs.items():
+        bits = []
+        for p in range(XSD_PLANES):
+            acc = 0.0
+            for x, s in zip(e, signs[p]):
+                acc += x * s
+            bits.append(1 if acc >= 0 else 0)
+        keys[vid] = [
+            sum(bits[b * XSD_BITS + pos] << pos for pos in range(XSD_BITS))
+            for b in range(XSD_BANDS)
+        ]
+    ids = sorted(vecs)
+    nrm = {
+        v: math.sqrt(sum(x * x for x in vecs[v])) for v in ids
+    }
+    dup_pairs, removed = [], set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not any(ka == kb for ka, kb in zip(keys[a], keys[b])):
+                continue
+            dot = 0.0
+            for x, y in zip(vecs[a], vecs[b]):
+                dot += x * y
+            if round(dot / (nrm[a] * nrm[b]), 6) >= XSD_THRESH:
+                dup_pairs.append((a, b))
+                removed.add(b)
+    out: dict[int, dict[str, int]] = {}
+    for v in ids:
+        d = out.setdefault(
+            labels[v], {"n_members": 0, "n_dup_pairs": 0, "n_removed": 0}
+        )
+        d["n_members"] += 1
+    for _, b in dup_pairs:
+        out[labels[b]]["n_dup_pairs"] += 1
+    for b in removed:
+        out[labels[b]]["n_removed"] += 1
+    return out
+
+
+def test_semdedup_banded_differential_replay(spark):
+    """Synthetic corpus with exact dups and near dups (cosine ≈ 0.999):
+    the Spark pipeline must agree with a plain-Python replay of the
+    identical algorithm — planes, folds, banding, verify, attribution."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.normal(size=(40, dim)).astype(np.float32)
+    vecs: dict[int, list[float]] = {
+        i: [float(x) for x in base[i]] for i in range(40)
+    }
+    labels = {i: i % 4 for i in range(40)}
+    # 5 exact copies of vectors 0..4
+    for j in range(5):
+        vecs[100 + j] = vecs[j]
+        labels[100 + j] = labels[j]
+    # 3 near copies of vectors 10..12 (tiny perturbation, cosine ≈ 1)
+    for j in range(3):
+        pert = base[10 + j] + 0.001 * rng.normal(size=dim).astype(np.float32)
+        vecs[200 + j] = [float(np.float32(x)) for x in pert]
+        labels[200 + j] = labels[10 + j]
+
+    em = spark.createDataFrame(
+        [(v, vecs[v], labels[v]) for v in sorted(vecs)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = {
+        r["label"]: {
+            "n_members": r["n_members"],
+            "n_dup_pairs": r["n_dup_pairs"],
+            "n_removed": r["n_removed"],
+        }
+        for r in semdedup_banded(em).collect()
+    }
+    want = _python_banded(vecs, labels)
+    assert got == want
+    # sanity on the fixture itself: all 5 exact + all 3 near dups found
+    assert sum(d["n_removed"] for d in want.values()) == 8

@@ -128,10 +128,10 @@ def test_approx_topk_8x_identical_copies(spark):
 
 
 def test_semdedup_planted_recall_at_sf01(spark):
-    """x_semdedup at the 10× corpus: the 10 planted identical copies
-    are still found exactly (cluster blocking loses none — an identical
-    pair always shares its nearest seed), no organic false positives
-    appear, and the plan keeps its exchange count from sf0.001."""
+    """x_semdedup (banded, round-9) at the 10× corpus: the 10 planted
+    identical copies are still found exactly (identical vectors share
+    every sign-LSH band, so banding loses none) and no organic false
+    positives appear (organic max cosine ≈ 0.48 < 0.92)."""
     big = queries()["x_semdedup"](spark, SF_BENCH)
     rows = big.collect()
     assert sum(r["n_removed"] for r in rows) == 10
