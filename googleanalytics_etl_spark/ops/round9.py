@@ -10,9 +10,11 @@ wrong"). The exact-within-cell IVF path stays registered as
 
 Cost shape of the banded path (the 100 TB story):
 
-- signatures: one n x 256-plane broadcast scan, O(n·P·d) JVM-side fold
-  work, map-side-combined to n x 16 band-key rows before the only
-  data-grain shuffle;
+- signatures: one n x 256-plane broadcast scan (narrow rows: embedding
+  + one plane each), O(n·P·d) JVM-side fold work, map-side-combined to
+  n x 16 band-key rows before the only data-grain shuffle — measured
+  exponent 1.07 between the x16 and x64 probe points
+  (tools/scale_probe_r9.jsonl);
 - candidates: self-join on (band, 16-bit key) — Σ bucket² per band key,
   with near-orthogonal organic vectors colliding at ~16·2⁻¹⁶ ≈ 2.4e-4
   per pair, so candidate volume stays ~linear in n at fixture density;
@@ -50,12 +52,13 @@ XSD_THRESH = 0.92  # the SemDeDup house threshold (x_semdedup_ivf's too)
 
 def rademacher_planes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame:
     """``(plane, signs array<double>)`` — ±1 per (plane, dim) from one
-    md5 bit (first hex char < '8' → +1). Built as a tiny DataFrame
-    (n_planes rows, broadcast into the signature scan) instead of an
-    inlined 16k-literal expression, which would blow past whole-stage
-    codegen's method-size limit and fall back to interpreted eval.
-    DuckDB mirrors the construction with ``md5(p || ':' || d)`` on the
-    same decimal strings, so the hyperplanes are identical constants on
+    md5 bit (first hex char < '8' → +1), as a tiny broadcastable
+    DataFrame. This is the REFERENCE construction (tests prove the
+    in-row literal twin :func:`rademacher_band_keys` equal to it
+    key-for-key); the production signature path inlines the same
+    planes per-row to avoid materializing n×P joined rows. DuckDB
+    mirrors the construction with ``md5(p || ':' || d)`` on the same
+    decimal strings, so the hyperplanes are identical constants on
     both engines — no literal tables to keep in sync."""
     return spark.range(n_planes).select(
         F.col("id").cast("int").alias("plane"),
@@ -91,6 +94,62 @@ def _fold_dot(a, b):
     )
 
 
+def _sign_py(plane: int, dim: int) -> float:
+    """Python twin of the md5 sign rule (first hex char < '8' → +1);
+    hashlib and Spark's md5() agree byte-for-byte on the same input."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{plane}:{dim}".encode()).digest()[0] < 128 else -1.0
+
+
+def rademacher_band_keys(emb, dim: int):
+    """All XSD_BANDS band keys for one embedding column IN-ROW, with
+    the hyperplanes inlined as one literal array-of-arrays (computed
+    driver-side from the same md5 rule). TEST-ONLY reference twin of
+    the production broadcast-frame path: Catalyst re-evaluates the
+    16k-literal CreateArray for EVERY row, which measured ~10× slower
+    than the narrow-row broadcast join at the ×16 probe scale — but as
+    an independent construction it pins the signature semantics
+    (tests/test_round9_ops.py asserts key-for-key equality with
+    :func:`rademacher_planes`). Returns an array of XSD_BANDS bigint
+    keys (bit pos = plane index within the band, matching the
+    frame/oracle packing)."""
+    planes_lit = F.array(
+        *[
+            F.array(
+                *[F.lit(_sign_py(p, d)) for d in range(dim)]
+            )
+            for p in range(XSD_PLANES)
+        ]
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda h: F.when(_fold_dot(emb, h) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    # weight 2^i for slice position i == plane % BITS — identical
+    # packing to the frame version's `bit << (plane % BITS)` and the
+    # oracle's `bit * (1 << (p % BITS))`
+    weights = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(XSD_BITS)]
+    )
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(bits, b * XSD_BITS + 1, XSD_BITS),
+                    weights,
+                    lambda bit, w: bit.cast("long") * w,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for b in range(XSD_BANDS)
+        ]
+    )
+
+
 def semdedup_banded(
     em: DataFrame, threshold: float = XSD_THRESH
 ) -> DataFrame:
@@ -105,7 +164,10 @@ def semdedup_banded(
     planes = rademacher_planes(spark, XSD_PLANES, dim)
 
     # one n×P broadcast scan → bit per (vec, plane); the groupBy
-    # map-side-combines to n×B band keys before the only wide shuffle
+    # map-side-combines to n×B band keys before the only wide shuffle.
+    # (The in-row literal-planes twin — rademacher_band_keys — is
+    # test-only: a 16k-literal CreateArray is re-evaluated PER ROW and
+    # measured ~10× slower than this narrow-row broadcast join.)
     bits = (
         em.select("vec_id", "embedding")
         .crossJoin(F.broadcast(planes))

@@ -59,53 +59,70 @@ def test_semdedup_banded_planted_recall(spark):
     assert {r["label"] for r in rows} == labels
 
 
-def test_band_keys_shape(spark):
-    """Every vector gets exactly XSD_BANDS band keys in [0, 2^bits)."""
+def test_band_keys_inrow_equals_broadcast_frame(spark):
+    """The in-row literal-planes band keys (the production path) must
+    equal the broadcast-frame computation key-for-key — two independent
+    constructions of the same signature, plus shape bounds."""
     from pyspark.sql import functions as F
 
+    from googleanalytics_etl_spark.ops.round9 import rademacher_band_keys
+
     em = load(spark, SF_SMALL, "embeddings").limit(50)
-    planes = rademacher_planes(spark, XSD_PLANES, 64)
-    bits = (
-        em.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(planes))
-        .select(
+    inrow = {
+        (r["vec_id"], r["band"]): r["bkey"]
+        for r in em.select(
             "vec_id",
-            "plane",
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        "embedding",
-                        "signs",
-                        lambda x, s: x.cast("double") * s,
-                    ),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
+            F.posexplode(
+                rademacher_band_keys(F.col("embedding"), 64)
+            ).alias("band", "bkey"),
+        ).collect()
+    }
+    planes = rademacher_planes(spark, XSD_PLANES, 64)
+    frame = {
+        (r["vec_id"], r["band"]): r["bkey"]
+        for r in (
+            em.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(planes))
+            .select(
+                "vec_id",
+                "plane",
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            "embedding",
+                            "signs",
+                            lambda x, s: x.cast("double") * s,
+                        ),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                    >= 0,
+                    1,
                 )
-                >= 0,
-                1,
+                .otherwise(0)
+                .alias("bit"),
             )
-            .otherwise(0)
-            .alias("bit"),
+            .withColumn(
+                "band", F.expr(f"CAST(plane DIV {XSD_BITS} AS INT)")
+            )
+            .withColumn(
+                "addend",
+                F.expr(
+                    f"CAST(bit AS BIGINT) * shiftleft(CAST(1 AS BIGINT),"
+                    f" plane % {XSD_BITS})"
+                ),
+            )
+            .groupBy("vec_id", "band")
+            .agg(F.sum("addend").alias("bkey"))
+            .collect()
         )
-    )
-    buckets = (
-        bits.withColumn("band", F.expr(f"CAST(plane DIV {XSD_BITS} AS INT)"))
-        .withColumn(
-            "addend",
-            F.expr(
-                f"CAST(bit AS BIGINT) * shiftleft(CAST(1 AS BIGINT),"
-                f" plane % {XSD_BITS})"
-            ),
-        )
-        .groupBy("vec_id", "band")
-        .agg(F.sum("addend").alias("bkey"))
-        .collect()
-    )
+    }
+    assert inrow == frame
     per_vec: dict[int, int] = {}
-    for r in buckets:
-        per_vec[r["vec_id"]] = per_vec.get(r["vec_id"], 0) + 1
-        assert 0 <= r["band"] < XSD_BANDS
-        assert 0 <= r["bkey"] < (1 << XSD_BITS)
+    for (vid, band), bkey in inrow.items():
+        per_vec[vid] = per_vec.get(vid, 0) + 1
+        assert 0 <= band < XSD_BANDS
+        assert 0 <= bkey < (1 << XSD_BITS)
     assert all(c == XSD_BANDS for c in per_vec.values())
 
 
