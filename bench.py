@@ -275,8 +275,11 @@ HEADLINE = [
     "s_countmin_merge",
     "s_semdedup",
     # round 9: x_semdedup above now measures the banded-LSH scale path;
-    # the ⌈√n⌉-IVF variant it replaced stays benched under its own key
+    # the ⌈√n⌉-IVF variant it replaced stays benched under its own key,
+    # plus the banded survivors artifact and the S-curve certification
     "x_semdedup_ivf",
+    "x_semdedup_survivors_banded",
+    "x_signlsh_tuning",
 ]
 
 

@@ -35,6 +35,8 @@ streaming fold uses the same sign-LSH machinery.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -150,24 +152,13 @@ def rademacher_band_keys(emb, dim: int):
     )
 
 
-def semdedup_banded(
-    em: DataFrame, threshold: float = XSD_THRESH
-) -> DataFrame:
-    """Banded semantic dedup over ``(vec_id, embedding, label)`` rows:
-    sign-LSH candidates → exact-cosine verify → per-label counts
-    ``(label, n_members, n_dup_pairs, n_removed)``. Pairs and removals
-    are attributed to the DROPPED (higher-id) side's label — the view a
-    mixture-rebalancing step consumes. Keep-lowest-id survivorship,
-    same as the MinHash family."""
+def banded_buckets(em: DataFrame) -> DataFrame:
+    """``(vec_id, band, bkey)`` sign-LSH band keys for every vector —
+    the shared candidate-generation front end of the banded family
+    (x_semdedup counts, survivors, and the S-curve tuning probe)."""
     spark = em.sparkSession
     dim = len(em.select("embedding").first()["embedding"])
     planes = rademacher_planes(spark, XSD_PLANES, dim)
-
-    # one n×P broadcast scan → bit per (vec, plane); the groupBy
-    # map-side-combines to n×B band keys before the only wide shuffle.
-    # (The in-row literal-planes twin — rademacher_band_keys — is
-    # test-only: a 16k-literal CreateArray is re-evaluated PER ROW and
-    # measured ~10× slower than this narrow-row broadcast join.)
     bits = (
         em.select("vec_id", "embedding")
         .crossJoin(F.broadcast(planes))
@@ -179,7 +170,7 @@ def semdedup_banded(
             .alias("bit"),
         )
     )
-    buckets = (
+    return (
         bits.withColumn("band", F.expr(f"CAST(plane DIV {XSD_BITS} AS INT)"))
         .withColumn(
             "addend",
@@ -191,12 +182,17 @@ def semdedup_banded(
         .groupBy("vec_id", "band")
         .agg(F.sum("addend").cast("long").alias("bkey"))
     )
+
+
+def banded_dup(em: DataFrame, threshold: float = XSD_THRESH) -> DataFrame:
+    """Verified duplicate pairs under the banded rule: ``(old_id,
+    new_id, new_label)`` rows where the pair shares ≥1 sign-LSH band
+    and exact round-6 cosine ≥ ``threshold``. ``new_id`` (higher id) is
+    the drop side — keep-lowest-id survivorship."""
+    buckets = banded_buckets(em)
     cand = (
         buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            ["band", "bkey"],
-        )
+        .join(buckets.alias("b"), ["band", "bkey"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("old_id"),
@@ -204,7 +200,6 @@ def semdedup_banded(
         )
         .distinct()
     )
-    # exact verify on candidates only; norms hoisted to vector grain
     normed = em.select(
         "vec_id",
         "label",
@@ -217,7 +212,7 @@ def semdedup_banded(
             )
         ).alias("nrm"),
     )
-    dup = (
+    return (
         cand.join(
             normed.select(
                 F.col("vec_id").alias("old_id"),
@@ -243,7 +238,24 @@ def semdedup_banded(
             )
             >= threshold
         )
+        .select("old_id", "new_id", "new_label")
     )
+
+
+def semdedup_banded(
+    em: DataFrame, threshold: float = XSD_THRESH
+) -> DataFrame:
+    """Banded semantic dedup over ``(vec_id, embedding, label)`` rows:
+    sign-LSH candidates → exact-cosine verify → per-label counts
+    ``(label, n_members, n_dup_pairs, n_removed)``. Pairs and removals
+    are attributed to the DROPPED (higher-id) side's label — the view a
+    mixture-rebalancing step consumes. Keep-lowest-id survivorship,
+    same as the MinHash family."""
+    # (The in-row literal-planes twin — rademacher_band_keys — is
+    # test-only: a 16k-literal CreateArray is re-evaluated PER ROW and
+    # measured ~10× slower than banded_buckets' narrow-row broadcast
+    # join.)
+    dup = banded_dup(em, threshold)
     dups_by_label = dup.groupBy(F.col("new_label").alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
         F.countDistinct("new_id").cast("long").alias("n_removed"),
@@ -259,17 +271,21 @@ def semdedup_banded(
     )
 
 
-def _xsemdedup_oracle() -> str:
-    # the hyperplanes are REBUILT in SQL from the same md5 bits — no
-    # literal table to drift; fold order and ROUND(,6) mirror the Spark
-    # side term-for-term (1-based list_transform index == dim+1)
-    return f"""
-WITH corpus AS (
+# Shared SQL chain for the banded family. The hyperplanes are REBUILT
+# in SQL from the same md5 bits — no literal table to drift; fold order
+# and ROUND(,6) mirror the Spark side term-for-term (1-based
+# list_transform index == dim+1). Callers prepend a `corpus` CTE
+# (vec_id, e DOUBLE[], label) and append their final SELECT.
+_PLANTED_CORPUS_SQL = """corpus AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
     UNION ALL
     SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e, label
     FROM embeddings WHERE vec_id < 10
-), dims AS (
+)"""
+
+
+def _banded_ctes(corpus_sql: str = _PLANTED_CORPUS_SQL) -> str:
+    return f"""{corpus_sql}, dims AS (
     -- dimension spine derived from the data (generate_subscripts is
     -- 1-based; the md5 keys use 0-based dims like the Spark side)
     SELECT generate_subscripts(e, 1) - 1 AS d
@@ -310,7 +326,12 @@ WITH corpus AS (
     WHERE ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
               list_transform(na.e, (x, i) -> x * nb.e[i])), (a, v) -> a + v)
               / (na.nrm * nb.nrm), 6) >= {XSD_THRESH}
-)
+)"""
+
+
+def _xsemdedup_oracle() -> str:
+    return f"""
+WITH {_banded_ctes()}
 SELECT m.label,
        CAST(m.n_members AS BIGINT) AS n_members,
        CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
@@ -343,3 +364,230 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return semdedup_banded(em)
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_survivors_banded — the deduplicated corpus under the banded rule
+# ---------------------------------------------------------------------------
+
+_XSD_SURV_ORACLE = f"""
+WITH {_banded_ctes()}
+SELECT c.vec_id, c.label
+FROM corpus c
+LEFT JOIN (SELECT DISTINCT new_id FROM dup) d ON d.new_id = c.vec_id
+WHERE d.new_id IS NULL
+"""
+
+
+@register("x_semdedup_survivors_banded", oracle=_XSD_SURV_ORACLE)
+def x_semdedup_survivors_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER banded semantic dedup — every vector surviving
+    keep-lowest-id survivorship under the sign-LSH rule (the artifact a
+    training run actually consumes; ``x_semdedup`` reports the
+    per-label counts of the same pass, and tests assert survivors +
+    removed = members label-for-label). Same shape as the IVF family's
+    ``x_semdedup_survivors`` and the streaming fold ``s_semdedup`` —
+    batch banded dedup completes the 2×2 (batch/streaming ×
+    IVF/banded) semantic-dedup matrix. Cost: the shared
+    :func:`banded_dup` front end plus one anti-join.
+    """
+    base = load(spark, sf_dir, "embeddings")
+    em = base.select("vec_id", "embedding", "label").unionByName(
+        base.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    dropped = banded_dup(em).select(
+        F.col("new_id").alias("vec_id")
+    ).distinct()
+    return em.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# x_signlsh_tuning — empirical vs analytic banding S-curve (vector twin of
+# x_lsh_tuning's MinHash certification)
+# ---------------------------------------------------------------------------
+
+_SLT_PANEL = 200  # fixed probe panel: vec_id < 200 exists at every SF
+
+
+_SLT_MIXES = [(0, 0.8), (1, 0.4), (2, 0.2), (3, 0.1), (4, 0.05)]
+_SLT_BASES = 40  # planted mixes for vec_id < 40 (partner = vec_id + 1)
+
+
+def _slt_oracle() -> str:
+    # panel corpus: 200 organic vectors (cosine spectrum tops out
+    # ~0.5) PLUS controlled high-cosine plants — for each base < 40,
+    # five blends base + w*next at deterministic weights, filling the
+    # 0.8..1.0 buckets where the recall claim lives. Same banded CTE
+    # chain, then per-cosine-bucket match rates beside the closed-form
+    # banding curve at the bucket midpoint (fixed constants, ulp-safe
+    # after ROUND 6).
+    mixes = ", ".join(
+        f"({k}, CAST({w} AS DOUBLE))" for k, w in _SLT_MIXES
+    )
+    panel = f"""organic AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    WHERE vec_id < {_SLT_PANEL}
+), planted AS (
+    SELECT 1000 + a.vec_id * 5 + m.k AS vec_id,
+           list_transform(a.e, (x, i) -> x + m.w * b.e[i]) AS e
+    FROM organic a
+    JOIN organic b ON b.vec_id = a.vec_id + 1
+    CROSS JOIN (VALUES {mixes}) m(k, w)
+    WHERE a.vec_id < {_SLT_BASES}
+), corpus AS (
+    SELECT vec_id, e, 0 AS label FROM organic
+    UNION ALL
+    SELECT vec_id, e, 0 AS label FROM planted
+)"""
+    return f"""
+WITH {_banded_ctes(panel)}, pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(a.e, (x, i) -> x * b.e[i])), (s, v) -> s + v)
+               / (a.nrm * b.nrm), 6) AS cosim
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+), flagged AS (
+    SELECT p.id_a, p.id_b, p.cosim,
+           CASE WHEN c.old_id IS NULL THEN 0 ELSE 1 END AS band_match
+    FROM pairs p
+    LEFT JOIN (SELECT DISTINCT old_id, new_id FROM cand) c
+           ON c.old_id = p.id_a AND c.new_id = p.id_b
+), bucketed AS (
+    SELECT CAST(FLOOR(cosim * 10) AS INT) AS bucket,
+           COUNT(*) AS n_pairs, SUM(band_match) AS n_match
+    FROM flagged GROUP BY 1
+)
+SELECT bucket,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_match AS BIGINT) AS n_match,
+       ROUND(CAST(n_match AS DOUBLE) / n_pairs, 6) AS match_rate,
+       ROUND(1 - POWER(1 - POWER(1 - ACOS((bucket + 0.5) / 10.0) / PI(),
+                                 {XSD_BITS}),
+                       {XSD_BANDS}), 6) AS analytic_rate
+FROM bucketed
+"""
+
+
+@register("x_signlsh_tuning", oracle=_slt_oracle())
+def x_signlsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH banding S-curve certification — the vector twin of
+    ``x_lsh_tuning`` (which certifies the MinHash bands): over a fixed
+    {panel}-vector probe panel (all C({panel},2) pairs — bounded
+    metadata at ANY corpus size, the curve is a property of the
+    CONSTRUCTION, not the corpus), measure the empirical ≥1-of-{bands}
+    band match rate per exact-cosine decile and set it beside the
+    closed-form banding curve 1-(1-p^{bits})^{bands} with
+    p = 1 - acos(mid)/π at the bucket midpoint. This is the in-engine
+    evidence for the recall figures SCALE.md §12 quotes for the banded
+    ``x_semdedup`` (≈0.85 at 0.92, →1 above 0.98) — and the knob chart
+    an operator would read before re-banding for a different threshold.
+    """
+    base = load(spark, sf_dir, "embeddings")
+    organic = base.where(F.col("vec_id") < _SLT_PANEL).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    mixes = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(w).alias("w"))
+            for k, w in _SLT_MIXES
+        ]
+    )
+    planted = (
+        organic.alias("a")
+        .where(F.col("a.vec_id") < _SLT_BASES)
+        .join(
+            organic.alias("b"),
+            F.col("b.vec_id") == F.col("a.vec_id") + 1,
+        )
+        .select(
+            F.col("a.vec_id").alias("base_id"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+            F.explode(mixes).alias("m"),
+        )
+        .select(
+            (F.lit(1000) + F.col("base_id") * 5 + F.col("m.k")).alias(
+                "vec_id"
+            ),
+            F.zip_with(
+                "ea", "eb", lambda x, y: x + F.col("m.w") * y
+            ).alias("embedding"),
+        )
+    )
+    em = organic.select("vec_id", "embedding").unionByName(planted)
+    buckets = banded_buckets(em)
+    matched = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bkey"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("band_match", F.lit(1))
+    )
+    normed = em.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+    pairs = (
+        normed.alias("a")
+        .join(
+            normed.alias("b"),
+            F.col("a.vec_id") < F.col("b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                _fold_dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosim"),
+        )
+    )
+    flagged = pairs.join(matched, ["id_a", "id_b"], "left").select(
+        "cosim", F.coalesce("band_match", F.lit(0)).alias("band_match")
+    )
+    mid = (F.col("bucket") + 0.5) / 10.0
+    p_bit = 1 - F.acos(mid) / F.lit(math.pi)
+    analytic = 1 - F.pow(1 - F.pow(p_bit, F.lit(XSD_BITS)), F.lit(XSD_BANDS))
+    return (
+        flagged.withColumn(
+            "bucket", F.floor(F.col("cosim") * 10).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("band_match").cast("long").alias("n_match"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_match",
+            F.round(
+                F.col("n_match").cast("double") / F.col("n_pairs"), 6
+            ).alias("match_rate"),
+            F.round(analytic, 6).alias("analytic_rate"),
+        )
+    )
+
+
+x_signlsh_tuning.__doc__ = x_signlsh_tuning.__doc__.format(
+    panel=_SLT_PANEL, bands=XSD_BANDS, bits=XSD_BITS
+)

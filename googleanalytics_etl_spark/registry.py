@@ -370,18 +370,21 @@ _ROUND9_HEAD: list[str] = (
     + _R2_TAIL
 )
 
+# round-9 LATE additions (registered after the round-9 window froze —
+# never driver-tested, so they lead round 10 per the standing rotation
+# discipline; both already hash-verified in-repo at sf0.01 AND sf0.1)
+_R9_LATE: list[str] = ["x_semdedup_survivors_banded", "x_signlsh_tuning"]
+
 # Round 10 head start (pre-staged per the round-8 verdict's rotation
-# discipline): with round 9 clearing the last never-driver-tested keys,
-# the rotation becomes pure refresh. The 37 keys whose latest evidence
-# is still round 2 (the _R2_TAIL overflow round 9's window didn't
-# reach) lead, followed by the 13 oldest round-3-era keys to fill the
-# 50-slot window. Flip with `_WINDOW_OVERRIDE = _ROUND10_HEAD` as
-# round 10's first commit.
-_ROUND10_HEAD: list[str] = _R2_TAIL[12:] + [
+# discipline): the two round-9 late additions lead (first-ever driver
+# rows), then the 37 keys whose latest evidence is still round 2 (the
+# _R2_TAIL overflow round 9's window didn't reach), then the oldest
+# round-3-era keys to fill the 50-slot window. Flip with
+# `_WINDOW_OVERRIDE = _ROUND10_HEAD` as round 10's first commit.
+_ROUND10_HEAD: list[str] = _R9_LATE + _R2_TAIL[12:] + [
     "q_attribution", "q_bounce_rate", "q_cast_types", "q_correlation",
     "q_entry_exit", "q_ewma", "q_gap_fill", "q_histogram",
     "q_incremental_agg", "q_path_transitions", "q_percentiles",
-    "q_skew_distinct", "q_skew_join",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND9_HEAD

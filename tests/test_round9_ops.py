@@ -212,3 +212,47 @@ def test_semdedup_banded_differential_replay(spark):
     assert got == want
     # sanity on the fixture itself: all 5 exact + all 3 near dups found
     assert sum(d["n_removed"] for d in want.values()) == 8
+
+
+def test_survivors_banded_consistent_with_counts(spark):
+    """survivors + removed = members, label by label, against the
+    x_semdedup per-label count report (same banded pass)."""
+    counts = {
+        r["label"]: r
+        for r in queries()["x_semdedup"](spark, SF_SMALL).collect()
+    }
+    surv = queries()["x_semdedup_survivors_banded"](spark, SF_SMALL).collect()
+    per_label: dict[int, int] = {}
+    for r in surv:
+        per_label[r["label"]] = per_label.get(r["label"], 0) + 1
+    assert set(per_label) <= set(counts)
+    for lab, row in counts.items():
+        assert per_label.get(lab, 0) == row["n_members"] - row["n_removed"]
+    # planted copies (vec_id >= 1e6) never survive; all organics do
+    ids = {r["vec_id"] for r in surv}
+    assert not any(v >= 1_000_000 for v in ids)
+    assert len(ids) == len(surv)
+
+
+def test_signlsh_tuning_curve_shape(spark):
+    """The empirical banding S-curve: monotone-ish rise across the
+    planted high-cosine buckets, near-zero collision rate at organic
+    low cosine, and empirical-vs-analytic agreement in the top bucket
+    (the recall figure SCALE.md quotes for the banded x_semdedup)."""
+    rows = {
+        r["bucket"]: r
+        for r in queries()["x_signlsh_tuning"](spark, SF_SMALL).collect()
+    }
+    # the planted blends guarantee populated high-cosine buckets
+    assert 9 in rows and rows[9]["n_pairs"] > 0
+    top = rows[9]
+    assert top["match_rate"] > 0.9  # near-dups are nearly always caught
+    assert abs(top["match_rate"] - top["analytic_rate"]) < 0.1
+    # organic near-orthogonal buckets: collision rate stays tiny
+    for b in (-2, -1, 0, 1):
+        if b in rows:
+            assert rows[b]["match_rate"] < 0.01
+    # analytic curve is monotone in the bucket midpoint
+    buckets = sorted(rows)
+    analytic = [rows[b]["analytic_rate"] for b in buckets]
+    assert analytic == sorted(analytic)
