@@ -280,6 +280,7 @@ HEADLINE = [
     "x_semdedup_ivf",
     "x_semdedup_survivors_banded",
     "x_signlsh_tuning",
+    "x_semdedup_incremental",
 ]
 
 

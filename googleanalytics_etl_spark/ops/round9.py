@@ -548,7 +548,10 @@ def x_signlsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         normed.alias("a")
         .join(
-            normed.alias("b"),
+            # the probe panel is FIXED-size (400 rows) — broadcast it
+            # so the non-equi pair join is the declared bounded BNLJ,
+            # never a partitioned cartesian product
+            F.broadcast(normed.alias("b")),
             F.col("a.vec_id") < F.col("b.vec_id"),
         )
         .select(
@@ -590,4 +593,320 @@ def x_signlsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 x_signlsh_tuning.__doc__ = x_signlsh_tuning.__doc__.format(
     panel=_SLT_PANEL, bands=XSD_BANDS, bits=XSD_BITS
+)
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_incremental — daily embedding ingest vs a PERSISTED banded index
+# ---------------------------------------------------------------------------
+
+_XSI_IDX_BUCKETS = 64  # band-index hive buckets (hash of (band, bkey))
+_XSI_VEC_BUCKETS = 32  # vector-store hive buckets (hash of vec_id)
+
+
+def _xsi_stage(spark: SparkSession, sf_dir: str):
+    """Stage the STANDING corpus as two pruned hive-bucketed stores
+    (fingerprint-cached, atomic publish): a narrow band index
+    ``bucket=K/(band, bkey, vec_id)`` and a vector store
+    ``vbucket=J/(vec_id, embedding, nrm)``. This materializes SCALE.md
+    §11's "bucketBy(band, key) parquet is a sink change, not a plan
+    change" claim: the daily batch's candidate join reads ONLY the
+    buckets its own band keys hash into, and the verify join reads
+    ONLY the vector buckets its candidate partners hash into —
+    per-day IO bounded by the batch's key spread, never the
+    accumulated index size (the upsert_append / CDC-state layout,
+    sources/sinks.py:88)."""
+    import hashlib
+    import os
+    from pathlib import Path as _P
+
+    from .streaming import SCRATCH, stage_atomic
+
+    src = _P(sf_dir) / "embeddings.parquet"
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|xsi1".encode()
+    ).hexdigest()[:16]
+    root = SCRATCH / "xsi_index" / f"{_P(sf_dir).name}_{fp}"
+
+    def _build(tmp) -> None:
+        corpus = load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ).alias("nrm"),
+        )
+        (
+            banded_buckets(corpus)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("band", "bkey"), F.lit(_XSI_IDX_BUCKETS)),
+            )
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(str(_P(tmp) / "band_index"))
+        )
+        (
+            corpus.withColumn(
+                "vbucket",
+                F.pmod(F.xxhash64("vec_id"), F.lit(_XSI_VEC_BUCKETS)),
+            )
+            .repartition("vbucket")
+            .write.partitionBy("vbucket")
+            .mode("overwrite")
+            .parquet(str(_P(tmp) / "vec_store"))
+        )
+
+    return stage_atomic(root, _build)
+
+
+def _xsi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 'daily batch': 10 near-copies of corpus
+    vectors 0..9 (base + 0.01·next — cosine ≈ 0.99995, to be dropped),
+    5 exact copies of vectors 10..14 (dropped), and 10 far blends of
+    vectors 20..29 (base + 0.8·next — cosine ≈ 0.8, kept). All three
+    constructions are pure arithmetic on corpus rows, so the DuckDB
+    oracle rebuilds the identical batch."""
+    organic = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = organic.alias("a")
+    b = organic.alias("b")
+    nxt = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("base_id"),
+        F.col("a.e").alias("ea"),
+        F.col("b.e").alias("eb"),
+    )
+    near = nxt.where(F.col("base_id") < 10).select(
+        (F.lit(2_000_000) + F.col("base_id")).alias("vec_id"),
+        F.zip_with("ea", "eb", lambda x, y: x + F.lit(0.01) * y).alias(
+            "embedding"
+        ),
+    )
+    exact = (
+        organic.where(
+            (F.col("vec_id") >= 10) & (F.col("vec_id") < 15)
+        ).select(
+            (F.lit(2_000_100) + F.col("vec_id")).alias("vec_id"),
+            F.col("e").alias("embedding"),
+        )
+    )
+    far = nxt.where(
+        (F.col("base_id") >= 20) & (F.col("base_id") < 30)
+    ).select(
+        (F.lit(2_000_200) + F.col("base_id")).alias("vec_id"),
+        F.zip_with("ea", "eb", lambda x, y: x + F.lit(0.8) * y).alias(
+            "embedding"
+        ),
+    )
+    return near.unionByName(exact).unionByName(far)
+
+
+_XSI_ORACLE = f"""
+WITH organic AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), nxt AS (
+    SELECT a.vec_id AS base_id, a.e AS ea, b.e AS eb
+    FROM organic a JOIN organic b ON b.vec_id = a.vec_id + 1
+), batch AS (
+    SELECT 2000000 + base_id AS vec_id,
+           list_transform(ea, (x, i) -> x + CAST(0.01 AS DOUBLE) * eb[i]) AS e
+    FROM nxt WHERE base_id < 10
+    UNION ALL
+    SELECT 2000100 + vec_id AS vec_id, e FROM organic
+    WHERE vec_id >= 10 AND vec_id < 15
+    UNION ALL
+    SELECT 2000200 + base_id AS vec_id,
+           list_transform(ea, (x, i) -> x + CAST(0.8 AS DOUBLE) * eb[i]) AS e
+    FROM nxt WHERE base_id >= 20 AND base_id < 30
+), corpus AS (
+    SELECT vec_id, e, 0 AS label FROM organic
+    UNION ALL
+    SELECT vec_id, e, 0 AS label FROM batch
+), dims AS (
+    SELECT generate_subscripts(e, 1) - 1 AS d
+    FROM (SELECT e FROM corpus LIMIT 1)
+), pd AS (
+    SELECT p, d,
+           CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),
+                            1, 1) < '8'
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+    FROM range({XSD_PLANES}) t(p) CROSS JOIN dims
+), planes AS (
+    SELECT p, LIST(s ORDER BY d) AS sv FROM pd GROUP BY p
+), bits AS (
+    SELECT c.vec_id, pl.p,
+           CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(c.e, (x, i) -> x * pl.sv[i])),
+                    (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM corpus c, planes pl
+), buckets AS (
+    SELECT vec_id, p // {XSD_BITS} AS band,
+           SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (p % {XSD_BITS})))
+               AS bkey
+    FROM bits GROUP BY vec_id, p // {XSD_BITS}
+), cand AS (
+    -- new-side pairs ONLY: batch vs corpus, and batch vs earlier-batch
+    SELECT DISTINCT a.vec_id AS old_id, b.vec_id AS new_id
+    FROM buckets a JOIN buckets b USING (band, bkey)
+    WHERE a.vec_id < b.vec_id AND b.vec_id >= 2000000
+), normed AS (
+    SELECT vec_id, e,
+           SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(e, x -> x * x)), (a, v) -> a + v)) AS nrm
+    FROM corpus
+), dropped AS (
+    SELECT DISTINCT c.new_id AS vec_id
+    FROM cand c
+    JOIN normed na ON na.vec_id = c.old_id
+    JOIN normed nb ON nb.vec_id = c.new_id
+    WHERE ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(na.e, (x, i) -> x * nb.e[i])), (a, v) -> a + v)
+              / (na.nrm * nb.nrm), 6) >= {XSD_THRESH}
+)
+SELECT b.vec_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM batch b LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@register("x_semdedup_incremental", oracle=_XSI_ORACLE)
+def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental banded semantic dedup against a PERSISTED index —
+    the daily embedding-ingest loop with the standing corpus on disk
+    (the production form of ``s_semdedup``'s in-memory accumulation,
+    and the vector twin of ``x_dedup_incremental``):
+
+    - the standing corpus lives as two hive-bucketed parquet stores
+      (band index on hash(band,bkey); vector store on hash(vec_id)) —
+      staged once, exactly the ``upsert_append`` / CDC-state layout;
+    - the arriving batch computes its OWN band keys (one |batch|×256
+      broadcast scan), collects the ≤{ib} index buckets they hash into
+      (bounded driver metadata), and candidate-joins ONLY those hive
+      directories — `PartitionFilters` pruning, asserted by test;
+    - exact-cosine verify reads ONLY the ≤{vb} vector-store buckets
+      the candidate partners hash into, plus batch×batch self-dedup;
+    - per-day IO is bounded by the batch's key spread, never the
+      accumulated index size — the 100 TB standing-store contract.
+
+    Output: every batch row with its keep decision (planted
+    near/exact copies dropped, far blends kept). The oracle rebuilds
+    the identical batch arithmetically and computes the same banded
+    rule without any pruning — bucket layout is plan-level and
+    result-invariant, which is exactly the claim.
+    """
+    from pathlib import Path as _P
+
+    root = _xsi_stage(spark, sf_dir)
+    batch = _xsi_batch(spark, sf_dir)
+
+    bkeys = banded_buckets(batch)
+    # ≤ n_buckets ints of driver metadata — the pruning manifest
+    touched = sorted(
+        r["bucket"]
+        for r in bkeys.select(
+            F.pmod(F.xxhash64("band", "bkey"), F.lit(_XSI_IDX_BUCKETS))
+            .alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )
+    idx = spark.read.parquet(str(_P(root) / "band_index")).where(
+        F.col("bucket").isin(touched)
+    )
+    cand_corpus = (
+        bkeys.select(F.col("vec_id").alias("new_id"), "band", "bkey")
+        .join(
+            idx.select(F.col("vec_id").alias("old_id"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("old_id", "new_id")
+    )
+    # batch × earlier-batch (tiny self-join on the batch's own keys)
+    cand_self = (
+        bkeys.alias("a")
+        .join(bkeys.alias("b"), ["band", "bkey"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("old_id"),
+            F.col("b.vec_id").alias("new_id"),
+        )
+    )
+    cand = cand_corpus.unionByName(cand_self).distinct()
+
+    batch_n = batch.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+    # old side: corpus partners from the PRUNED vector store + batch
+    # partners from the in-memory batch frame
+    vtouched = sorted(
+        r["vbucket"]
+        for r in cand.where(F.col("old_id") < 2_000_000)
+        .select(
+            F.pmod(F.xxhash64("old_id"), F.lit(_XSI_VEC_BUCKETS)).alias(
+                "vbucket"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    vec_old = (
+        spark.read.parquet(str(_P(root) / "vec_store"))
+        .where(F.col("vbucket").isin(vtouched))
+        .select("vec_id", "embedding", "nrm")
+        if vtouched
+        else batch_n.limit(0)
+    )
+    old_side = vec_old.unionByName(batch_n).select(
+        F.col("vec_id").alias("old_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    dropped = (
+        cand.join(old_side, "old_id")
+        .join(
+            batch_n.select(
+                F.col("vec_id").alias("new_id"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "new_id",
+        )
+        .where(
+            F.round(
+                _fold_dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= XSD_THRESH
+        )
+        .select(F.col("new_id").alias("vec_id"))
+        .distinct()
+    )
+    return batch.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", F.lit(1).cast("long").alias("kept")
+    ).unionByName(
+        batch.join(dropped, "vec_id", "left_semi").select(
+            "vec_id", F.lit(0).cast("long").alias("kept")
+        )
+    )
+
+
+x_semdedup_incremental.__doc__ = x_semdedup_incremental.__doc__.format(
+    ib=_XSI_IDX_BUCKETS, vb=_XSI_VEC_BUCKETS
 )

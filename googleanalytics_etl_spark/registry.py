@@ -373,7 +373,10 @@ _ROUND9_HEAD: list[str] = (
 # round-9 LATE additions (registered after the round-9 window froze —
 # never driver-tested, so they lead round 10 per the standing rotation
 # discipline; both already hash-verified in-repo at sf0.01 AND sf0.1)
-_R9_LATE: list[str] = ["x_semdedup_survivors_banded", "x_signlsh_tuning"]
+_R9_LATE: list[str] = [
+    "x_semdedup_survivors_banded", "x_signlsh_tuning",
+    "x_semdedup_incremental",
+]
 
 # Round 10 head start (pre-staged per the round-8 verdict's rotation
 # discipline): the two round-9 late additions lead (first-ever driver
@@ -384,7 +387,7 @@ _R9_LATE: list[str] = ["x_semdedup_survivors_banded", "x_signlsh_tuning"]
 _ROUND10_HEAD: list[str] = _R9_LATE + _R2_TAIL[12:] + [
     "q_attribution", "q_bounce_rate", "q_cast_types", "q_correlation",
     "q_entry_exit", "q_ewma", "q_gap_fill", "q_histogram",
-    "q_incremental_agg", "q_path_transitions", "q_percentiles",
+    "q_incremental_agg", "q_path_transitions",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND9_HEAD

@@ -145,6 +145,11 @@ _BNLJ_OK = {
     "x_approx_topk",
     "x_semdedup",  # 256-row hyperplane broadcast (banded path)
     "x_semdedup_ivf",
+    # 256-row hyperplane broadcast + (tuning) the fixed 400-row probe
+    # panel's non-equi pair join — bounded by construction
+    "x_semdedup_survivors_banded",
+    "x_signlsh_tuning",
+    "x_semdedup_incremental",  # 256-row hyperplane broadcast again
     # 1-row broadcasts: vocab-size (smoothed LM), elected merge pair
     # (BPE round), global row count (equi-depth bucket arithmetic)
     "x_bigram_heldout",

@@ -256,3 +256,57 @@ def test_signlsh_tuning_curve_shape(spark):
     buckets = sorted(rows)
     analytic = [rows[b]["analytic_rate"] for b in buckets]
     assert analytic == sorted(analytic)
+
+
+def test_semdedup_incremental_decisions_and_pruning(spark):
+    """The daily batch vs the persisted banded index: planted near and
+    exact copies dropped, far blends kept — and the index reads are
+    PARTITION-PRUNED (the touched-buckets-only IO contract)."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.ops.round9 import (
+        _XSI_IDX_BUCKETS,
+        _xsi_stage,
+    )
+
+    out = queries()["x_semdedup_incremental"](spark, SF_SMALL)
+    rows = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(rows) == 25
+    near = {v for v in rows if 2_000_000 <= v < 2_000_100}
+    exact = {v for v in rows if 2_000_100 <= v < 2_000_200}
+    far = {v for v in rows if v >= 2_000_200}
+    assert len(near) == 10 and len(exact) == 5 and len(far) == 10
+    # near copies (cosine ≈ 0.99995) and exact copies are dropped
+    assert all(rows[v] == 0 for v in near)
+    assert all(rows[v] == 0 for v in exact)
+    # far blends (cosine ≈ 0.8 < 0.92) are kept
+    assert all(rows[v] == 1 for v in far)
+
+    # pruning: the plan's band-index scan carries PartitionFilters on
+    # the bucket column (hive-dir pruning, not a full index read)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # and directly: a touched-bucket filter READS a strict subset of
+    # the index's bucket directories (input_file_name over the executed
+    # scan — inputFiles() would report the unpruned relation listing)
+    root = _xsi_stage(spark, SF_SMALL)
+    idx = spark.read.parquet(f"{root}/band_index")
+    all_files = {
+        r[0]
+        for r in idx.select(F.input_file_name()).distinct().collect()
+    }
+    some = {
+        r[0]
+        for r in idx.where(F.col("bucket").isin([0, 1, 2]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert some and some < all_files
+    assert all("/bucket=" in f for f in some)
+    assert {f.split("/bucket=")[1].split("/")[0] for f in some} <= {
+        "0",
+        "1",
+        "2",
+    }
