@@ -310,3 +310,55 @@ def test_semdedup_incremental_decisions_and_pruning(spark):
         "1",
         "2",
     }
+
+
+# --- hypothesis fuzz: banded pipeline vs the plain-Python replay --------
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FUZZ_X = max(1, int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1")))
+
+
+@settings(
+    max_examples=4 * _FUZZ_X,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=6, max_value=24),
+    dim=st.sampled_from([4, 8, 12]),
+    n_dups=st.integers(min_value=0, max_value=4),
+)
+def test_semdedup_banded_fuzz_vs_python(spark, seed, n, dim, n_dups):
+    """Randomized differential check of the whole banded pipeline:
+    hypothesis drives corpus shape (size, dimension, planted-dup
+    count); each generated corpus is deterministic, and the Spark
+    result must equal the plain-Python replay exactly — including the
+    zero-dup and tiny-corpus edges the fixed-seed test never visits."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs = {i: [float(x) for x in base[i]] for i in range(n)}
+    labels = {i: i % 3 for i in range(n)}
+    for j in range(min(n_dups, n)):
+        vecs[500 + j] = vecs[j]
+        labels[500 + j] = labels[j]
+
+    em = spark.createDataFrame(
+        [(v, vecs[v], labels[v]) for v in sorted(vecs)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = {
+        r["label"]: (r["n_members"], r["n_dup_pairs"], r["n_removed"])
+        for r in semdedup_banded(em).collect()
+    }
+    want = {
+        lab: (d["n_members"], d["n_dup_pairs"], d["n_removed"])
+        for lab, d in _python_banded(vecs, labels).items()
+    }
+    assert got == want
