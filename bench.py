@@ -281,6 +281,7 @@ HEADLINE = [
     "x_semdedup_survivors_banded",
     "x_signlsh_tuning",
     "x_semdedup_incremental",
+    "x_semdedup_threshold_curve",
 ]
 
 

@@ -417,18 +417,15 @@ _SLT_MIXES = [(0, 0.8), (1, 0.4), (2, 0.2), (3, 0.1), (4, 0.05)]
 _SLT_BASES = 40  # planted mixes for vec_id < 40 (partner = vec_id + 1)
 
 
-def _slt_oracle() -> str:
-    # panel corpus: 200 organic vectors (cosine spectrum tops out
-    # ~0.5) PLUS controlled high-cosine plants — for each base < 40,
-    # five blends base + w*next at deterministic weights, filling the
-    # 0.8..1.0 buckets where the recall claim lives. Same banded CTE
-    # chain, then per-cosine-bucket match rates beside the closed-form
-    # banding curve at the bucket midpoint (fixed constants, ulp-safe
-    # after ROUND 6).
+def _slt_panel_sql() -> str:
+    """Panel corpus CTE: 200 organic vectors (cosine spectrum tops out
+    ~0.5) PLUS controlled high-cosine plants — for each base < 40, five
+    blends base + w·next at deterministic weights, filling the 0.8..1.0
+    region. Shared by the S-curve and threshold-curve oracles."""
     mixes = ", ".join(
         f"({k}, CAST({w} AS DOUBLE))" for k, w in _SLT_MIXES
     )
-    panel = f"""organic AS (
+    return f"""organic AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     WHERE vec_id < {_SLT_PANEL}
 ), planted AS (
@@ -443,6 +440,51 @@ def _slt_oracle() -> str:
     UNION ALL
     SELECT vec_id, e, 0 AS label FROM planted
 )"""
+
+
+def _slt_panel_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`_slt_panel_sql` — identical arithmetic, so
+    both probe keys (S-curve, threshold curve) see the same corpus."""
+    base = load(spark, sf_dir, "embeddings")
+    organic = base.where(F.col("vec_id") < _SLT_PANEL).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    mixes = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(w).alias("w"))
+            for k, w in _SLT_MIXES
+        ]
+    )
+    planted = (
+        organic.alias("a")
+        .where(F.col("a.vec_id") < _SLT_BASES)
+        .join(
+            organic.alias("b"),
+            F.col("b.vec_id") == F.col("a.vec_id") + 1,
+        )
+        .select(
+            F.col("a.vec_id").alias("base_id"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+            F.explode(mixes).alias("m"),
+        )
+        .select(
+            (F.lit(1000) + F.col("base_id") * 5 + F.col("m.k")).alias(
+                "vec_id"
+            ),
+            F.zip_with(
+                "ea", "eb", lambda x, y: x + F.col("m.w") * y
+            ).alias("embedding"),
+        )
+    )
+    return organic.select("vec_id", "embedding").unionByName(planted)
+
+
+def _slt_oracle() -> str:
+    panel = _slt_panel_sql()
     return f"""
 WITH {_banded_ctes(panel)}, pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -486,42 +528,7 @@ def x_signlsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``x_semdedup`` (≈0.85 at 0.92, →1 above 0.98) — and the knob chart
     an operator would read before re-banding for a different threshold.
     """
-    base = load(spark, sf_dir, "embeddings")
-    organic = base.where(F.col("vec_id") < _SLT_PANEL).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    mixes = F.array(
-        *[
-            F.struct(F.lit(k).alias("k"), F.lit(w).alias("w"))
-            for k, w in _SLT_MIXES
-        ]
-    )
-    planted = (
-        organic.alias("a")
-        .where(F.col("a.vec_id") < _SLT_BASES)
-        .join(
-            organic.alias("b"),
-            F.col("b.vec_id") == F.col("a.vec_id") + 1,
-        )
-        .select(
-            F.col("a.vec_id").alias("base_id"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-            F.explode(mixes).alias("m"),
-        )
-        .select(
-            (F.lit(1000) + F.col("base_id") * 5 + F.col("m.k")).alias(
-                "vec_id"
-            ),
-            F.zip_with(
-                "ea", "eb", lambda x, y: x + F.col("m.w") * y
-            ).alias("embedding"),
-        )
-    )
-    em = organic.select("vec_id", "embedding").unionByName(planted)
+    em = _slt_panel_df(spark, sf_dir)
     buckets = banded_buckets(em)
     matched = (
         buckets.alias("a")
@@ -910,3 +917,121 @@ def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_semdedup_incremental.__doc__ = x_semdedup_incremental.__doc__.format(
     ib=_XSI_IDX_BUCKETS, vb=_XSI_VEC_BUCKETS
 )
+
+
+# ---------------------------------------------------------------------------
+# x_semdedup_threshold_curve — dedup yield vs cosine threshold (banded)
+# ---------------------------------------------------------------------------
+
+_XTC_THRESHOLDS = [0.80, 0.85, 0.90, 0.95, 0.99]
+
+
+def _xtc_oracle() -> str:
+    spine = ", ".join(f"(CAST({t} AS DOUBLE))" for t in _XTC_THRESHOLDS)
+    return f"""
+WITH {_banded_ctes(_slt_panel_sql())}, pairsim AS (
+    SELECT c.new_id,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(na.e, (x, i) -> x * nb.e[i])), (s, v) -> s + v)
+               / (na.nrm * nb.nrm), 6) AS cosim
+    FROM cand c
+    JOIN normed na ON na.vec_id = c.old_id
+    JOIN normed nb ON nb.vec_id = c.new_id
+), spine AS (SELECT thresh FROM (VALUES {spine}) t(thresh))
+SELECT s.thresh,
+       CAST(COUNT(p.new_id) AS BIGINT) AS n_cand_pairs,
+       CAST(COUNT(CASE WHEN p.cosim >= s.thresh THEN 1 END) AS BIGINT)
+           AS n_dup_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN p.cosim >= s.thresh THEN p.new_id END)
+            AS BIGINT) AS n_removed
+FROM spine s LEFT JOIN pairsim p ON TRUE
+GROUP BY s.thresh
+"""
+
+
+@register("x_semdedup_threshold_curve", oracle=_xtc_oracle())
+def x_semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup YIELD CURVE — verified dup pairs and removed
+    vectors at each candidate production threshold (0.80 … 0.99) from
+    ONE banded candidate pass (the vector twin of
+    ``x_dedup_threshold_curve``): candidates and exact cosines are
+    computed once over the blended probe panel, then a broadcast
+    5-row threshold spine turns them into the chart that prices "how
+    much does tightening the threshold cost" before anyone re-runs the
+    dedup. Pairs at 0.99 ⊆ pairs at 0.80 by construction (tested).
+    Same bounded probe-panel posture as ``x_signlsh_tuning`` —
+    candidate generation is the banded front end, so the curve also
+    reflects production recall at each threshold, not an oracle's
+    exhaustive pair space.
+    """
+    em = _slt_panel_df(spark, sf_dir)
+    buckets = banded_buckets(em)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bkey"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("old_id"),
+            F.col("b.vec_id").alias("new_id"),
+        )
+        .distinct()
+    )
+    normed = em.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    )
+    pairsim = (
+        cand.join(
+            normed.select(
+                F.col("vec_id").alias("old_id"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "old_id",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("new_id"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "new_id",
+        )
+        .select(
+            "new_id",
+            F.round(
+                _fold_dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosim"),
+        )
+    )
+    spine = F.broadcast(
+        pairsim.sparkSession.createDataFrame(
+            [(t,) for t in _XTC_THRESHOLDS], "thresh double"
+        )
+    )
+    return (
+        spine.join(pairsim, F.lit(True), "left")
+        .groupBy("thresh")
+        .agg(
+            F.count("new_id").cast("long").alias("n_cand_pairs"),
+            F.count(
+                F.when(F.col("cosim") >= F.col("thresh"), 1)
+            )
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.countDistinct(
+                F.when(F.col("cosim") >= F.col("thresh"), F.col("new_id"))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

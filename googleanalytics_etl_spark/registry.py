@@ -375,7 +375,7 @@ _ROUND9_HEAD: list[str] = (
 # discipline; both already hash-verified in-repo at sf0.01 AND sf0.1)
 _R9_LATE: list[str] = [
     "x_semdedup_survivors_banded", "x_signlsh_tuning",
-    "x_semdedup_incremental",
+    "x_semdedup_incremental", "x_semdedup_threshold_curve",
 ]
 
 # Round 10 head start (pre-staged per the round-8 verdict's rotation
@@ -387,7 +387,7 @@ _R9_LATE: list[str] = [
 _ROUND10_HEAD: list[str] = _R9_LATE + _R2_TAIL[12:] + [
     "q_attribution", "q_bounce_rate", "q_cast_types", "q_correlation",
     "q_entry_exit", "q_ewma", "q_gap_fill", "q_histogram",
-    "q_incremental_agg", "q_path_transitions",
+    "q_incremental_agg",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND9_HEAD

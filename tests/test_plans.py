@@ -150,6 +150,7 @@ _BNLJ_OK = {
     "x_semdedup_survivors_banded",
     "x_signlsh_tuning",
     "x_semdedup_incremental",  # 256-row hyperplane broadcast again
+    "x_semdedup_threshold_curve",  # planes bcast + 5-row threshold spine
     # 1-row broadcasts: vocab-size (smoothed LM), elected merge pair
     # (BPE round), global row count (equi-depth bucket arithmetic)
     "x_bigram_heldout",

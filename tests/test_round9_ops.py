@@ -362,3 +362,29 @@ def test_semdedup_banded_fuzz_vs_python(spark, seed, n, dim, n_dups):
         for lab, d in _python_banded(vecs, labels).items()
     }
     assert got == want
+
+
+def test_threshold_curve_monotone_and_nested(spark):
+    """Yield curve sanity: candidate count is threshold-independent,
+    dup pairs / removals are monotone NON-INCREASING in the threshold
+    (pairs at 0.99 are a subset of pairs at 0.80), and the 0.99 point
+    still captures the exact planted copies."""
+    rows = sorted(
+        queries()["x_semdedup_threshold_curve"](spark, SF_SMALL).collect(),
+        key=lambda r: r["thresh"],
+    )
+    assert [round(r["thresh"], 2) for r in rows] == [
+        0.80,
+        0.85,
+        0.90,
+        0.95,
+        0.99,
+    ]
+    assert len({r["n_cand_pairs"] for r in rows}) == 1
+    dups = [r["n_dup_pairs"] for r in rows]
+    rem = [r["n_removed"] for r in rows]
+    assert dups == sorted(dups, reverse=True)
+    assert rem == sorted(rem, reverse=True)
+    # the blended panel plants w=0.05 blends (cosine ≈ 0.999): the
+    # strictest point still fires
+    assert dups[-1] > 0 and rem[-1] > 0
