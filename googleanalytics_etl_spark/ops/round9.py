@@ -10,11 +10,14 @@ wrong"). The exact-within-cell IVF path stays registered as
 
 Cost shape of the banded path (the 100 TB story):
 
-- signatures: one n x 256-plane broadcast scan (narrow rows: embedding
-  + one plane each), O(n·P·d) JVM-side fold work, map-side-combined to
-  n x 16 band-key rows before the only data-grain shuffle — measured
-  exponent 1.07 between the x16 and x64 probe points
-  (tools/scale_probe_r9.jsonl);
+- signatures: posexplode to (vec, dim, round(x·10⁷)) rows, broadcast
+  hash-join the 16k-row (plane, dim, ±1) sign table on dim, then a
+  partial+final SUM(ix·s) per (vec, plane) — O(n·P·d) work entirely
+  inside whole-stage codegen (an earlier HOF-fold form evaluated the
+  lambdas interpreted and measured ~2 ms/vector; BASELINE.md records
+  the A/B), integer dots so the sign decision is aggregation-order-
+  free, map-side-combined to n x 16 band-key rows before the only
+  data-grain shuffle;
 - candidates: self-join on (band, 16-bit key) — Σ bucket² per band key,
   with near-orthogonal organic vectors colliding at ~16·2⁻¹⁶ ≈ 2.4e-4
   per pair, so candidate volume stays ~linear in n at fixture density;
@@ -56,9 +59,9 @@ def rademacher_planes(spark: SparkSession, n_planes: int, dim: int) -> DataFrame
     """``(plane, signs array<double>)`` — ±1 per (plane, dim) from one
     md5 bit (first hex char < '8' → +1), as a tiny broadcastable
     DataFrame. This is the REFERENCE construction (tests prove the
-    in-row literal twin :func:`rademacher_band_keys` equal to it
-    key-for-key); the production signature path inlines the same
-    planes per-row to avoid materializing n×P joined rows. DuckDB
+    in-row literal twin :func:`rademacher_band_keys` equal to the
+    production path key-for-key); production explodes these rows to a
+    (plane, dim, sign) table and joins it on dim. DuckDB
     mirrors the construction with ``md5(p || ':' || d)`` on the same
     decimal strings, so the hyperplanes are identical constants on
     both engines — no literal tables to keep in sync."""
@@ -108,27 +111,38 @@ def rademacher_band_keys(emb, dim: int):
     """All XSD_BANDS band keys for one embedding column IN-ROW, with
     the hyperplanes inlined as one literal array-of-arrays (computed
     driver-side from the same md5 rule). TEST-ONLY reference twin of
-    the production broadcast-frame path: Catalyst re-evaluates the
-    16k-literal CreateArray for EVERY row, which measured ~10× slower
-    than the narrow-row broadcast join at the ×16 probe scale — but as
-    an independent construction it pins the signature semantics
-    (tests/test_round9_ops.py asserts key-for-key equality with
-    :func:`rademacher_planes`). Returns an array of XSD_BANDS bigint
-    keys (bit pos = plane index within the band, matching the
-    frame/oracle packing)."""
+    the production explode-join-aggregate path: Catalyst re-evaluates
+    the 16k-literal CreateArray for EVERY row (measured ~10× slower
+    than production at the ×16 probe scale) — but as an independent
+    construction of the SAME integer-quantized dots it pins the
+    signature semantics (tests/test_round9_ops.py asserts key-for-key
+    equality). Returns an array of XSD_BANDS bigint keys (bit pos =
+    plane index within the band, matching the production/oracle
+    packing)."""
     planes_lit = F.array(
         *[
             F.array(
-                *[F.lit(_sign_py(p, d)) for d in range(dim)]
+                *[F.lit(int(_sign_py(p, d))) for d in range(dim)]
             )
             for p in range(XSD_PLANES)
         ]
     )
+    iemb = F.transform(
+        emb,
+        lambda x: F.round(x.cast("double") * F.lit(float(XSD_SCALE)), 0)
+        .cast("long"),
+    )
     bits = F.transform(
         planes_lit,
-        lambda h: F.when(_fold_dot(emb, h) >= 0, F.lit(1)).otherwise(
-            F.lit(0)
-        ),
+        lambda h: F.when(
+            F.aggregate(
+                F.zip_with(iemb, h, lambda ix, s: ix * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
     # weight 2^i for slice position i == plane % BITS — identical
     # packing to the frame version's `bit << (plane % BITS)` and the
@@ -152,22 +166,63 @@ def rademacher_band_keys(emb, dim: int):
     )
 
 
+# Fixed-point scale for the signature dots: float32 inputs widened to
+# double are exact, round(x·10⁷) is an exact BIGINT, and INTEGER sums
+# are associative — the sign decision is order-free, so partial/final
+# aggregation, DuckDB's aggregate order, and any future vectorization
+# all agree bit-for-bit (the x_kmeans scaled-long recipe).
+XSD_SCALE = 10_000_000
+
+
 def banded_buckets(em: DataFrame) -> DataFrame:
     """``(vec_id, band, bkey)`` sign-LSH band keys for every vector —
     the shared candidate-generation front end of the banded family
-    (x_semdedup counts, survivors, and the S-curve tuning probe)."""
+    (x_semdedup counts/survivors/incremental, the S-curve probe, the
+    threshold curve).
+
+    Signature plan, deliberately join+aggregate instead of a
+    higher-order-function fold: HOF lambdas (`aggregate`/`zip_with`)
+    evaluate INTERPRETED per element, which measured ~2 ms/vector at
+    256 planes — the whole stage here (posexplode to (vec, dim, ix)
+    rows, broadcast-hash-join the 16k-row (plane, dim, s) sign table
+    on dim, partial+final SUM(ix·s) per (vec, plane)) stays inside
+    whole-stage codegen, turning the n·P·d work into a tight JVM loop.
+    The dot is the exact integer Σ round(x·10⁷)·s — order-free, so the
+    map-side combine is sound and DuckDB computes the identical BIGINT
+    regardless of its aggregation order."""
     spark = em.sparkSession
     dim = len(em.select("embedding").first()["embedding"])
-    planes = rademacher_planes(spark, XSD_PLANES, dim)
-    bits = (
+    psigns = rademacher_planes(spark, XSD_PLANES, dim).select(
+        "plane",
+        F.posexplode("signs").alias("d", "s"),
+    ).select("plane", "d", F.col("s").cast("long").alias("s"))
+    # spread the vectors across the cluster BEFORE the ×P×d expansion:
+    # a fixture-sized corpus arrives as one input split, and without
+    # this the 33M-row join+aggregate below runs on one core (measured
+    # 13 s vs ~1 s). The shuffle moves only the n slim vector rows; at
+    # 100 TB the scan already has thousands of splits and AQE keeps
+    # this a cheap rebalance.
+    vals = (
         em.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(planes))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        )
+        .select("vec_id", F.posexplode("embedding").alias("d", "x"))
         .select(
             "vec_id",
-            "plane",
-            F.when(_fold_dot(F.col("embedding"), F.col("signs")) >= 0, 1)
+            "d",
+            F.round(F.col("x") * F.lit(float(XSD_SCALE)), 0)
+            .cast("long")
+            .alias("ix"),
+        )
+    )
+    bits = (
+        vals.join(F.broadcast(psigns), "d")
+        .groupBy("vec_id", "plane")
+        .agg(
+            F.when(F.sum(F.col("ix") * F.col("s")) >= 0, 1)
             .otherwise(0)
-            .alias("bit"),
+            .alias("bit")
         )
     )
     return (
@@ -296,14 +351,20 @@ def _banded_ctes(corpus_sql: str = _PLANTED_CORPUS_SQL) -> str:
                             1, 1) < '8'
                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
     FROM range({XSD_PLANES}) t(p) CROSS JOIN dims
-), planes AS (
-    SELECT p, LIST(s ORDER BY d) AS sv FROM pd GROUP BY p
+), vq AS (
+    -- exact fixed-point components: float32 -> double is exact, so
+    -- ROUND(x * 1e7) is the identical BIGINT the Spark side computes
+    SELECT vec_id, generate_subscripts(e, 1) - 1 AS d,
+           CAST(ROUND(unnest(e) * {XSD_SCALE}) AS BIGINT) AS ix
+    FROM corpus
 ), bits AS (
-    SELECT c.vec_id, pl.p,
-           CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(c.e, (x, i) -> x * pl.sv[i])),
-                    (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
-    FROM corpus c, planes pl
+    -- integer dot per (vector, plane): BIGINT sums are associative,
+    -- so the sign decision is aggregation-order-free on both engines
+    SELECT v.vec_id, pd.p,
+           CASE WHEN SUM(v.ix * CAST(pd.s AS BIGINT)) >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM vq v JOIN pd USING (d)
+    GROUP BY v.vec_id, pd.p
 ), buckets AS (
     SELECT vec_id, p // {XSD_BITS} AS band,
            SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (p % {XSD_BITS})))
@@ -632,7 +693,10 @@ def _xsi_stage(spark: SparkSession, sf_dir: str):
     src = _P(sf_dir) / "embeddings.parquet"
     st = os.stat(src)
     fp = hashlib.md5(
-        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|xsi1".encode()
+        # |xsi2: signature algorithm version — the integer-quantized dot
+        # changed band keys vs the float-fold build, so a pre-rewrite
+        # staged index must never mix with post-rewrite batch keys
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|xsi2".encode()
     ).hexdigest()[:16]
     root = SCRATCH / "xsi_index" / f"{_P(sf_dir).name}_{fp}"
 
@@ -746,14 +810,20 @@ WITH organic AS (
                             1, 1) < '8'
                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
     FROM range({XSD_PLANES}) t(p) CROSS JOIN dims
-), planes AS (
-    SELECT p, LIST(s ORDER BY d) AS sv FROM pd GROUP BY p
+), vq AS (
+    -- exact fixed-point components: float32 -> double is exact, so
+    -- ROUND(x * 1e7) is the identical BIGINT the Spark side computes
+    SELECT vec_id, generate_subscripts(e, 1) - 1 AS d,
+           CAST(ROUND(unnest(e) * {XSD_SCALE}) AS BIGINT) AS ix
+    FROM corpus
 ), bits AS (
-    SELECT c.vec_id, pl.p,
-           CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(c.e, (x, i) -> x * pl.sv[i])),
-                    (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
-    FROM corpus c, planes pl
+    -- integer dot per (vector, plane): BIGINT sums are associative,
+    -- so the sign decision is aggregation-order-free on both engines
+    SELECT v.vec_id, pd.p,
+           CASE WHEN SUM(v.ix * CAST(pd.s AS BIGINT)) >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM vq v JOIN pd USING (d)
+    GROUP BY v.vec_id, pd.p
 ), buckets AS (
     SELECT vec_id, p // {XSD_BITS} AS band,
            SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << (p % {XSD_BITS})))

@@ -60,9 +60,10 @@ def test_semdedup_banded_planted_recall(spark):
 
 
 def test_band_keys_inrow_equals_broadcast_frame(spark):
-    """The in-row literal-planes band keys (the production path) must
-    equal the broadcast-frame computation key-for-key — two independent
-    constructions of the same signature, plus shape bounds."""
+    """The in-row literal-planes band keys must equal the production
+    explode-join-aggregate computation key-for-key — two independent
+    constructions of the same integer-quantized signature, plus shape
+    bounds."""
     from pyspark.sql import functions as F
 
     from googleanalytics_etl_spark.ops.round9 import rademacher_band_keys
@@ -77,47 +78,17 @@ def test_band_keys_inrow_equals_broadcast_frame(spark):
             ).alias("band", "bkey"),
         ).collect()
     }
-    planes = rademacher_planes(spark, XSD_PLANES, 64)
-    frame = {
+    from googleanalytics_etl_spark.ops.round9 import banded_buckets
+
+    prod = {
         (r["vec_id"], r["band"]): r["bkey"]
-        for r in (
-            em.select("vec_id", "embedding")
-            .crossJoin(F.broadcast(planes))
-            .select(
-                "vec_id",
-                "plane",
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            "embedding",
-                            "signs",
-                            lambda x, s: x.cast("double") * s,
-                        ),
-                        F.lit(0.0),
-                        lambda a, v: a + v,
-                    )
-                    >= 0,
-                    1,
-                )
-                .otherwise(0)
-                .alias("bit"),
+        for r in banded_buckets(
+            em.select(
+                "vec_id", "embedding", F.lit(0).alias("label")
             )
-            .withColumn(
-                "band", F.expr(f"CAST(plane DIV {XSD_BITS} AS INT)")
-            )
-            .withColumn(
-                "addend",
-                F.expr(
-                    f"CAST(bit AS BIGINT) * shiftleft(CAST(1 AS BIGINT),"
-                    f" plane % {XSD_BITS})"
-                ),
-            )
-            .groupBy("vec_id", "band")
-            .agg(F.sum("addend").alias("bkey"))
-            .collect()
-        )
+        ).collect()
     }
-    assert inrow == frame
+    assert inrow == prod
     per_vec: dict[int, int] = {}
     for (vid, band), bkey in inrow.items():
         per_vec[vid] = per_vec.get(vid, 0) + 1
@@ -133,13 +104,21 @@ def _python_banded(vecs: dict[int, list[float]], labels: dict[int, int]):
     signs = [
         [_sign(p, d) for d in range(dim)] for p in range(XSD_PLANES)
     ]
+
+    def _fix(x: float) -> int:
+        # round half AWAY from zero, matching Spark ROUND (HALF_UP)
+        # and DuckDB ROUND — Python's round() is half-even
+        v = x * 10_000_000
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
     keys: dict[int, list[int]] = {}
     for vid, e in vecs.items():
+        ie = [_fix(x) for x in e]
         bits = []
         for p in range(XSD_PLANES):
-            acc = 0.0
-            for x, s in zip(e, signs[p]):
-                acc += x * s
+            acc = 0
+            for ix, s in zip(ie, signs[p]):
+                acc += ix * int(s)
             bits.append(1 if acc >= 0 else 0)
         keys[vid] = [
             sum(bits[b * XSD_BITS + pos] << pos for pos in range(XSD_BITS))
@@ -176,7 +155,7 @@ def _python_banded(vecs: dict[int, list[float]], labels: dict[int, int]):
 def test_semdedup_banded_differential_replay(spark):
     """Synthetic corpus with exact dups and near dups (cosine ≈ 0.999):
     the Spark pipeline must agree with a plain-Python replay of the
-    identical algorithm — planes, folds, banding, verify, attribution."""
+    identical algorithm — planes, integer dots, banding, verify, attribution."""
     import numpy as np
 
     rng = np.random.RandomState(7)
