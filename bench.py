@@ -282,6 +282,10 @@ HEADLINE = [
     "x_signlsh_tuning",
     "x_semdedup_incremental",
     "x_semdedup_threshold_curve",
+    # round-9 data-selection batch (ops/round9b.py)
+    "x_dsir_weights",
+    "x_dsir_resample",
+    "x_mixture_temperature",
 ]
 
 
