@@ -286,6 +286,7 @@ HEADLINE = [
     "x_dsir_weights",
     "x_dsir_resample",
     "x_mixture_temperature",
+    "s_dsir_score",
 ]
 
 

@@ -1,6 +1,6 @@
 """Round-9 batch 2: data-selection operators for LLM pre-training mixes.
 
-Three first-class additions to the §2.K training-data family, each a
+Four first-class additions to the §2.K training-data family, each a
 full cross-engine hash oracle over the standard ``documents`` fixture:
 
 - ``x_dsir_weights`` — DSIR (Data Selection via Importance Resampling,
@@ -16,6 +16,9 @@ full cross-engine hash oracle over the standard ``documents`` fixture:
   (the multilingual upsampling recipe of XLM-R/mBERT): per-source token
   shares p_s, the T=2 temperature distribution q_s ∝ p_s^(1/2), and the
   per-source upsample factor q_s/p_s that flattens the source mix.
+- ``s_dsir_score`` — the DSIR bucket model as a STREAMING fold:
+  per-batch count vectors added into running state (an exact sufficient
+  statistic), scores from the folded λ hash-matching the batch key.
 
 Reference parity: the reference package has no analogue for any of
 these [REF-UNVERIFIED — /root/reference is empty]; they extend the
@@ -77,8 +80,9 @@ _SQL_BUCKETED = f"""
 """
 
 
-def _doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, bucket) — one row per feature OCCURRENCE.
+def _occ_from(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per feature OCCURRENCE, from any
+    frame carrying (doc_id, lang, text).
 
     Row-local throughout: split → slice/zip_with bigrams → explode →
     md5 → 32-bit bucket, all codegen builtins. No shuffle happens here;
@@ -86,7 +90,6 @@ def _doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature strings), so whatever aggregation consumes it pays a
     map-side-combined shuffle on int keys only.
     """
-    d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.split("text", " ").alias("t"))
     feats = toks.select(
         "doc_id",
@@ -109,6 +112,53 @@ def _doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             % _N_BUCKETS
         ).alias("bucket"),
+    )
+
+
+def _doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _occ_from(load(spark, sf_dir, "documents"))
+
+
+def _bucket_counts(occ: DataFrame) -> DataFrame:
+    """(bucket, ct, cr): target/raw occurrence counts per hash bucket."""
+    return occ.groupBy("bucket").agg(
+        F.count(F.when(F.col("lang") == _TARGET_LANG, 1))
+        .cast("long")
+        .alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("cr"),
+    )
+
+
+def _lam_from_counts(counts: DataFrame) -> DataFrame:
+    """(bucket, lam): the smoothed log-likelihood-ratio model — shared
+    verbatim by the batch key and the streaming fold so both engines'
+    single LN call sees identical exact-integer ratios."""
+    totals = counts.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("tr") + _N_BUCKETS)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("tt") + _N_BUCKETS)).cast("double")
+        )
+        .cast("decimal(18,8)")
+        .alias("lam"),
+    )
+
+
+def _score_occ(occ: DataFrame, lam: DataFrame) -> DataFrame:
+    """Per-doc importance weights from an occurrence frame + λ model."""
+    return (
+        occ.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            # round the EXACT decimal sum, then cast: both engines use
+            # half-away-from-zero on decimals, so the .xxxxxx50 ties a
+            # double-first ROUND flips on (observed twice at sf0.1)
+            # resolve identically
+            F.round(F.sum("lam"), 6).cast("double").alias("dsir_logw"),
+        )
     )
 
 
@@ -171,37 +221,8 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer ratios.
     """
     occ = _doc_buckets(spark, sf_dir).persist()
-    counts = occ.groupBy("bucket").agg(
-        F.count(F.when(F.col("lang") == _TARGET_LANG, 1))
-        .cast("long")
-        .alias("ct"),
-        F.count(F.lit(1)).cast("long").alias("cr"),
-    )
-    totals = counts.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    )
-    lam = counts.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        F.log(
-            ((F.col("ct") + 1) * (F.col("tr") + _N_BUCKETS)).cast("double")
-            / ((F.col("cr") + 1) * (F.col("tt") + _N_BUCKETS)).cast("double")
-        )
-        .cast("decimal(18,8)")
-        .alias("lam"),
-    )
-    return (
-        occ.join(F.broadcast(lam), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.min("lang").alias("lang"),
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            # round the EXACT decimal sum, then cast: both engines use
-            # half-away-from-zero on decimals, so the .xxxxxx50 ties a
-            # double-first ROUND flips on (observed twice at sf0.1)
-            # resolve identically
-            F.round(F.sum("lam"), 6).cast("double").alias("dsir_logw"),
-        )
-    )
+    lam = _lam_from_counts(_bucket_counts(occ))
+    return _score_occ(occ, lam)
 
 
 x_dsir_weights.__doc__ = x_dsir_weights.__doc__.format(b=_N_BUCKETS)
@@ -380,3 +401,103 @@ def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("upsample"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# s_dsir_score — streaming fold of the DSIR bucket model
+# ---------------------------------------------------------------------------
+
+
+@register("s_dsir_score", oracle=_DSIR_ORACLE)
+def s_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR — the bucket model as a mergeable fold: documents
+    arrive in 4 doc_id-ordered micro-batches; each batch's (bucket, ct,
+    cr) occurrence counts are computed distributed (≤ {b} rows of
+    bounded metadata per batch, however many documents it held) and
+    folded into running state by integer ADDITION. Count vectors form a
+    commutative monoid, so the folded model equals the whole-corpus
+    model EXACTLY — certified by sharing x_dsir_weights' full oracle:
+    documents scored with the FOLDED λ table must hash-match the batch
+    computation row-for-row.
+
+    This is how DSIR model estimation keeps up with a growing corpus at
+    100 TB: each new crawl shard ships its {b}-int count vector to a
+    central fold (constant state, no history re-read), and re-scoring
+    uses the updated λ broadcast — the model update is O(shard), never
+    O(corpus). Mirrors the four sketch-fold certifications (s_hll/kll/
+    theta/countmin_merge); unlike those, the folded state here is an
+    EXACT sufficient statistic, so the certification is equality of the
+    final scores, not a bound.
+    """
+    import hashlib
+    import os
+    from pathlib import Path
+
+    from .streaming import SCRATCH, _sweep_runs, stage_atomic, write_chunks_pinned
+
+    # content-cached arrival staging (the _stage_events recipe)
+    src = Path(sf_dir) / "documents.parquet"
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|4".encode()
+    ).hexdigest()[:16]
+    stage = SCRATCH / "dsir_stage" / f"{Path(sf_dir).name}_{fp}"
+
+    def _build(tmp: Path) -> None:
+        d = load(spark, sf_dir, "documents")
+        n = d.count()  # organic ids are contiguous from 0 at every SF
+        bounds = [0, n // 4, n // 2, (3 * n) // 4, None]
+        write_chunks_pinned(
+            tmp,
+            [
+                d.where(
+                    (F.col("doc_id") >= lo)
+                    if hi is None
+                    else (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                for lo, hi in zip(bounds, bounds[1:])
+            ],
+        )
+
+    staged = stage_atomic(stage, _build)
+    ckpt = _sweep_runs("dsir_score") / "ckpt"
+
+    state: dict[int, list[int]] = {}
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = _bucket_counts(_occ_from(batch_df)).collect()
+        # <= _N_BUCKETS rows — bounded metadata, never data-scale
+        for r in rows:
+            cur = state.setdefault(int(r["bucket"]), [0, 0])
+            cur[0] += int(r["ct"])
+            cur[1] += int(r["cr"])
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staged))
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    counts = spark.createDataFrame(
+        [(b, ct, cr) for b, (ct, cr) in state.items()],
+        "bucket long, ct long, cr long",
+    )
+    # identical λ/scoring expressions as the batch key — the fold is the
+    # only thing this certification varies
+    lam = _lam_from_counts(counts)
+    return _score_occ(_doc_buckets(spark, sf_dir), lam)
+
+
+s_dsir_score.__doc__ = s_dsir_score.__doc__.format(b=_N_BUCKETS)

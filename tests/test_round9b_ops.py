@@ -186,3 +186,40 @@ def test_mixture_temperature_duplication_invariance(spark):
     n2 = sum(r["n_tok"] for r in per_source)
     for r in per_source:
         assert abs(r["n_tok"] / n2 - base[r["source"]]["p_raw"]) < 1e-6
+
+
+def test_s_dsir_score_fold_equals_batch(spark):
+    """The streaming-folded bucket model must reproduce the batch
+    x_dsir_weights output EXACTLY (counts form a commutative monoid and
+    are an exact sufficient statistic for λ)."""
+    from googleanalytics_etl_spark.ops.round9b import s_dsir_score
+
+    batch = sorted(tuple(r) for r in x_dsir_weights(spark, SF_SMALL).collect())
+    folded = sorted(tuple(r) for r in s_dsir_score(spark, SF_SMALL).collect())
+    assert folded == batch
+
+
+def test_dsir_bucket_counts_are_a_monoid(spark):
+    """Partial (ct, cr) vectors over arbitrary doc splits sum to the
+    whole-corpus vector — the property the streaming fold relies on."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.ops.round9b import (
+        _bucket_counts,
+        _occ_from,
+    )
+
+    d = load(spark, SF_SMALL, "documents")
+    whole = {
+        r["bucket"]: (r["ct"], r["cr"])
+        for r in _bucket_counts(_occ_from(d)).collect()
+    }
+    acc: dict[int, list[int]] = {}
+    for part in (
+        d.where(F.col("doc_id") % 3 == k) for k in range(3)
+    ):  # uneven, interleaved split — not the arrival order
+        for r in _bucket_counts(_occ_from(part)).collect():
+            cur = acc.setdefault(r["bucket"], [0, 0])
+            cur[0] += r["ct"]
+            cur[1] += r["cr"]
+    assert {b: tuple(v) for b, v in acc.items()} == whole
