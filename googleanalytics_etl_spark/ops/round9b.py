@@ -116,7 +116,16 @@ def _occ_from(d: DataFrame) -> DataFrame:
 
 
 def _doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _occ_from(load(spark, sf_dir, "documents"))
+    # Rebalance BEFORE the ~108× explode (the round9.py:207 pitfall): a
+    # fixture corpus arrives as one input split, so Spark sizes the scan
+    # by INPUT bytes and the whole occurrence expansion lands on one
+    # core. The shuffled frame is 1/108th of the volume it feeds — the
+    # rebalance is noise next to the expansion, and on a real cluster
+    # (plentiful input splits) it's a cheap insurance repartition.
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return _occ_from(
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
 
 def _bucket_counts(occ: DataFrame) -> DataFrame:

@@ -381,11 +381,13 @@ _R9_LATE: list[str] = [
 ]
 
 # Round 10 head start (pre-staged per the round-8 verdict's rotation
-# discipline): the two round-9 late additions lead (first-ever driver
-# rows), then the 37 keys whose latest evidence is still round 2 (the
+# discipline): the eight round-9 late additions lead (first-ever driver
+# rows: the banded-semdedup family + the DSIR/mixture data-selection
+# batch), then the 37 keys whose latest evidence is still round 2 (the
 # _R2_TAIL overflow round 9's window didn't reach), then the oldest
-# round-3-era keys to fill the 50-slot window. Flip with
-# `_WINDOW_OVERRIDE = _ROUND10_HEAD` as round 10's first commit.
+# round-3-era keys to fill the 50-slot window (the overflow spills to
+# round 11). Flip with `_WINDOW_OVERRIDE = _ROUND10_HEAD` as round 10's
+# first commit.
 _ROUND10_HEAD: list[str] = _R9_LATE + _R2_TAIL[12:] + [
     "q_attribution", "q_bounce_rate", "q_cast_types", "q_correlation",
     "q_entry_exit", "q_ewma", "q_gap_fill", "q_histogram",

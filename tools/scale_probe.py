@@ -62,7 +62,18 @@ KEYS = {
     "x_weighted_jaccard": "documents",
     "x_cc_sizes": "documents",
     "x_clustering_coef": "lineitem",
+    # round-9 data-selection batch: the per-replica token remap keeps the
+    # feature count per doc constant while making replica vocabularies
+    # disjoint — the bucket model stays 1024 rows at every factor, so the
+    # designed shape is linear in occurrences
+    "x_dsir_weights": "documents",
 }
+
+# Optional subset: SCALE_PROBE_KEYS=key1,key2 probes only those keys
+# (the fixtures are content-cached, so a single-key rerun is cheap).
+_env_keys = os.environ.get("SCALE_PROBE_KEYS")
+if _env_keys:
+    KEYS = {k: v for k, v in KEYS.items() if k in _env_keys.split(",")}
 
 
 def _signs(rep: int, d: int) -> list[float]:
