@@ -479,3 +479,25 @@ def test_tpch_q2_distinct_pairs_before_dims(spark):
         and "l_quantity" not in seg[:200]
         for seg in plan.split("ReadSchema: ")[1:]
     ), plan
+
+
+def test_dsir_weights_plan_shape(spark):
+    """The DSIR scoring plan must broadcast the λ model (1024-row
+    bounded metadata), keep the featurization JVM-side (no Python
+    nodes), and push only doc_id/lang/text into the scan."""
+    df = queries()["x_dsir_weights"](spark, SF_SMALL)
+    plan = fmt_plan(df)
+    assert "BroadcastHashJoin" in plan, "λ model join must be broadcast"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and all("n_chars" not in ln and "source" not in ln for ln in rs), (
+        "scan must prune to doc_id/lang/text"
+    )
+
+
+def test_dsir_resample_is_take_ordered(spark):
+    """Top-k selection must compile to TakeOrderedAndProject (per-
+    partition top-k, k-row driver merge) — never a global sort."""
+    df = queries()["x_dsir_resample"](spark, SF_SMALL)
+    plan = fmt_plan(df)
+    assert "TakeOrderedAndProject" in plan
