@@ -287,6 +287,8 @@ HEADLINE = [
     "x_dsir_resample",
     "x_mixture_temperature",
     "s_dsir_score",
+    "x_winnow_fingerprint",
+    "x_winnow_matches",
 ]
 
 
