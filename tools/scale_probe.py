@@ -67,6 +67,10 @@ KEYS = {
     # disjoint — the bucket model stays 1024 rows at every factor, so the
     # designed shape is linear in occurrences
     "x_dsir_weights": "documents",
+    # winnowing: the per-replica token remap keeps gram vocabularies
+    # disjoint, so fingerprint df (hence the match join's Σ df² fan-out)
+    # stays constant across factors — the designed shape is linear
+    "x_winnow_matches": "documents",
 }
 
 # Optional subset: SCALE_PROBE_KEYS=key1,key2 probes only those keys
