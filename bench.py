@@ -299,6 +299,40 @@ def run_query(spark, builder, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+_SCRUBS = 0
+
+
+def scrub_session(spark) -> None:
+    """Between-key session hygiene (outside every measured window).
+
+    A 216-key session accumulates state no single key sees: memory-sink
+    temp views pin their row buffers in the driver, eager
+    localCheckpoints pin RDD blocks until the driver GC happens to run
+    (the ContextCleaner reaps asynchronously, and a 128 GiB heap GCs
+    rarely), and per-key persists linger. The buildup degrades LATE
+    HEADLINE keys only — measured: s_error_budget 3.6 s early-session
+    vs 29.2 s at the tail of a reps=3 run, x_cohens_d 0.5 → 2.8 —
+    while early keys are unaffected; with view-drop + clearCache both
+    return to their early-session figures. The GC nudge (which lets the
+    ContextCleaner actually reap dropped blocks) runs only every 32nd
+    scrub: a per-rep System.gc() was measured to leak multi-second
+    collector work into NEIGHBORING measured windows (x_minhash_accuracy
+    1.8 → 15.2 s), costing more than the pinned blocks it freed.
+    """
+    global _SCRUBS
+    try:
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
+        _SCRUBS += 1
+        if _SCRUBS % 32 == 0:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)  # let concurrent collector work drain
+    except Exception:
+        pass  # hygiene must never fail a bench
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("gae-spark-bench")
@@ -314,6 +348,7 @@ def main() -> None:
     if Path(warm_dir).exists():
         for key in HEADLINE:
             run_query(spark, q[key], warm_dir)
+            scrub_session(spark)
 
     # $SPARK_GRAFT_BENCH_REPS > 1 → median-of-N per key (attributable
     # regression hunting on a shared host, without changing the default
@@ -321,7 +356,11 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     times: dict[str, float] = {}
     for key in HEADLINE:
-        samples = sorted(run_query(spark, q[key], sf_dir) for _ in range(reps))
+        samples = []
+        for _ in range(reps):
+            samples.append(run_query(spark, q[key], sf_dir))
+            scrub_session(spark)
+        samples.sort()
         times[key] = round(samples[len(samples) // 2], 3)
 
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else None
