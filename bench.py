@@ -289,6 +289,7 @@ HEADLINE = [
     "s_dsir_score",
     "x_winnow_fingerprint",
     "x_winnow_matches",
+    "s_winnow_matches",
 ]
 
 

@@ -438,37 +438,9 @@ def s_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT sufficient statistic, so the certification is equality of the
     final scores, not a bound.
     """
-    import hashlib
-    import os
-    from pathlib import Path
+    from .streaming import _sweep_runs, documents_stream, stage_documents
 
-    from .streaming import SCRATCH, _sweep_runs, stage_atomic, write_chunks_pinned
-
-    # content-cached arrival staging (the _stage_events recipe)
-    src = Path(sf_dir) / "documents.parquet"
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|4".encode()
-    ).hexdigest()[:16]
-    stage = SCRATCH / "dsir_stage" / f"{Path(sf_dir).name}_{fp}"
-
-    def _build(tmp: Path) -> None:
-        d = load(spark, sf_dir, "documents")
-        n = d.count()  # organic ids are contiguous from 0 at every SF
-        bounds = [0, n // 4, n // 2, (3 * n) // 4, None]
-        write_chunks_pinned(
-            tmp,
-            [
-                d.where(
-                    (F.col("doc_id") >= lo)
-                    if hi is None
-                    else (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-                )
-                for lo, hi in zip(bounds, bounds[1:])
-            ],
-        )
-
-    staged = stage_atomic(stage, _build)
+    staged = stage_documents(spark, sf_dir, "dsir")
     ckpt = _sweep_runs("dsir_score") / "ckpt"
 
     state: dict[int, list[int]] = {}
@@ -481,16 +453,9 @@ def s_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur[0] += int(r["ct"])
             cur[1] += int(r["cr"])
 
-    stream = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, "
-            "source string, n_chars bigint"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(staged))
-    )
     q = (
-        stream.writeStream.foreachBatch(fold_batch)
+        documents_stream(spark, staged)
+        .writeStream.foreachBatch(fold_batch)
         .option("checkpointLocation", str(ckpt))
         .start()
     )

@@ -214,3 +214,96 @@ def x_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("a.gram_hash").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# s_winnow_matches — incremental fingerprint index + match accumulation
+# ---------------------------------------------------------------------------
+
+
+@register("s_winnow_matches", oracle=_MATCHES_ORACLE)
+def s_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING winnowing decontamination — the ingest loop: documents
+    arrive in 4 doc_id-ordered micro-batches; each batch winnows its own
+    grams (row-local, O(|batch|)), joins its fingerprints against the
+    ACCUMULATED index plus smaller-id docs of the same batch (arrival
+    order is precedence, so every cross-batch pair meets exactly once,
+    old-vs-new), appends the shared-hash evidence, and appends its
+    fingerprints to the index. The standing corpus is never re-grammed
+    and never self-joined — per batch the work is O(|batch| + hash
+    collisions), the s_dedup_near shape at fingerprint (40% of gram)
+    grain.
+
+    Because fingerprints are deterministic per document and the pair
+    space {(a,b): a<b} is covered exactly once by index-vs-batch plus
+    within-batch precedence, the accumulated ≥2-shared match list
+    equals the batch x_winnow_matches EXACTLY — certified by sharing
+    its full oracle.
+
+    The per-batch index slices are localCheckpointed once at arrival
+    (block-manager-resident longs, the s_dedup_near layout); the
+    at-scale sink is bucketBy(gram_hash) parquet appends, a sink change
+    not a plan change.
+    """
+    from .streaming import _sweep_runs, documents_stream, stage_documents
+
+    staged = stage_documents(spark, sf_dir, "winnow")
+    ckpt = _sweep_runs("winnow_matches") / "ckpt"
+
+    index_slices: list[DataFrame] = []
+    pair_slices: list[DataFrame] = []
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fp = (
+            _fingerprints(batch_df)
+            .select("doc_id", "gram_hash")
+            .localCheckpoint(eager=True)
+        )
+        if index_slices:
+            from functools import reduce
+
+            older = reduce(lambda a, b: a.unionByName(b), index_slices)
+            cross = fp.alias("n").join(
+                older.alias("o"),
+                F.col("o.gram_hash") == F.col("n.gram_hash"),
+            )
+            pair_slices.append(
+                cross.select(
+                    F.col("o.doc_id").alias("doc_a"),
+                    F.col("n.doc_id").alias("doc_b"),
+                    F.col("n.gram_hash").alias("gram_hash"),
+                ).localCheckpoint(eager=True)
+            )
+        within = fp.alias("a").join(
+            fp.alias("b"),
+            (F.col("a.gram_hash") == F.col("b.gram_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        pair_slices.append(
+            within.select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.gram_hash").alias("gram_hash"),
+            ).localCheckpoint(eager=True)
+        )
+        index_slices.append(fp)
+
+    q = (
+        documents_stream(spark, staged)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from functools import reduce
+
+    pairs = reduce(lambda a, b: a.unionByName(b), pair_slices)
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("gram_hash").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )

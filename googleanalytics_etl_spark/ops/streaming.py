@@ -290,6 +290,57 @@ def _events_stream(spark: SparkSession, stage: str) -> DataFrame:
     )
 
 
+def stage_documents(
+    spark: SparkSession, sf_dir: str, kind: str, n_chunks: int = 4
+) -> str:
+    """Stage the documents table as ``n_chunks`` doc_id-ordered parquet
+    chunks with pinned ascending mtimes (the _stage_events recipe for
+    the corpus table): arrival order IS precedence for every
+    incremental-dedup loop, and the content fingerprint keys the cache
+    so repeated invocations measure the loop, not fixture writes.
+    Shared by the DSIR model fold (round9b) and the winnowing index
+    loop (round9c); round6's s_dedup_near keeps its own staging because
+    it plants a duplicate tail."""
+    import hashlib as _hashlib
+
+    src = Path(sf_dir) / "documents.parquet"
+    st = os.stat(src)
+    fp = _hashlib.md5(
+        f"{src.resolve()}|{st.st_size}|{st.st_mtime_ns}|{n_chunks}".encode()
+    ).hexdigest()[:16]
+    stage = SCRATCH / f"{kind}_stage" / f"{Path(sf_dir).name}_{fp}"
+
+    def _build(tmp: Path) -> None:
+        d = load(spark, sf_dir, "documents")
+        n = d.count()  # organic ids are contiguous from 0 at every SF
+        bounds = [i * n // n_chunks for i in range(n_chunks)] + [None]
+        write_chunks_pinned(
+            tmp,
+            [
+                d.where(
+                    (F.col("doc_id") >= lo)
+                    if hi is None
+                    else (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                for lo, hi in zip(bounds, bounds[1:])
+            ],
+        )
+
+    return str(stage_atomic(stage, _build))
+
+
+def documents_stream(spark: SparkSession, stage: str) -> DataFrame:
+    schema = (
+        "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
     ckpt = SCRATCH / "ckpt" / uuid.uuid4().hex
     q = (

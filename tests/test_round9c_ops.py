@@ -132,3 +132,14 @@ def test_winnow_matches_on_fixture(spark):
         p: len(hs) for p, hs in pair_count.items() if len(hs) >= 2
     }
     assert got == expected
+
+
+def test_s_winnow_matches_fold_equals_batch(spark):
+    """The incremental index loop must reproduce the batch match list
+    EXACTLY: fingerprints are deterministic per doc and the a<b pair
+    space is covered exactly once by index-vs-batch + within-batch."""
+    from googleanalytics_etl_spark.ops.round9c import s_winnow_matches
+
+    batch = sorted(tuple(r) for r in x_winnow_matches(spark, SF_SMALL).collect())
+    folded = sorted(tuple(r) for r in s_winnow_matches(spark, SF_SMALL).collect())
+    assert folded == batch
