@@ -253,6 +253,14 @@ _BNLJ_OK = {
     "x_kmv_diff",
     # 1-row event-total broadcast (the εN slack — the x_countmin_bound shape)
     "s_countmin_merge",
+    # round-9 data-selection batch: 1-row totals crossJoins only —
+    # (tt, tr) feature totals under the 1024-row λ model (DSIR weights,
+    # its resampler and streaming-fold twin) and the token-total +
+    # √p-normalizer scalars in the temperature mix
+    "x_dsir_weights",
+    "x_dsir_resample",
+    "s_dsir_score",
+    "x_mixture_temperature",
 }
 # real streaming ops execute inside the builder; plan-linting the
 # returned memory/parquet table is meaningless
