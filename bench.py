@@ -290,6 +290,7 @@ HEADLINE = [
     "x_winnow_fingerprint",
     "x_winnow_matches",
     "s_winnow_matches",
+    "s_reservoir_sample",
 ]
 
 

@@ -475,3 +475,88 @@ def s_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 s_dsir_score.__doc__ = s_dsir_score.__doc__.format(b=_N_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# s_reservoir_sample — fixed-size uniform sample as a bottom-k fold
+# ---------------------------------------------------------------------------
+
+_RSV_K = 100
+
+# The k rows with the smallest md5(doc_id) keys ARE a uniform sample
+# without replacement of the whole corpus (the hash imposes a random
+# total order; taking its prefix is order-statistics sampling).
+_RSV_ORACLE = f"""
+SELECT CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS rank,
+       doc_id, lang, source
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {_RSV_K}
+"""
+
+
+@register("s_reservoir_sample", oracle=_RSV_ORACLE)
+def s_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING fixed-size uniform sample — the bottom-k semilattice
+    fold: each micro-batch computes its own k smallest md5(doc_id) keys
+    distributed (TakeOrdered — ≤ k rows of bounded metadata per batch),
+    and the driver keeps the k smallest of the union. Bottom-k is
+    idempotent/commutative/associative, so the folded reservoir equals
+    the whole-corpus bottom-k EXACTLY — the "maintain a 100-doc QA
+    sample of a growing corpus" primitive, at O(k) state, no history
+    re-read, every doc with equal inclusion probability regardless of
+    arrival batch.
+
+    The deterministic-key form of reservoir sampling (same reason
+    x_sample_hash replaces ``rand()``): reproducible under retries,
+    mergeable across shards/hours exactly like s_theta_merge's KMV
+    bottom-k — this key emits the sampled ROWS, that one estimates
+    cardinality from the same statistic.
+    """
+    from .streaming import _sweep_runs, documents_stream, stage_documents
+
+    staged = stage_documents(spark, sf_dir, "rsv")
+    ckpt = _sweep_runs("reservoir") / "ckpt"
+
+    reservoir: list[tuple[str, int, str, str]] = []
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            batch_df.select(
+                F.md5(F.col("doc_id").cast("string").cast("binary")).alias(
+                    "hkey"
+                ),
+                "doc_id",
+                "lang",
+                "source",
+            )
+            .orderBy("hkey", "doc_id")
+            .limit(_RSV_K)
+            .collect()
+        )  # <= k rows — bounded metadata however large the batch
+        reservoir.extend(
+            (r["hkey"], r["doc_id"], r["lang"], r["source"]) for r in rows
+        )
+        reservoir.sort()
+        del reservoir[_RSV_K:]
+
+    q = (
+        documents_stream(spark, staged)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return spark.createDataFrame(
+        [
+            (i + 1, doc_id, lang, source)
+            for i, (_, doc_id, lang, source) in enumerate(reservoir)
+        ],
+        "rank long, doc_id long, lang string, source string",
+    )

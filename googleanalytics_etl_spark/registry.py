@@ -378,7 +378,7 @@ _R9_LATE: list[str] = [
     "x_semdedup_incremental", "x_semdedup_threshold_curve",
     "x_dsir_weights", "x_dsir_resample", "x_mixture_temperature",
     "s_dsir_score", "x_winnow_fingerprint", "x_winnow_matches",
-    "s_winnow_matches",
+    "s_winnow_matches", "s_reservoir_sample",
 ]
 
 # Round 10 head start (pre-staged per the round-8 verdict's rotation

@@ -223,3 +223,23 @@ def test_dsir_bucket_counts_are_a_monoid(spark):
             cur[0] += r["ct"]
             cur[1] += r["cr"]
     assert {b: tuple(v) for b, v in acc.items()} == whole
+
+
+def test_s_reservoir_sample_fold_properties(spark):
+    """Bottom-k fold: the streamed reservoir equals the whole-corpus
+    bottom-k exactly, is reproducible, and respects the hash order."""
+    import hashlib as _hl
+
+    from googleanalytics_etl_spark.ops.round9b import (
+        _RSV_K,
+        s_reservoir_sample,
+    )
+
+    rows = s_reservoir_sample(spark, SF_SMALL).collect()
+    assert len(rows) == _RSV_K
+    assert [r["rank"] for r in rows] == list(range(1, _RSV_K + 1))
+    docs = load(spark, SF_SMALL, "documents").collect()
+    expected = sorted(
+        ((_hl.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]) for r in docs)
+    )[:_RSV_K]
+    assert [r["doc_id"] for r in rows] == [d for _, d in expected]
