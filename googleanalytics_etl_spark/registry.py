@@ -382,7 +382,7 @@ _R9_LATE: list[str] = [
 ]
 
 # Round 10 head start (pre-staged per the round-8 verdict's rotation
-# discipline): the eight round-9 late additions lead (first-ever driver
+# discipline): the 12 round-9 late additions lead (first-ever driver
 # rows: the banded-semdedup family + the DSIR/mixture data-selection
 # batch), then the 37 keys whose latest evidence is still round 2 (the
 # _R2_TAIL overflow round 9's window didn't reach), then the oldest
@@ -395,7 +395,7 @@ _ROUND10_HEAD: list[str] = _R9_LATE + _R2_TAIL[12:] + [
     "q_incremental_agg",
 ]
 
-_WINDOW_OVERRIDE: list[str] | None = _ROUND9_HEAD
+_WINDOW_OVERRIDE: list[str] | None = _ROUND10_HEAD
 
 
 def _ordered() -> list[str]:
