@@ -115,6 +115,23 @@ def _occ_from(d: DataFrame) -> DataFrame:
     )
 
 
+# x_dsir_weights caches the occurrence frame (used twice: bucket model
+# + per-doc scoring). The cache is scoped here so repeated invocations
+# (tests, verify loops, x_dsir_resample re-invoking the weights key)
+# hold at most ONE persisted frame: each call unpersists the previous
+# one before persisting its own. Unpersisting only degrades a stale
+# returned plan to recompute — never a correctness change.
+_OCC_CACHE: list[DataFrame] = []
+
+
+def _cached_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    while _OCC_CACHE:
+        _OCC_CACHE.pop().unpersist()
+    occ = _doc_buckets(spark, sf_dir).persist()
+    _OCC_CACHE.append(occ)
+    return occ
+
+
 def _doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rebalance BEFORE the ~108× explode (the round9.py:207 pitfall): a
     # fixture corpus arrives as one input split, so Spark sizes the scan
@@ -229,7 +246,7 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sum is exact and order-free; one LN per bucket on identical
     exact-integer ratios.
     """
-    occ = _doc_buckets(spark, sf_dir).persist()
+    occ = _cached_occ(spark, sf_dir)
     lam = _lam_from_counts(_bucket_counts(occ))
     return _score_occ(occ, lam)
 
@@ -417,6 +434,32 @@ def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _fold_bucket_counts(
+    state: dict[int, list[int]],
+    folded_epochs: set[int],
+    epoch_id: int,
+    rows,
+) -> None:
+    """Fold one micro-batch's (bucket, ct, cr) rows into the running
+    count-vector state, exactly once per epoch.
+
+    Count-vector ADDITION is not idempotent, so the fold guards on
+    epoch_id: Structured Streaming may re-deliver a micro-batch after a
+    transient failure, and re-folding it would double-count that batch
+    and skew the λ model. Skipping already-folded epochs makes the fold
+    exactly-once under replay. (The bottom-k folds in
+    s_reservoir_sample / s_winnow_matches are semilattices — naturally
+    idempotent — and need no such guard.)
+    """
+    if epoch_id in folded_epochs:
+        return
+    folded_epochs.add(epoch_id)
+    for r in rows:
+        cur = state.setdefault(int(r["bucket"]), [0, 0])
+        cur[0] += int(r["ct"])
+        cur[1] += int(r["cr"])
+
+
 @register("s_dsir_score", oracle=_DSIR_ORACLE)
 def s_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING DSIR — the bucket model as a mergeable fold: documents
@@ -444,14 +487,12 @@ def s_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _sweep_runs("dsir_score") / "ckpt"
 
     state: dict[int, list[int]] = {}
+    folded_epochs: set[int] = set()
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
         rows = _bucket_counts(_occ_from(batch_df)).collect()
         # <= _N_BUCKETS rows — bounded metadata, never data-scale
-        for r in rows:
-            cur = state.setdefault(int(r["bucket"]), [0, 0])
-            cur[0] += int(r["ct"])
-            cur[1] += int(r["cr"])
+        _fold_bucket_counts(state, folded_epochs, epoch_id, rows)
 
     q = (
         documents_stream(spark, staged)

@@ -127,7 +127,27 @@ def _fingerprints(d: DataFrame) -> DataFrame:
             F.min("k").over(w).alias("sel"),
             F.count(F.lit(1)).over(n).alias("n_grams"),
         )
-        .where(F.col("pos") <= F.col("n_grams") - _WIN_W)
+        .where(
+            # Loud overflow guard: the packed argmin key reserves
+            # _POS_BITS bits for the position, so a document with
+            # >= 2^20 grams would silently wrap pos into the hash field
+            # and fingerprint INCORRECTLY. Such inputs must fail, not
+            # corrupt — the guard rides the existing filter so Catalyst
+            # cannot prune it away (no extra pass, no extra shuffle).
+            F.when(
+                F.col("n_grams") >= F.lit(2**_POS_BITS),
+                F.raise_error(
+                    F.concat(
+                        F.lit("winnowing: document "),
+                        F.col("doc_id").cast("string"),
+                        F.lit(
+                            f" has >= 2^{_POS_BITS} grams — packed"
+                            " argmin position field would overflow"
+                        ),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("pos") <= F.col("n_grams") - _WIN_W)
+        )
         .select(
             "doc_id",
             (F.col("sel") / (2**_POS_BITS))

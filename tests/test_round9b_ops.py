@@ -243,3 +243,34 @@ def test_s_reservoir_sample_fold_properties(spark):
         ((_hl.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]) for r in docs)
     )[:_RSV_K]
     assert [r["doc_id"] for r in rows] == [d for _, d in expected]
+
+
+def test_fold_bucket_counts_epoch_idempotent():
+    """Re-delivering a micro-batch (same epoch_id) must NOT double-count:
+    the fold is exactly-once under Structured Streaming replay."""
+    from googleanalytics_etl_spark.ops.round9b import _fold_bucket_counts
+
+    state: dict[int, list[int]] = {}
+    seen: set[int] = set()
+    rows = [{"bucket": 1, "ct": 3, "cr": 5}, {"bucket": 2, "ct": 1, "cr": 0}]
+    _fold_bucket_counts(state, seen, 0, rows)
+    _fold_bucket_counts(state, seen, 0, rows)  # replayed epoch — skipped
+    assert state == {1: [3, 5], 2: [1, 0]}
+    _fold_bucket_counts(state, seen, 1, rows)  # genuinely new epoch
+    assert state == {1: [6, 10], 2: [2, 0]}
+
+
+def test_dsir_occ_cache_bounded(spark):
+    """x_dsir_weights' persisted occurrence frame must not accumulate
+    across invocations: each call unpersists the previous one, so at
+    most ONE cached frame is alive at any time."""
+    from googleanalytics_etl_spark.ops import round9b
+
+    occ1 = round9b._cached_occ(spark, SF_SMALL)
+    assert occ1.is_cached
+    occ2 = round9b._cached_occ(spark, SF_SMALL)
+    assert not occ1.is_cached
+    assert occ2.is_cached
+    assert len(round9b._OCC_CACHE) == 1
+    # results unaffected by the cache turnover
+    assert round9b.x_dsir_weights(spark, SF_SMALL).count() > 0

@@ -143,3 +143,25 @@ def test_s_winnow_matches_fold_equals_batch(spark):
     batch = sorted(tuple(r) for r in x_winnow_matches(spark, SF_SMALL).collect())
     folded = sorted(tuple(r) for r in s_winnow_matches(spark, SF_SMALL).collect())
     assert folded == batch
+
+
+def test_winnow_pos_overflow_fails_loudly(spark, monkeypatch):
+    """A document whose gram count exceeds the packed-key position field
+    must raise, not fingerprint incorrectly. _POS_BITS is patched down
+    so the guard is exercised without a 2^20-token fixture."""
+    import pytest
+
+    from googleanalytics_etl_spark.ops import round9c
+
+    monkeypatch.setattr(round9c, "_POS_BITS", 4)
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(15)))],  # 11 grams < 2^4
+        "doc_id long, text string",
+    )
+    assert round9c._fingerprints(ok).count() > 0
+    bad = spark.createDataFrame(
+        [(2, " ".join(f"t{i}" for i in range(25)))],  # 21 grams > 2^4
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="argmin position field"):
+        round9c._fingerprints(bad).collect()
