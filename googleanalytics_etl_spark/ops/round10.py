@@ -1,0 +1,397 @@
+"""Round-10 batch: exact-substring deduplication (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better").
+
+The one public dedup family the engine did not yet represent: remove
+the exact token spans that occur verbatim more than once in the
+corpus, keeping one canonical copy of each. Three keys, each a full
+cross-engine hash oracle over the ``documents`` fixture:
+
+- ``x_exact_substring_dedup`` — the span finder: every maximal merged
+  token interval covered by duplicated ``L``-grams, excluding each
+  gram's canonical (lexicographically first ``(doc_id, pos)``)
+  occurrence. Emits per-doc ``(span_start, span_end, span_len)`` —
+  the removal instruction list.
+- ``x_exact_substring_clean`` — the acting form: apply the removal to
+  the corpus and emit per-doc cleaned text + exact token accounting
+  (every document appears, short docs pass through unchanged).
+- ``s_exact_substring_dedup`` — the ingest loop: per-batch gram
+  postings + per-batch ``(count, first-occurrence)`` partials folded
+  by the (SUM, MIN) monoid; the folded statistic equals the
+  whole-corpus one EXACTLY, certified by sharing the span oracle.
+
+Semantics (the suffix-array pass, re-expressed relationally): a token
+span of length ≥ L is duplicated iff every ``L``-gram inside it is
+duplicated, and conversely any duplicated ``L``-gram occurrence marks
+an L-token removable window. So "find duplicated substrings ≥ L
+tokens" ≡ "flag non-canonical occurrences of globally-repeated
+L-grams, then merge overlapping/adjacent L-windows per document" —
+no suffix array needed, only a groupBy on the gram hash and one
+per-doc interval sweep (the q_interval_merge idiom). L = {L} here
+(fixture-scale yield); the paper's 50-token threshold is this one
+constant.
+
+Keep-first policy: for each repeated gram the smallest packed
+``doc_id·2^{p} + pos`` key survives, so common content keeps exactly
+one copy (dedup, not deletion) and both engines agree on the survivor
+with no struct-comparator dialect differences.
+
+Scale shape (the 100 TB story): gram hashing is row-local codegen
+after an insurance repartition (the round9.py:207 single-input-split
+pitfall); the gram-stats groupBy shuffles only ``(h, count, min-key)``
+— 60-bit digests, never text; the flag join is hash-on-digest with
+near-1 organic fan-out; the span sweep rides the same doc-grain
+exchange every per-doc sequence op pays. All linear, skew-free
+(md5-uniform keys). Collisions: 60-bit hashes over 100 TB-scale gram
+counts give birthday-bound collision odds ≪ 1; both engines hash
+identically, so results agree regardless.
+
+Reference parity: no analogue in the reference package
+[REF-UNVERIFIED — /root/reference is empty]; extends §2.K per the
+round-9 verdict's "What's missing" item 2.
+
+Overflow discipline: packed keys reserve {p} bits for the position, so
+documents with ≥ 2^{p} grams (and doc_ids ≥ 2^{d}) raise loudly
+instead of fingerprinting incorrectly — same guard as the winnowing
+argmin (ops/round9c.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_SPAN_L = 8  # duplicated-substring threshold, in tokens
+_POS_BITS = 20  # position field width in the packed first-occurrence key
+_DOC_BITS = 42  # doc_id field width (pos + doc fits signed 64-bit)
+
+# DuckDB featurization: positioned L-gram strings, the round9c.py idiom
+# (1-based range index i -> 0-based pos), 60-bit md5 prefix hashes
+# (15 hex chars — exact in signed BIGINT on both engines).
+_CAT = " || ' ' || ".join(f"t[i + {j}]" for j in range(1, _SPAN_L + 1))
+
+_SQL_OCC = f"""
+    SELECT doc_id, pos,
+           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h,
+           doc_id * {2**_POS_BITS} + pos AS fk
+    FROM (
+        SELECT doc_id,
+               UNNEST(range(len(t) - {_SPAN_L} + 1)) AS pos,
+               UNNEST(list_transform(range(len(t) - {_SPAN_L} + 1),
+                      i -> {_CAT})) AS g
+        FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= {_SPAN_L}
+    )
+"""
+
+# Non-canonical occurrences of repeated grams -> L-token windows ->
+# merged per-doc intervals (the q_interval_merge sweep: running MAX(e)
+# over preceding starts; adjacent coverage merges, s > prev_e + 1
+# opens a new island).
+_SQL_SPANS = f"""
+    WITH occ AS ({_SQL_OCC}),
+    stats AS (
+        SELECT h, COUNT(*) AS cnt, MIN(fk) AS first_fk
+        FROM occ GROUP BY h
+    ),
+    dup AS (
+        SELECT o.doc_id, o.pos AS s, o.pos + {_SPAN_L - 1} AS e
+        FROM occ o JOIN stats st USING (h)
+        WHERE st.cnt >= 2 AND o.fk <> st.first_fk
+    ),
+    swept AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_e
+        FROM dup
+    ),
+    grouped AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM swept
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_len
+    FROM grouped GROUP BY doc_id, grp
+"""
+
+_SPANS_ORACLE = f"SELECT doc_id, span_start, span_end, span_len FROM ({_SQL_SPANS})"
+
+
+def _occ(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h, fk): positioned L-gram 60-bit hashes + packed
+    first-occurrence keys, row-local, overflow-guarded."""
+    spark = d.sparkSession
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= _SPAN_L)
+        # Rebalance BEFORE the ~L x explode (the round9.py:207 pitfall):
+        # a fixture corpus arrives as one input split, so the whole gram
+        # expansion would land on one core; on a real cluster this is a
+        # cheap insurance repartition of the slim pre-explosion frame.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_SPAN_L - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {_SPAN_L})))"
+            )
+        ).alias("pos", "g"),
+    )
+    # Loud overflow guard riding the projection (cannot be pruned: it
+    # gates the fk column): oversized docs / doc_ids fail, never pack
+    # wrong keys. Same discipline as the winnowing argmin guard.
+    guarded_fk = F.when(
+        (F.col("pos") >= F.lit(2**_POS_BITS))
+        | (F.col("doc_id") >= F.lit(2**_DOC_BITS)),
+        F.raise_error(
+            F.concat(
+                F.lit("exact-substring: document "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    f" exceeds packed-key bounds (pos < 2^{_POS_BITS},"
+                    f" doc_id < 2^{_DOC_BITS})"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("doc_id") * (2**_POS_BITS) + F.col("pos"))
+    return grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+        guarded_fk.alias("fk"),
+    )
+
+
+def _gram_stats(occ: DataFrame) -> DataFrame:
+    """(h, cnt, first_fk): the mergeable per-gram sufficient statistic
+    — COUNT is a sum-monoid, first occurrence a min-semilattice."""
+    return occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("fk").alias("first_fk")
+    )
+
+
+def _dup_starts(occ: DataFrame, stats: DataFrame) -> DataFrame:
+    """(doc_id, s): non-canonical occurrences of repeated grams."""
+    return (
+        occ.join(stats, "h")
+        .where((F.col("cnt") >= 2) & (F.col("fk") != F.col("first_fk")))
+        .select("doc_id", F.col("pos").alias("s"))
+    )
+
+
+def _merged_spans(dup: DataFrame) -> DataFrame:
+    """Merge each doc's L-token removal windows into maximal spans —
+    the q_interval_merge sweep (running MAX(end) over preceding)."""
+    iv = dup.select("doc_id", "s", (F.col("s") + (_SPAN_L - 1)).alias("e"))
+    w = Window.partitionBy("doc_id").orderBy("s")
+    swept = iv.withColumn(
+        "prev_e", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = swept.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1), 1
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grouped.groupBy("doc_id", "grp").agg(
+        F.min("s").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).cast("long").alias("span_len"),
+    ).drop("grp")
+
+
+@register("x_exact_substring_dedup", oracle=_SPANS_ORACLE)
+def x_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, the span finder: maximal per-document
+    token intervals covered by L-grams that occur verbatim more than
+    once in the corpus (within OR across documents), keeping each
+    gram's canonical first occurrence — the Lee-et-al-2021 ExactSubstr
+    pass re-expressed as groupBy + interval sweep instead of a suffix
+    array.
+
+    Scale shape: only 60-bit digests shuffle for the gram statistic
+    (map-side combined); the flag join fans out by organic gram
+    frequency (near 1); the sweep is one doc-grain window. The paper's
+    suffix array is a global sort of the whole corpus — this shape is
+    embarrassingly parallel and AQE-skew-safe instead.
+    """
+    occ = _occ(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _merged_spans(_dup_starts(occ, _gram_stats(occ)))
+
+
+# ---------------------------------------------------------------------------
+# x_exact_substring_clean — the acting removal
+# ---------------------------------------------------------------------------
+
+_CLEAN_ORACLE = f"""
+WITH occ AS ({_SQL_OCC}),
+stats AS (
+    SELECT h, COUNT(*) AS cnt, MIN(fk) AS first_fk FROM occ GROUP BY h
+),
+dup AS (
+    SELECT o.doc_id, o.pos AS s
+    FROM occ o JOIN stats st USING (h)
+    WHERE st.cnt >= 2 AND o.fk <> st.first_fk
+),
+toks AS (
+    SELECT doc_id, UNNEST(range(len(t))) AS pos, UNNEST(t) AS tok
+    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents)
+),
+fl AS (
+    SELECT t.doc_id, t.pos, t.tok,
+           MAX(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                     ROWS BETWEEN {_SPAN_L - 1} PRECEDING
+                              AND CURRENT ROW) AS removed
+    FROM toks t LEFT JOIN dup d ON t.doc_id = d.doc_id AND t.pos = d.s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(removed) AS BIGINT) AS dup_tokens,
+       COALESCE(string_agg(CASE WHEN removed = 0 THEN tok END,
+                           ' ' ORDER BY pos), '') AS clean_text
+FROM fl GROUP BY doc_id
+"""
+
+
+@register("x_exact_substring_clean", oracle=_CLEAN_ORACLE)
+def x_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply exact-substring dedup to the corpus: per document, the
+    exact duplicated-token count and the cleaned text with every
+    non-canonical duplicated span removed. EVERY document appears —
+    short docs (< L tokens) pass through unchanged — so this is the
+    drop-in corpus rewrite stage of a curation pipeline.
+
+    A token is removed iff some duplicated L-gram STARTS within the
+    trailing L-window ending at it — computed as a bounded {L}-row
+    sliding MAX over the flagged starts, riding the one doc-grain
+    exchange; reconstruction is an in-group sort + concat (no second
+    shuffle). Token accounting is exact, so downstream mixture/budget
+    stages (x_token_budget) can re-weight sources by what dedup
+    actually removed.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = _occ(d)
+    dup = _dup_starts(occ, _gram_stats(occ))
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    fl = toks.join(
+        dup.withColumnRenamed("s", "pos").withColumn("flag", F.lit(1)),
+        ["doc_id", "pos"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_SPAN_L - 1), 0)
+    )
+    fl = fl.withColumn(
+        "removed", F.max(F.coalesce(F.col("flag"), F.lit(0))).over(w)
+    )
+    return fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("removed").cast("long").alias("dup_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("removed") == 0,
+                            F.struct(F.col("pos"), F.col("tok")),
+                        )
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+x_exact_substring_clean.__doc__ = x_exact_substring_clean.__doc__.format(
+    L=_SPAN_L
+)
+
+
+# ---------------------------------------------------------------------------
+# s_exact_substring_dedup — streaming fold of the gram statistic
+# ---------------------------------------------------------------------------
+
+
+@register("s_exact_substring_dedup", oracle=_SPANS_ORACLE)
+def s_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-substring dedup — the ingest loop: documents
+    arrive in 4 doc_id-ordered micro-batches; each batch grams itself
+    (row-local, O(|batch|)), appends its posting slice, and appends its
+    per-gram ``(count, min-first-key)`` PARTIAL. The final statistic is
+    the (SUM, MIN) monoid fold of the partials — count vectors and
+    min-semilattices merge associatively, so the folded statistic
+    equals the whole-corpus one EXACTLY and the emitted spans hash-match
+    the batch x_exact_substring_dedup (shared oracle).
+
+    This is how the paper's pass keeps up with a growing corpus: each
+    new crawl shard ships its gram partials (O(shard) work, no history
+    re-gram), the fold is one digest-grain merge, and only the final
+    span emission touches the accumulated postings. The per-batch
+    slices are localCheckpointed (block-manager-resident longs); the
+    at-scale sink is bucketBy(h) parquet appends — a sink change, not a
+    plan change (the x_semdedup_incremental shape).
+    """
+    from .streaming import _sweep_runs, documents_stream, stage_documents
+
+    staged = stage_documents(spark, sf_dir, "xsub")
+    ckpt = _sweep_runs("exact_substring") / "ckpt"
+
+    occ_slices: list[DataFrame] = []
+    stat_slices: list[DataFrame] = []
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        occ = _occ(batch_df.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )
+        occ_slices.append(occ)
+        stat_slices.append(_gram_stats(occ).localCheckpoint(eager=True))
+
+    q = (
+        documents_stream(spark, staged)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stats = (
+        reduce(lambda a, b: a.unionByName(b), stat_slices)
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("cnt"), F.min("first_fk").alias("first_fk"))
+    )
+    occ = reduce(lambda a, b: a.unionByName(b), occ_slices)
+    return _merged_spans(_dup_starts(occ, stats))
+
+
+_DOC = __doc__ or ""
+__doc__ = _DOC.format(L=_SPAN_L, p=_POS_BITS, d=_DOC_BITS)
