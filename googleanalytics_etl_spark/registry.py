@@ -395,6 +395,39 @@ _ROUND10_HEAD: list[str] = _R9_LATE + _R2_TAIL[12:] + [
     "q_incremental_agg",
 ]
 
+# round-10 additions (registered after the round-10 window froze —
+# never driver-tested): the exact-substring dedup family.
+_R10_ADDITIONS: list[str] = [
+    "x_exact_substring_dedup", "x_exact_substring_clean",
+    "s_exact_substring_dedup",
+]
+
+# Round 11 head start (pre-staged per the standing rotation
+# discipline): the three round-10 additions lead (first-ever driver
+# rows), then the 47 keys whose latest official evidence is oldest
+# (round 3: the TPC-H suite + the round-3 relational tail the
+# round-10 window did not reach). Flip with
+# `_WINDOW_OVERRIDE = _ROUND11_HEAD` as round 11's first commit.
+_ROUND11_HEAD: list[str] = [
+    "x_exact_substring_dedup", "x_exact_substring_clean", "s_exact_substring_dedup",
+    "q_bounce_rate", "q_cast_types", "q_correlation",
+    "q_entry_exit", "q_ewma", "q_gap_fill",
+    "q_histogram", "q_incremental_agg", "q_path_transitions",
+    "q_percentiles", "q_skew_distinct", "q_skew_join",
+    "q_subquery_correlated", "q_subquery_exists", "q_tpch_q1",
+    "q_tpch_q10", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q2", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22", "q_tpch_q3",
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "s_cdc_apply", "s_enrich", "s_stream_join",
+    "x_bloom_semi", "x_countmin", "x_decontaminate",
+    "x_dedup_clusters", "x_media_frames", "x_multimodal",
+    "x_pagerank", "x_partition_prune",
+]
+
 _WINDOW_OVERRIDE: list[str] | None = _ROUND10_HEAD
 
 
