@@ -291,6 +291,10 @@ HEADLINE = [
     "x_winnow_matches",
     "s_winnow_matches",
     "s_reservoir_sample",
+    # round-10 exact-substring dedup family (ops/round10.py)
+    "x_exact_substring_dedup",
+    "x_exact_substring_clean",
+    "s_exact_substring_dedup",
 ]
 
 

@@ -71,6 +71,11 @@ KEYS = {
     # disjoint, so fingerprint df (hence the match join's Σ df² fan-out)
     # stays constant across factors — the designed shape is linear
     "x_winnow_matches": "documents",
+    # round-10 exact-substring dedup: the token remap keeps replica gram
+    # vocabularies disjoint, so the duplicated-gram density (hence the
+    # flag-join fan-out and span count per replica) is constant across
+    # factors — the designed shape is linear in gram occurrences
+    "x_exact_substring_dedup": "documents",
 }
 
 # Optional subset: SCALE_PROBE_KEYS=key1,key2 probes only those keys
