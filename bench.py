@@ -295,6 +295,7 @@ HEADLINE = [
     "x_exact_substring_dedup",
     "x_exact_substring_clean",
     "s_exact_substring_dedup",
+    "x_decontaminate_spans",
 ]
 
 

@@ -18,6 +18,10 @@ cross-engine hash oracle over the ``documents`` fixture:
   postings + per-batch ``(count, first-occurrence)`` partials folded
   by the (SUM, MIN) monoid; the folded statistic equals the
   whole-corpus one EXACTLY, certified by sharing the span oracle.
+- ``x_decontaminate_spans`` — the asymmetric variant: spans shared
+  verbatim with a held-out benchmark corpus (``source = 'src0'``),
+  where the benchmark is always canonical and its tiny gram set
+  broadcasts — the corpus never shuffles for the flag.
 
 Semantics (the suffix-array pass, re-expressed relationally): a token
 span of length ≥ L is duplicated iff every ``L``-gram inside it is
@@ -391,6 +395,96 @@ def s_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     occ = reduce(lambda a, b: a.unionByName(b), occ_slices)
     return _merged_spans(_dup_starts(occ, stats))
+
+
+# ---------------------------------------------------------------------------
+# x_decontaminate_spans — span-level benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Occurrence CTE carrying source (the bench/train split column).
+_SQL_OCC_SRC = f"""
+    SELECT doc_id, source, pos,
+           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+    FROM (
+        SELECT doc_id, source,
+               UNNEST(range(len(t) - {_SPAN_L} + 1)) AS pos,
+               UNNEST(list_transform(range(len(t) - {_SPAN_L} + 1),
+                      i -> {_CAT})) AS g
+        FROM (SELECT doc_id, source, str_split(text, ' ') AS t
+              FROM documents)
+        WHERE len(t) >= {_SPAN_L}
+    )
+"""
+
+_DECON_SPANS_ORACLE = f"""
+WITH occ AS ({_SQL_OCC_SRC}),
+bench AS (
+    SELECT DISTINCT h FROM occ WHERE source = 'src0'
+),
+dup AS (
+    SELECT o.doc_id, o.pos AS s, o.pos + {_SPAN_L - 1} AS e
+    FROM occ o JOIN bench USING (h)
+    WHERE o.source <> 'src0'
+),
+swept AS (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_e
+    FROM dup
+),
+grouped AS (
+    SELECT doc_id, s, e,
+           SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS grp
+    FROM swept
+)
+SELECT doc_id,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_len
+FROM grouped GROUP BY doc_id, grp
+"""
+
+
+@register("x_decontaminate_spans", oracle=_DECON_SPANS_ORACLE)
+def x_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination — the SURGICAL form of
+    x_decontaminate (which only SCORES doc-level overlap): every
+    maximal training-doc token span sharing a verbatim L-gram with the
+    held-out benchmark corpus (``source = 'src0'``), as removal
+    instructions. The benchmark always keeps its copy (it is the
+    canonical side by definition), so the policy is asymmetric —
+    unlike x_exact_substring_dedup no first-occurrence ranking is
+    needed, just membership.
+
+    Scale shape — the key difference from the symmetric dedup: the
+    benchmark side is TINY relative to the corpus (eval suites are
+    MBs; the corpus is 100 TB), so its distinct gram-hash set
+    broadcasts and the training corpus NEVER shuffles for the flag —
+    gram hashing is row-local, the contamination flag is a broadcast
+    hash join on 60-bit digests, and only flagged starts (rare) reach
+    the doc-grain sweep. One pass over the corpus, zero corpus-grain
+    exchanges before the sweep. At fixture scale AQE makes the same
+    call organically (no hint forced).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bench_h = (
+        _occ(d.where(F.col("source") == "src0").select("doc_id", "text"))
+        .select("h")
+        .distinct()
+    )
+    train_occ = _occ(
+        d.where(F.col("source") != "src0").select("doc_id", "text")
+    )
+    # bench h is distinct, occ has one row per (doc, pos): the join
+    # cannot duplicate starts, so no DISTINCT is needed before the sweep
+    dup = train_occ.join(bench_h, "h").select(
+        "doc_id", F.col("pos").alias("s")
+    )
+    return _merged_spans(dup)
 
 
 _DOC = __doc__ or ""

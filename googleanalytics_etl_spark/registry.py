@@ -399,17 +399,18 @@ _ROUND10_HEAD: list[str] = _R9_LATE + _R2_TAIL[12:] + [
 # never driver-tested): the exact-substring dedup family.
 _R10_ADDITIONS: list[str] = [
     "x_exact_substring_dedup", "x_exact_substring_clean",
-    "s_exact_substring_dedup",
+    "s_exact_substring_dedup", "x_decontaminate_spans",
 ]
 
 # Round 11 head start (pre-staged per the standing rotation
-# discipline): the three round-10 additions lead (first-ever driver
-# rows), then the 47 keys whose latest official evidence is oldest
+# discipline): the four round-10 additions lead (first-ever driver
+# rows), then the keys whose latest official evidence is oldest
 # (round 3: the TPC-H suite + the round-3 relational tail the
 # round-10 window did not reach). Flip with
 # `_WINDOW_OVERRIDE = _ROUND11_HEAD` as round 11's first commit.
 _ROUND11_HEAD: list[str] = [
     "x_exact_substring_dedup", "x_exact_substring_clean", "s_exact_substring_dedup",
+    "x_decontaminate_spans",
     "q_bounce_rate", "q_cast_types", "q_correlation",
     "q_entry_exit", "q_ewma", "q_gap_fill",
     "q_histogram", "q_incremental_agg", "q_path_transitions",
@@ -425,7 +426,7 @@ _ROUND11_HEAD: list[str] = [
     "s_cdc_apply", "s_enrich", "s_stream_join",
     "x_bloom_semi", "x_countmin", "x_decontaminate",
     "x_dedup_clusters", "x_media_frames", "x_multimodal",
-    "x_pagerank", "x_partition_prune",
+    "x_pagerank",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND10_HEAD

@@ -169,3 +169,65 @@ def test_packed_key_overflow_fails_loudly(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="packed-key bounds"):
         round10._occ(bad).collect()
+
+
+def test_decontaminate_spans_python_replay(spark):
+    """Exact replay: train-doc positions whose 8-gram appears anywhere
+    in the src0 benchmark, merged into maximal spans."""
+    from googleanalytics_etl_spark.ops.round10 import x_decontaminate_spans
+
+    rows = load(spark, SF_SMALL, "documents").collect()
+    bench_h = set()
+    for r in rows:
+        if r["source"] != "src0":
+            continue
+        t = r["text"].split(" ")
+        for s in range(len(t) - _SPAN_L + 1):
+            g = " ".join(t[s : s + _SPAN_L])
+            bench_h.add(hashlib.md5(g.encode()).hexdigest()[:15])
+    expected = set()
+    for r in rows:
+        if r["source"] == "src0":
+            continue
+        t = r["text"].split(" ")
+        starts = [
+            s
+            for s in range(len(t) - _SPAN_L + 1)
+            if hashlib.md5(
+                " ".join(t[s : s + _SPAN_L]).encode()
+            ).hexdigest()[:15]
+            in bench_h
+        ]
+        if not starts:
+            continue
+        cur_s, cur_e = starts[0], starts[0] + _SPAN_L - 1
+        for s in starts[1:]:
+            if s > cur_e + 1:
+                expected.add((r["doc_id"], cur_s, cur_e))
+                cur_s = s
+            cur_e = max(cur_e, s + _SPAN_L - 1)
+        expected.add((r["doc_id"], cur_s, cur_e))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in x_decontaminate_spans(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+    assert got, "fixture must yield contaminated spans (probed: 102 starts)"
+
+
+def test_decontaminate_spans_benchmark_never_flagged(spark):
+    """The benchmark side is canonical by definition: no src0 doc may
+    appear in the removal list, even though src0 docs share grams with
+    train docs (and with each other)."""
+    from googleanalytics_etl_spark.ops.round10 import x_decontaminate_spans
+
+    bench_ids = {
+        r["doc_id"]
+        for r in load(spark, SF_SMALL, "documents")
+        .where("source = 'src0'")
+        .collect()
+    }
+    flagged = {
+        r["doc_id"] for r in x_decontaminate_spans(spark, SF_SMALL).collect()
+    }
+    assert not (flagged & bench_ids)
