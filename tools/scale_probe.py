@@ -76,6 +76,11 @@ KEYS = {
     # flag-join fan-out and span count per replica) is constant across
     # factors — the designed shape is linear in gram occurrences
     "x_exact_substring_dedup": "documents",
+    # span-level decontamination: each replica's src0 docs carry that
+    # replica's token remap, so benchmark and train sides grow together
+    # with constant per-replica contamination density — the asymmetric
+    # broadcast-flag shape should be linear
+    "x_decontaminate_spans": "documents",
 }
 
 # Optional subset: SCALE_PROBE_KEYS=key1,key2 probes only those keys
