@@ -231,3 +231,48 @@ def test_decontaminate_spans_benchmark_never_flagged(spark):
         r["doc_id"] for r in x_decontaminate_spans(spark, SF_SMALL).collect()
     }
     assert not (flagged & bench_ids)
+
+
+def test_exact_substring_fuzz_vs_replay(spark):
+    """Property fuzz: random tiny-vocabulary corpora (forced gram
+    collisions) must match the plain-Python replay exactly — stresses
+    the interval-merge edges (adjacent spans, whole-doc removal,
+    within-doc repeats, tie-broken canonical picks) on inputs nobody
+    hand-picked. Hypothesis drives the corpus shape; each generated
+    corpus is deterministic, so failures replay exactly."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    fuzz_x = max(1, int(os.environ.get("SPARK_GRAFT_FUZZ_X", "1")))
+
+    corpus = st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=15 * fuzz_x,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=corpus)
+    def run(texts):
+        docs = {i: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        occ = _occ(df)
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in _merged_spans(
+                _dup_starts(occ, _gram_stats(occ))
+            ).collect()
+        }
+        assert got == _py_spans(docs), docs
+
+    run()
