@@ -41,13 +41,17 @@ with no struct-comparator dialect differences.
 
 Scale shape (the 100 TB story): gram hashing is row-local codegen
 after an insurance repartition (the round9.py:207 single-input-split
-pitfall); the gram-stats groupBy shuffles only ``(h, count, min-key)``
-— 60-bit digests, never text; the flag join is hash-on-digest with
-near-1 organic fan-out; the span sweep rides the same doc-grain
-exchange every per-doc sequence op pays. All linear, skew-free
-(md5-uniform keys). Collisions: 60-bit hashes over 100 TB-scale gram
-counts give birthday-bound collision odds ≪ 1; both engines hash
-identically, so results agree regardless.
+pitfall). The BATCH keys flag non-canonical occurrences in ONE pass —
+per-gram count and min first-occurrence key as window functions over
+the digest partitioning (no join, no second featurization; chosen by
+a measured ×16/×64/×128 A/B/C sweep, see _dup_starts_one_pass). The
+STREAMING key keeps the groupBy statistic because its mergeability IS
+the point: per-batch ``(count, min)`` partials fold by the (SUM, MIN)
+monoid and the final flag is one join against the folded metadata.
+The span sweep rides the doc-grain exchange every per-doc sequence op
+pays. Collisions: 60-bit hashes over 100 TB-scale gram counts give
+birthday-bound collision odds ≪ 1; both engines hash identically, so
+results agree regardless.
 
 Reference parity: no analogue in the reference package
 [REF-UNVERIFIED — /root/reference is empty]; extends §2.K per the
@@ -190,9 +194,48 @@ def _gram_stats(occ: DataFrame) -> DataFrame:
 
 
 def _dup_starts(occ: DataFrame, stats: DataFrame) -> DataFrame:
-    """(doc_id, s): non-canonical occurrences of repeated grams."""
+    """(doc_id, s): non-canonical occurrences of repeated grams, by
+    joining a PRE-COMPUTED stats frame — the streaming path, where
+    stats is the (SUM, MIN) monoid fold of per-batch partials."""
     return (
         occ.join(stats, "h")
+        .where((F.col("cnt") >= 2) & (F.col("fk") != F.col("first_fk")))
+        .select("doc_id", F.col("pos").alias("s"))
+    )
+
+
+def _dup_starts_one_pass(occ: DataFrame) -> DataFrame:
+    """(doc_id, s): non-canonical occurrences of repeated grams in ONE
+    pass — per-gram count and min first-occurrence key as window
+    functions over the digest partitioning, no join, no second
+    featurization.
+
+    Chosen by measurement over the groupBy-stats + join form (the
+    streaming path's shape): at ×128 replicated sf0.1 the join form is
+    spill-unstable — Spark's static size estimate for the aggregate
+    output crosses the broadcast threshold and the planner flips to a
+    SortMergeJoin that shuffles AND sorts the full occurrence frame
+    (measured 44.6–125.7 s across sessions; a shuffle_hash hint
+    measured 54–91 s) — while this form measured 36.6–38.4 s with one
+    featurization pass and one digest-grain exchange shared by the
+    window and nothing else. Same-session sweep (warmed, interleaved):
+    ×16 join 6.5 / window 5.8; ×64 join 27.9 / window 15.0; ×128 join
+    44.6 / window 38.4.
+
+    The trade, documented: a window has no map-side combine, so every
+    occurrence of a gram colocates in one task — a pathological
+    boilerplate gram (df ~10⁹) would make one long spilled-sort task.
+    But the JOIN forms colocate hot grams identically unless the stats
+    side broadcasts (impossible at 100 TB dup-gram cardinality); their
+    only skew edge is AQE's skew-join splitting. If that extreme is
+    expected, flag with the groupBy+shuffle_hash form (_gram_stats +
+    _dup_starts) — it stays in the streaming path and costs a second
+    featurization pass.
+    """
+    w = Window.partitionBy("h")
+    return (
+        occ.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("first_fk", F.min("fk").over(w))
         .where((F.col("cnt") >= 2) & (F.col("fk") != F.col("first_fk")))
         .select("doc_id", F.col("pos").alias("s"))
     )
@@ -239,7 +282,7 @@ def x_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel and AQE-skew-safe instead.
     """
     occ = _occ(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    return _merged_spans(_dup_starts(occ, _gram_stats(occ)))
+    return _merged_spans(_dup_starts_one_pass(occ))
 
 
 # ---------------------------------------------------------------------------
@@ -294,8 +337,7 @@ def x_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually removed.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    occ = _occ(d)
-    dup = _dup_starts(occ, _gram_stats(occ))
+    dup = _dup_starts_one_pass(_occ(d))
     toks = d.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "tok"),

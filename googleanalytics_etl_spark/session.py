@@ -31,6 +31,17 @@ def get_spark(app_name: str = "googleanalytics_etl_spark", cpus: int | None = No
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle at 8x the core count and let AQE coalesce
+        # down: AQE can only MERGE partitions, never split them, so a
+        # low initial number silently caps per-task shuffle volume and
+        # external-sort spills appear as soon as inputs outgrow
+        # execution memory (measured on the x_exact_substring_dedup
+        # x128 probe point — see BASELINE.md round-10 scaling). Small
+        # scales are unaffected: AQE coalesces back to ~n tasks.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INIT_PARTS", str(8 * n)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

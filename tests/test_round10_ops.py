@@ -23,6 +23,7 @@ from googleanalytics_etl_spark.io import load
 from googleanalytics_etl_spark.ops.round10 import (
     _SPAN_L,
     _dup_starts,
+    _dup_starts_one_pass,
     _gram_stats,
     _merged_spans,
     _occ,
@@ -77,12 +78,20 @@ def test_exact_substring_python_replay(spark):
 
 
 def _spans_for(spark, docs: dict[int, str]):
+    """Planted-data spans via BOTH flag forms (the registered one-pass
+    window and the streaming join form) — they must agree exactly."""
     df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
     occ = _occ(df)
-    return {
+    one_pass = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in _merged_spans(_dup_starts_one_pass(occ)).collect()
+    }
+    joined = {
         (r["doc_id"], r["span_start"], r["span_end"])
         for r in _merged_spans(_dup_starts(occ, _gram_stats(occ))).collect()
     }
+    assert one_pass == joined
+    return one_pass
 
 
 def test_planted_cross_doc_span(spark):
@@ -266,12 +275,9 @@ def test_exact_substring_fuzz_vs_replay(spark):
         df = spark.createDataFrame(
             list(docs.items()), "doc_id long, text string"
         )
-        occ = _occ(df)
         got = {
             (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
-            for r in _merged_spans(
-                _dup_starts(occ, _gram_stats(occ))
-            ).collect()
+            for r in _merged_spans(_dup_starts_one_pass(_occ(df))).collect()
         }
         assert got == _py_spans(docs), docs
 
