@@ -429,7 +429,7 @@ _ROUND11_HEAD: list[str] = [
     "x_pagerank",
 ]
 
-_WINDOW_OVERRIDE: list[str] | None = _ROUND10_HEAD
+_WINDOW_OVERRIDE: list[str] | None = _ROUND11_HEAD
 
 
 def _ordered() -> list[str]:
