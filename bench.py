@@ -1,7 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the full JSON record line
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+followed by ONE COMPACT summary line (same metric/value/unit/sf plus
+phase-control times and host steal/iowait brackets, no per-key map) —
+the compact line is what survives the grading driver's bounded stdout
+tail and is the machine-readable record of the run.
 
 Each query is forced end-to-end with the ``noop`` sink (full computation,
 no result materialization on the driver — ``count()`` would let Catalyst
@@ -340,6 +344,47 @@ def scrub_session(spark) -> None:
         pass  # hygiene must never fail a bench
 
 
+def _host_phase_sample() -> dict | None:
+    """One /proc/stat cpu-line sample: absolute jiffy counters.
+
+    The grading host has documented multi-hour "phases" where steal+
+    iowait inflate every wall time ~1.5-2× uniformly (BASELINE.md,
+    round-10 adjudication).  Two samples bracketing the run let a
+    reader classify apparent regressions as phase vs genuine from the
+    bench record alone, without paired re-runs.
+    """
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        # user nice system idle iowait irq softirq steal guest guest_nice
+        vals = [int(x) for x in parts[1:11]]
+        return {
+            "total": sum(vals),
+            "idle": vals[3],
+            "iowait": vals[4] if len(vals) > 4 else 0,
+            "steal": vals[7] if len(vals) > 7 else 0,
+        }
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _host_phase_delta(a: dict | None, b: dict | None) -> dict | None:
+    """Percent-of-total steal/iowait/busy between two samples."""
+    if not a or not b:
+        return None
+    tot = b["total"] - a["total"]
+    if tot <= 0:
+        return None
+    pct = lambda k: round(100.0 * (b[k] - a[k]) / tot, 2)  # noqa: E731
+    return {"steal_pct": pct("steal"), "iowait_pct": pct("iowait"),
+            "busy_pct": round(100.0 - pct("idle"), 2)}
+
+
+# Three stable, cheap keys re-run FIRST each bench: their ratios against
+# the canonical table (BASELINE.md) are the run's phase fingerprint.
+PHASE_CONTROLS = ["q_groupby_agg", "q_sessionize", "q_flagship"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("gae-spark-bench")
@@ -361,7 +406,16 @@ def main() -> None:
     # regression hunting on a shared host, without changing the default
     # single-shot protocol the committed round tables use)
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    phase_start = _host_phase_sample()
     times: dict[str, float] = {}
+    # Phase controls run FIRST (then again in HEADLINE order like every
+    # other key): their ratio vs the canonical BASELINE.md table stamps
+    # the host phase at run start into the record itself.
+    controls: dict[str, float] = {}
+    for key in PHASE_CONTROLS:
+        if key in q:
+            controls[key] = round(run_query(spark, q[key], sf_dir), 3)
+            scrub_session(spark)
     for key in HEADLINE:
         samples = []
         for _ in range(reps):
@@ -369,6 +423,8 @@ def main() -> None:
             scrub_session(spark)
         samples.sort()
         times[key] = round(samples[len(samples) // 2], 3)
+    phase_end = _host_phase_sample()
+    host = _host_phase_delta(phase_start, phase_end)
 
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else None
     record = {
@@ -379,14 +435,31 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(record))
-    # The grading driver archives only a bounded tail of stdout, which
-    # truncates the per-key map once HEADLINE outgrew ~60 keys. Persist the
-    # full record locally so every round's complete per-key timings are
-    # recoverable from the repo (BENCH_local_latest.json is committed per
-    # round; the history file accumulates every run on this host).
+    # The grading driver archives only a bounded TAIL of stdout (~2000
+    # chars) and parses the last complete JSON line it finds. The full
+    # record above outgrew that bound at ~60 headline keys, so rounds
+    # 1-10 all archived a mid-line fragment ("parsed": null). This
+    # compact line — total, phase controls, host steal/iowait brackets,
+    # never the per-key map — is printed LAST so the archived tail
+    # always ends with a machine-readable summary.
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_keys": len(times),
+        "reps": reps,
+        "controls": controls,
+        "host": host,
+    }
+    print(json.dumps(compact))
+    # Persist the full record locally so every round's complete per-key
+    # timings are recoverable from the repo (BENCH_local_latest.json is
+    # committed per round; the history file accumulates every run).
     try:
         here = Path(__file__).resolve().parent
-        full = dict(record, ts=time.strftime("%Y-%m-%dT%H:%M:%S"), reps=reps)
+        full = dict(record, ts=time.strftime("%Y-%m-%dT%H:%M:%S"), reps=reps,
+                    controls=controls, host=host)
         (here / "BENCH_local_latest.json").write_text(json.dumps(full, indent=1))
         with open(here / "BENCH_local_history.jsonl", "a") as fh:
             fh.write(json.dumps(full) + "\n")

@@ -25,6 +25,8 @@ Timestamp fidelity contract (FIXTURES.md "Timestamp handling", verified):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,6 +52,19 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     # Python DataSource predicate pushdown (sources/paged.py).
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Shuffle headroom: start AQE at 8x cores so coalescing (which can
+    # only MERGE, never split) does not cap per-task shuffle volume and
+    # trigger external-sort spills at scale (the x_exact_substring_dedup
+    # x128 cliff, BASELINE.md round-10 scaling). Runtime-settable, so an
+    # inherited session — the grading driver's, the exact case this
+    # function exists for — gets the same posture as get_spark's builder.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": os.environ.get(
+        "SPARK_GRAFT_INIT_PARTS",
+        str(
+            8
+            * (int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4)
+        ),
+    ),
 }
 
 

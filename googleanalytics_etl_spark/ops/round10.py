@@ -158,30 +158,36 @@ def _occ(d: DataFrame) -> DataFrame:
             )
         ).alias("pos", "g"),
     )
-    # Loud overflow guard riding the projection (cannot be pruned: it
-    # gates the fk column): oversized docs / doc_ids fail, never pack
-    # wrong keys. Same discipline as the winnowing argmin guard.
-    guarded_fk = F.when(
-        (F.col("pos") >= F.lit(2**_POS_BITS))
-        | (F.col("doc_id") >= F.lit(2**_DOC_BITS)),
-        F.raise_error(
-            F.concat(
-                F.lit("exact-substring: document "),
-                F.col("doc_id").cast("string"),
-                F.lit(
-                    f" exceeds packed-key bounds (pos < 2^{_POS_BITS},"
-                    f" doc_id < 2^{_DOC_BITS})"
-                ),
-            )
-        ).cast("long"),
-    ).otherwise(F.col("doc_id") * (2**_POS_BITS) + F.col("pos"))
+    # Loud overflow guard riding the projection: oversized docs /
+    # doc_ids fail, never pack wrong keys. It gates BOTH h and fk —
+    # every consumer keeps h (it is the join/group digest), so even a
+    # plan that prunes fk (x_decontaminate_spans' benchmark side does
+    # .select("h").distinct()) still carries the guard. Same discipline
+    # as the winnowing argmin guard. Codegen CSEs the shared condition,
+    # so guarding two columns costs one row-level bounds check.
+    overflow = (F.col("pos") >= F.lit(2**_POS_BITS)) | (
+        F.col("doc_id") >= F.lit(2**_DOC_BITS)
+    )
+    err = F.raise_error(
+        F.concat(
+            F.lit("exact-substring: document "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                f" exceeds packed-key bounds (pos < 2^{_POS_BITS},"
+                f" doc_id < 2^{_DOC_BITS})"
+            ),
+        )
+    ).cast("long")
+    h = (
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    fk = F.col("doc_id") * (2**_POS_BITS) + F.col("pos")
     return grams.select(
         "doc_id",
         "pos",
-        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-        guarded_fk.alias("fk"),
+        F.when(overflow, err).otherwise(h).alias("h"),
+        F.when(overflow, err).otherwise(fk).alias("fk"),
     )
 
 
@@ -320,7 +326,6 @@ FROM fl GROUP BY doc_id
 """
 
 
-@register("x_exact_substring_clean", oracle=_CLEAN_ORACLE)
 def x_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply exact-substring dedup to the corpus: per document, the
     exact duplicated-token count and the cleaned text with every
@@ -375,9 +380,13 @@ def x_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-x_exact_substring_clean.__doc__ = x_exact_substring_clean.__doc__.format(
+# Format the {L} placeholder BEFORE registration so REGISTRY's Query.doc
+# captures the concrete value (the decorator snapshots fn.__doc__; the
+# module-level __doc__ rewrite below avoids the same ordering trap).
+x_exact_substring_clean.__doc__ = (x_exact_substring_clean.__doc__ or "").format(
     L=_SPAN_L
 )
+register("x_exact_substring_clean", oracle=_CLEAN_ORACLE)(x_exact_substring_clean)
 
 
 # ---------------------------------------------------------------------------
@@ -411,8 +420,21 @@ def s_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     occ_slices: list[DataFrame] = []
     stat_slices: list[DataFrame] = []
+    seen_epochs: set[int] = set()
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Micro-batch redelivery guard (mirrors round9b's
+        # _fold_bucket_counts). The span output is in fact invariant
+        # under a re-appended batch even WITHOUT this guard — duplicated
+        # occ rows carry identical fk, so a once-only gram reaches
+        # cnt=2 but both copies have fk == first_fk (never flagged),
+        # and already-duplicated grams just emit duplicate (doc, pos)
+        # starts that the per-doc interval merge collapses — but the
+        # guard makes the at-least-once contract explicit rather than
+        # argued.
+        if epoch_id in seen_epochs:
+            return
+        seen_epochs.add(epoch_id)
         occ = _occ(batch_df.select("doc_id", "text")).localCheckpoint(
             eager=True
         )

@@ -429,6 +429,33 @@ _ROUND11_HEAD: list[str] = [
     "x_pagerank",
 ]
 
+# Round 12 head start (pre-staged per the standing rotation discipline):
+# no never-tested keys remain after round 11 (all 398 registered keys
+# have at least one official driver row once CORRECTNESS_r11 lands), so
+# this is a PURE oldest-evidence refresh — the three remaining round-3
+# keys, then the round-4-era tail in alphabetical order (the overflow,
+# x_zorder onward, spills to round 13). Flip with
+# `_WINDOW_OVERRIDE = _ROUND12_HEAD` as round 12's first commit.
+_ROUND12_HEAD: list[str] = [
+    "x_partition_prune", "x_scd2", "x_tfidf",
+    "q_agg_boolean", "q_cogroup_pandas", "q_cohort_ltv",
+    "q_explode_outer", "q_flagship", "q_global_rank",
+    "q_interpolate", "q_join_asof_nearest", "q_join_band_broadcast",
+    "q_join_full", "q_lateral_topk", "q_moving_median",
+    "q_multi_pivot", "q_percentile_disc", "q_recursive_cte",
+    "q_regression", "q_rolling_wau", "q_scan_orc",
+    "q_scan_text", "q_scan_xml", "q_sessionize",
+    "q_window_misc", "s_stream_outer", "x_ann_recall",
+    "x_anomaly_mad", "x_bloom_index", "x_bm25",
+    "x_cooccur_pmi", "x_dedup_cc_star", "x_dedup_editdist",
+    "x_dedup_eval", "x_embed_centroids", "x_embed_quantize",
+    "x_feature_hash", "x_gram_matrix", "x_graph_triangles",
+    "x_kmeans", "x_langid_confusion", "x_ngram_counts",
+    "x_profile", "x_repetition_score", "x_sim_knn_ivf",
+    "x_sim_knn_lsh", "x_sketch_hll_wau", "x_sketch_kll_quantiles",
+    "x_sketch_theta_overlap", "x_zonemap_skip",
+]
+
 _WINDOW_OVERRIDE: list[str] | None = _ROUND11_HEAD
 
 

@@ -180,6 +180,34 @@ def test_packed_key_overflow_fails_loudly(spark, monkeypatch):
         round10._occ(bad).collect()
 
 
+def test_packed_key_overflow_survives_fk_pruning(spark, monkeypatch):
+    """The guard gates h as well as fk, so a plan that prunes fk —
+    x_decontaminate_spans' benchmark side does .select('h').distinct()
+    — still fails loudly on an oversized document (ADVICE round 10)."""
+    import pytest
+
+    from googleanalytics_etl_spark.ops import round10
+
+    monkeypatch.setattr(round10, "_POS_BITS", 4)
+    bad = spark.createDataFrame(
+        [(2, " ".join(f"t{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="packed-key bounds"):
+        round10._occ(bad).select("h").distinct().collect()
+
+
+def test_registry_doc_has_no_unformatted_placeholder():
+    """Query.doc is captured AT registration; the {L} placeholder must
+    be formatted before register() runs (ADVICE round 10)."""
+    from googleanalytics_etl_spark.registry import REGISTRY, _populate
+
+    _populate()
+    doc = REGISTRY["x_exact_substring_clean"].doc
+    assert "{L}" not in doc
+    assert f"{_SPAN_L}-row" in doc
+
+
 def test_decontaminate_spans_python_replay(spark):
     """Exact replay: train-doc positions whose 8-gram appears anywhere
     in the src0 benchmark, merged into maximal spans."""

@@ -76,6 +76,10 @@ KEYS = {
     # flag-join fan-out and span count per replica) is constant across
     # factors — the designed shape is linear in gram occurrences
     "x_exact_substring_dedup": "documents",
+    # corpus rewrite stage: shares x_exact_substring_dedup's one-pass
+    # window shape (the ×128 cliff was about exactly this shape) plus a
+    # token-grain rebuild — probed to ×128 per the round-10 verdict
+    "x_exact_substring_clean": "documents",
     # span-level decontamination: each replica's src0 docs carry that
     # replica's token remap, so benchmark and train sides grow together
     # with constant per-replica contamination density — the asymmetric
