@@ -300,6 +300,10 @@ HEADLINE = [
     "x_exact_substring_clean",
     "s_exact_substring_dedup",
     "x_decontaminate_spans",
+    # round-11 reporting pair + durable bucketed fold (ops/round11.py)
+    "x_dup_rate_by_source",
+    "x_decon_report",
+    "s_exact_substring_durable",
 ]
 
 

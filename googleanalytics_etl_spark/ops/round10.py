@@ -531,8 +531,19 @@ def x_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram hashing is row-local, the contamination flag is a broadcast
     hash join on 60-bit digests, and only flagged starts (rare) reach
     the doc-grain sweep. One pass over the corpus, zero corpus-grain
-    exchanges before the sweep. At fixture scale AQE makes the same
-    call organically (no hint forced).
+    exchanges before the sweep.
+
+    The broadcast is DECLARED, not left to the optimizer: the round-11
+    ×128 probe caught the planner's static size estimate for the
+    bench-side distinct aggregate crossing autoBroadcastJoinThreshold
+    and flipping the flag join to a SortMergeJoin that shuffles AND
+    sorts the full corpus occurrence frame (measured exponent 1.21
+    ×64→×128; BHJ restored and re-measured after the hint —
+    BASELINE.md round-11 scaling). The semantics guarantee the build
+    side is bounded (eval suites are MBs even when the corpus is
+    100 TB), which is exactly the case a declared broadcast is for;
+    if a pathological benchmark outgrew executor memory the join
+    would fail loudly rather than silently absorb a corpus shuffle.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     bench_h = (
@@ -545,7 +556,7 @@ def x_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bench h is distinct, occ has one row per (doc, pos): the join
     # cannot duplicate starts, so no DISTINCT is needed before the sweep
-    dup = train_occ.join(bench_h, "h").select(
+    dup = train_occ.join(F.broadcast(bench_h), "h").select(
         "doc_id", F.col("pos").alias("s")
     )
     return _merged_spans(dup)

@@ -430,13 +430,14 @@ _ROUND11_HEAD: list[str] = [
 ]
 
 # Round 12 head start (pre-staged per the standing rotation discipline):
-# no never-tested keys remain after round 11 (all 398 registered keys
-# have at least one official driver row once CORRECTNESS_r11 lands), so
-# this is a PURE oldest-evidence refresh — the three remaining round-3
-# keys, then the round-4-era tail in alphabetical order (the overflow,
-# x_zorder onward, spills to round 13). Flip with
+# the three round-11 additions lead (registered after the round-11
+# window froze — first official driver rows), then the oldest-evidence
+# refresh: the three remaining round-3 keys and the round-4-era tail in
+# alphabetical order (the overflow, x_sketch_kll_quantiles onward,
+# spills to round 13). Flip with
 # `_WINDOW_OVERRIDE = _ROUND12_HEAD` as round 12's first commit.
 _ROUND12_HEAD: list[str] = [
+    "x_dup_rate_by_source", "x_decon_report", "s_exact_substring_durable",
     "x_partition_prune", "x_scd2", "x_tfidf",
     "q_agg_boolean", "q_cogroup_pandas", "q_cohort_ltv",
     "q_explode_outer", "q_flagship", "q_global_rank",
@@ -452,8 +453,7 @@ _ROUND12_HEAD: list[str] = [
     "x_feature_hash", "x_gram_matrix", "x_graph_triangles",
     "x_kmeans", "x_langid_confusion", "x_ngram_counts",
     "x_profile", "x_repetition_score", "x_sim_knn_ivf",
-    "x_sim_knn_lsh", "x_sketch_hll_wau", "x_sketch_kll_quantiles",
-    "x_sketch_theta_overlap", "x_zonemap_skip",
+    "x_sim_knn_lsh", "x_sketch_hll_wau",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND11_HEAD
