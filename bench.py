@@ -304,6 +304,7 @@ HEADLINE = [
     "x_dup_rate_by_source",
     "x_decon_report",
     "s_exact_substring_durable",
+    "s_decon_gate",
 ]
 
 

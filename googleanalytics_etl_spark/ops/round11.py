@@ -192,6 +192,74 @@ def x_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s_decon_gate — streaming ingest decontamination against a static benchmark
+# ---------------------------------------------------------------------------
+
+
+@register("s_decon_gate", oracle=_DECON_SPANS_ORACLE)
+def s_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination AT INGEST: the benchmark gram set is built once
+    (it is static — eval suites do not arrive with the crawl), each
+    arriving micro-batch of training documents is flagged against the
+    broadcast set and its removal spans emitted immediately — the gate
+    a crawl pipeline runs so contaminated spans never reach the lake.
+
+    Unlike the symmetric dedup fold there is NO cross-batch statistic:
+    contamination is per-document vs a fixed set, so batches are
+    independent, per-arrival work is O(batch grams), and the union of
+    per-batch spans IS the whole-corpus answer — certified by sharing
+    x_decontaminate_spans' full oracle. The declared broadcast rides
+    into every micro-batch plan (the round-11 probe fix), so the
+    training stream never shuffles for the flag at any batch size.
+    """
+    from .streaming import _sweep_runs, documents_stream, stage_documents
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bench_h = (
+        _occ(d.where(F.col("source") == "src0").select("doc_id", "text"))
+        .select("h")
+        .distinct()
+        .localCheckpoint(eager=True)  # built once, reused every batch
+    )
+
+    staged = stage_documents(spark, sf_dir, "decon_gate")
+    ckpt = _sweep_runs("decon_gate") / "ckpt"
+    span_slices: list[DataFrame] = []
+    seen_epochs: set[int] = set()
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in seen_epochs:  # replay guard; spans would only
+            return  # duplicate and re-merge identically, but be explicit
+        seen_epochs.add(epoch_id)
+        train = batch_df.where(F.col("source") != "src0").select(
+            "doc_id", "text"
+        )
+        dup = (
+            _occ(train)
+            .join(F.broadcast(bench_h), "h")
+            .select("doc_id", F.col("pos").alias("s"))
+        )
+        # docs are whole within a batch, so the per-doc interval merge
+        # is complete per arrival — emit, nothing retained
+        span_slices.append(_merged_spans(dup).localCheckpoint(eager=True))
+
+    q = (
+        documents_stream(spark, staged)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), span_slices)
+
+
+# ---------------------------------------------------------------------------
 # s_exact_substring_durable — bucketed-parquet fold, exactly-once appends
 # ---------------------------------------------------------------------------
 

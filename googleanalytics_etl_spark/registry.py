@@ -438,6 +438,7 @@ _ROUND11_HEAD: list[str] = [
 # `_WINDOW_OVERRIDE = _ROUND12_HEAD` as round 12's first commit.
 _ROUND12_HEAD: list[str] = [
     "x_dup_rate_by_source", "x_decon_report", "s_exact_substring_durable",
+    "s_decon_gate",
     "x_partition_prune", "x_scd2", "x_tfidf",
     "q_agg_boolean", "q_cogroup_pandas", "q_cohort_ltv",
     "q_explode_outer", "q_flagship", "q_global_rank",
@@ -453,7 +454,7 @@ _ROUND12_HEAD: list[str] = [
     "x_feature_hash", "x_gram_matrix", "x_graph_triangles",
     "x_kmeans", "x_langid_confusion", "x_ngram_counts",
     "x_profile", "x_repetition_score", "x_sim_knn_ivf",
-    "x_sim_knn_lsh", "x_sketch_hll_wau",
+    "x_sim_knn_lsh",
 ]
 
 _WINDOW_OVERRIDE: list[str] | None = _ROUND11_HEAD

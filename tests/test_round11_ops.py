@@ -108,6 +108,19 @@ def test_decontaminate_flag_join_is_declared_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_decon_gate_equals_batch(spark):
+    """Per-batch gating against the static benchmark set unions to the
+    whole-corpus decontamination answer (batches are independent — no
+    cross-batch statistic exists for a fixed benchmark)."""
+    from googleanalytics_etl_spark.ops.round11 import s_decon_gate
+
+    batch = sorted(
+        tuple(r) for r in x_decontaminate_spans(spark, SF_SMALL).collect()
+    )
+    gated = sorted(tuple(r) for r in s_decon_gate(spark, SF_SMALL).collect())
+    assert gated == batch
+
+
 def test_durable_fold_equals_batch(spark):
     from googleanalytics_etl_spark.ops.round11 import (
         s_exact_substring_durable,
