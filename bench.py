@@ -362,7 +362,12 @@ def _host_phase_sample() -> dict | None:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         # user nice system idle iowait irq softirq steal guest guest_nice
-        vals = [int(x) for x in parts[1:11]]
+        # guest/guest_nice are ALREADY included in user/nice on the
+        # cpu line — summing them too would double-count VM guest time
+        # and deflate the steal/iowait percentages on exactly the
+        # shared-virtualized host this instrumentation targets, so the
+        # denominator stops at steal (the standard 8 fields).
+        vals = [int(x) for x in parts[1:9]]
         return {
             "total": sum(vals),
             "idle": vals[3],

@@ -46,6 +46,8 @@ round-10 module's relational construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,10 +101,15 @@ def x_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ratio of two exact BIGINTs, so the double is bit-identical
     cross-engine.
 
-    Scale: the spans frame holds only duplicated intervals (≪ corpus);
-    its per-doc rollup broadcasts into the doc-grain left join, and the
-    final source-grain aggregate is a handful of rows. The corpus-sized
-    work is exactly the probed round-10 pass, nothing more.
+    Scale: the spans frame holds only duplicated intervals (≪ corpus
+    grams) and its per-doc rollup is smaller still, but it is NOT
+    semantics-bounded — on a crawl where most docs carry some
+    duplication it is doc-grain — so unlike the benchmark gram set in
+    x_decontaminate_spans it must NOT be declared broadcast: the left
+    join is left to the optimizer (AQE broadcasts it organically at
+    fixture scale, shuffles doc-grain at corpus scale). The final
+    source-grain aggregate is a handful of rows; the corpus-sized work
+    is exactly the probed round-10 pass, nothing more.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     spans = _merged_spans(_dup_starts_one_pass(_occ(d.select("doc_id", "text"))))
@@ -110,7 +117,7 @@ def x_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n")
     )
-    per = docs.join(F.broadcast(per_doc), "doc_id", "left")
+    per = docs.join(per_doc, "doc_id", "left")
     return per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0))
@@ -159,8 +166,11 @@ def x_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_decontaminate_spans' removal instructions.
 
     Scale: identical to x_decontaminate_spans (benchmark gram set
-    broadcasts, corpus never shuffles for the flag) plus a tiny
-    span-frame rollup broadcast-joined to the doc grain.
+    broadcasts, corpus never shuffles for the flag) plus a span-frame
+    rollup left-joined to the doc grain — the rollup is contaminated
+    docs only, small in practice but not semantics-bounded, so the
+    join strategy is left to the optimizer (no declared broadcast;
+    the bench_h broadcast inside the reused span pass IS declared).
     """
     from .round10 import x_decontaminate_spans
 
@@ -175,7 +185,7 @@ def x_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"), F.sum("span_len").alias("contam")
     )
-    per = d.join(F.broadcast(per_doc), "doc_id", "left")
+    per = d.join(per_doc, "doc_id", "left")
     return per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("n_spans").isNotNull(), 1).otherwise(0))
@@ -311,7 +321,19 @@ def s_exact_substring_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("epoch", "bucket")
             .parquet(occ_dir)
         )
-        stats = _gram_stats(occ.drop("bucket")).withColumn(
+        # Derive the stat partials from the postings JUST WRITTEN —
+        # re-reading the epoch's columnar files costs far less than a
+        # second featurization pass (split + posexplode + md5 over the
+        # whole batch), and keeps the nothing-resident-between-batches
+        # contract without any cache. A batch with zero grams (every
+        # doc < L tokens) writes no epoch directory — nothing to stat.
+        epoch_path = f"{occ_dir}/epoch={int(epoch_id)}"
+        if not os.path.isdir(epoch_path):
+            return
+        epoch_occ = spark.read.schema(
+            "doc_id long, pos int, h long, fk long, bucket int"
+        ).parquet(epoch_path)
+        stats = _gram_stats(epoch_occ.drop("bucket")).withColumn(
             "bucket", F.pmod(F.xxhash64("h"), F.lit(_DUR_BUCKETS)).cast("int")
         )
         (
@@ -338,8 +360,21 @@ def s_exact_substring_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aligned occ directory holds exactly those grams' postings.
     # Lazily unioned, Spark runs the _DUR_BUCKETS branches as one job,
     # each branch reading one directory pair (partition-pruned scan).
-    occ_all = spark.read.parquet(occ_dir)
-    stat_all = spark.read.parquet(stat_dir)
+    # Explicit schemas: a corpus with no ≥L-token document leaves the
+    # stores empty — or, when EVERY batch had zero grams, never creates
+    # the stats directory at all — where schema inference would fail;
+    # the in-memory twin returns an empty spans frame on that corpus
+    # and this form must match it.
+    if not os.path.isdir(stat_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, span_start long, span_end long, span_len long"
+        )
+    occ_all = spark.read.schema(
+        "doc_id long, pos int, h long, fk long, epoch int, bucket int"
+    ).parquet(occ_dir)
+    stat_all = spark.read.schema(
+        "h long, cnt long, first_fk long, epoch int, bucket int"
+    ).parquet(stat_dir)
     dup = None
     for b in range(_DUR_BUCKETS):
         stats_b = (

@@ -430,7 +430,7 @@ _ROUND11_HEAD: list[str] = [
 ]
 
 # Round 12 head start (pre-staged per the standing rotation discipline):
-# the three round-11 additions lead (registered after the round-11
+# the four round-11 additions lead (registered after the round-11
 # window froze — first official driver rows), then the oldest-evidence
 # refresh: the three remaining round-3 keys and the round-4-era tail in
 # alphabetical order (the overflow, x_sketch_kll_quantiles onward,

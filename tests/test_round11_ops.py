@@ -135,6 +135,32 @@ def test_durable_fold_equals_batch(spark):
     assert durable == batch
 
 
+def test_durable_fold_empty_corpus_matches_twin(spark, tmp_path):
+    """A corpus where no document reaches L tokens produces zero grams:
+    the durable store holds only _SUCCESS markers, and the final read
+    must return the same EMPTY spans frame the in-memory twin returns
+    (explicit read schemas — inference would crash on the empty store)."""
+    from googleanalytics_etl_spark.ops.round10 import (
+        s_exact_substring_dedup,
+    )
+    from googleanalytics_etl_spark.ops.round11 import (
+        s_exact_substring_durable,
+    )
+
+    sf_dir = str(tmp_path / "shortsf")
+    spark.createDataFrame(
+        [(i, "a b c", "en", "src1", 5) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    durable = s_exact_substring_durable(spark, sf_dir)
+    assert durable.count() == 0
+    assert [f.name for f in durable.schema.fields] == [
+        "doc_id", "span_start", "span_end", "span_len",
+    ]
+    assert s_exact_substring_dedup(spark, sf_dir).count() == 0
+
+
 def test_durable_store_layout_and_partition_pruning(spark, tmp_path):
     """The durable store is epoch=*/bucket=* hive dirs, and a bucket
     filter reaches the scan as a PartitionFilter (the per-bucket merge

@@ -82,10 +82,10 @@ def build(spark, name: str, copies: int, frac_mod: int) -> str:
 FORMS = {
     "C_window": lambda occ: _merged_spans(_dup_starts_one_pass(occ)),
     "A_join": lambda occ: _merged_spans(_dup_starts(occ, _gram_stats(occ))),
+    # identical to A except the hinted stats side — reuse _dup_starts so
+    # the A/B comparison can never desynchronize from the shipped flag
     "B_join_hash": lambda occ: _merged_spans(
-        occ.join(_gram_stats(occ).hint("shuffle_hash"), "h")
-        .where((F.col("cnt") >= 2) & (F.col("fk") != F.col("first_fk")))
-        .select("doc_id", F.col("pos").alias("s"))
+        _dup_starts(occ, _gram_stats(occ).hint("shuffle_hash"))
     ),
 }
 
