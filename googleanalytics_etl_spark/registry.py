@@ -457,7 +457,7 @@ _ROUND12_HEAD: list[str] = [
     "x_sim_knn_lsh",
 ]
 
-_WINDOW_OVERRIDE: list[str] | None = _ROUND11_HEAD
+_WINDOW_OVERRIDE: list[str] | None = _ROUND12_HEAD
 
 
 def _ordered() -> list[str]:
