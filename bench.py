@@ -305,6 +305,8 @@ HEADLINE = [
     "x_decon_report",
     "s_exact_substring_durable",
     "s_decon_gate",
+    # round 12: equi-key-free banded range join (ops/round12.py)
+    "q_join_range_banded",
 ]
 
 
@@ -386,8 +388,12 @@ def _host_phase_delta(a: dict | None, b: dict | None) -> dict | None:
     if tot <= 0:
         return None
     pct = lambda k: round(100.0 * (b[k] - a[k]) / tot, 2)  # noqa: E731
+    # busy excludes BOTH idle and iowait so the three reported
+    # percentages partition the window (busy + iowait + steal +
+    # unreported-idle = 100); counting iowait as busy would misclassify
+    # exactly the phase this fingerprint exists to detect.
     return {"steal_pct": pct("steal"), "iowait_pct": pct("iowait"),
-            "busy_pct": round(100.0 - pct("idle"), 2)}
+            "busy_pct": round(100.0 - pct("idle") - pct("iowait"), 2)}
 
 
 # Three stable, cheap keys re-run FIRST each bench: their ratios against
@@ -395,44 +401,65 @@ def _host_phase_delta(a: dict | None, b: dict | None) -> dict | None:
 PHASE_CONTROLS = ["q_groupby_agg", "q_sessionize", "q_flagship"]
 
 
+# Keys measured per SparkSession before the session is stopped and
+# rebuilt. Session-lifetime driver state (localCheckpoint RDD blocks
+# the ContextCleaner hasn't reaped, streaming memory-sink buffers,
+# lingering broadcast pieces) was measured to inflate LATE keys of a
+# 226-key single-session run 2-5x (s_error_budget 3.6 s early vs
+# 29.2 s at the tail; the round-8 s_*_merge block showed the same
+# phantoms in reps=1 driver snapshots) while scrub_session's view-drop
+# + clearCache only bounds PART of it. Recycling the session every
+# segment caps the buildup window at SEGMENT keys; each segment warms
+# its own keys, so total warmup work is unchanged and every measured
+# window still sees compiled-code steady state.
+SEGMENT = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SEGMENT", "64")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("gae-spark-bench")
     q = queries()
-
-    # JVM/codegen warmup on the smallest fixture so measured times are
-    # steady-state execution, not first-call compilation. Every headline
-    # key warms (round-2 benches warmed only two and the widest plans —
-    # the 16-signature MinHash tree — paid their whole-stage-codegen
-    # compile inside the measured window, dominating their figure at
-    # fixture scale).
     warm_dir = "/root/testdata/sf0.001"
-    if Path(warm_dir).exists():
-        for key in HEADLINE:
-            run_query(spark, q[key], warm_dir)
-            scrub_session(spark)
+    warm = Path(warm_dir).exists()
 
     # $SPARK_GRAFT_BENCH_REPS > 1 → median-of-N per key (attributable
     # regression hunting on a shared host, without changing the default
     # single-shot protocol the committed round tables use)
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
-    phase_start = _host_phase_sample()
+    phase_start = None
     times: dict[str, float] = {}
-    # Phase controls run FIRST (then again in HEADLINE order like every
-    # other key): their ratio vs the canonical BASELINE.md table stamps
-    # the host phase at run start into the record itself.
     controls: dict[str, float] = {}
-    for key in PHASE_CONTROLS:
-        if key in q:
-            controls[key] = round(run_query(spark, q[key], sf_dir), 3)
-            scrub_session(spark)
-    for key in HEADLINE:
-        samples = []
-        for _ in range(reps):
-            samples.append(run_query(spark, q[key], sf_dir))
-            scrub_session(spark)
-        samples.sort()
-        times[key] = round(samples[len(samples) // 2], 3)
+    spark = None
+    segments = [HEADLINE[i : i + SEGMENT] for i in range(0, len(HEADLINE), SEGMENT)]
+    for si, seg in enumerate(segments):
+        if spark is not None:
+            spark.stop()
+        spark = get_spark("gae-spark-bench")
+        # JVM/codegen warmup on the smallest fixture so measured times
+        # are steady-state execution, not first-call compilation — every
+        # key of THIS segment, in this segment's fresh session (round-2
+        # benches warmed only two keys and the widest plans paid their
+        # whole-stage-codegen compile inside the measured window).
+        if warm:
+            for key in seg:
+                run_query(spark, q[key], warm_dir)
+                scrub_session(spark)
+        if si == 0:
+            phase_start = _host_phase_sample()
+            # Phase controls run FIRST (then again in HEADLINE order
+            # like every other key): their ratio vs the canonical
+            # BASELINE.md table stamps the host phase at run start into
+            # the record itself.
+            for key in PHASE_CONTROLS:
+                if key in q:
+                    controls[key] = round(run_query(spark, q[key], sf_dir), 3)
+                    scrub_session(spark)
+        for key in seg:
+            samples = []
+            for _ in range(reps):
+                samples.append(run_query(spark, q[key], sf_dir))
+                scrub_session(spark)
+            samples.sort()
+            times[key] = round(samples[len(samples) // 2], 3)
     phase_end = _host_phase_sample()
     host = _host_phase_delta(phase_start, phase_end)
 
@@ -459,6 +486,7 @@ def main() -> None:
         "sf": sf,
         "n_keys": len(times),
         "reps": reps,
+        "segment": SEGMENT,
         "controls": controls,
         "host": host,
     }
@@ -469,7 +497,7 @@ def main() -> None:
     try:
         here = Path(__file__).resolve().parent
         full = dict(record, ts=time.strftime("%Y-%m-%dT%H:%M:%S"), reps=reps,
-                    controls=controls, host=host)
+                    segment=SEGMENT, controls=controls, host=host)
         (here / "BENCH_local_latest.json").write_text(json.dumps(full, indent=1))
         with open(here / "BENCH_local_history.jsonl", "a") as fh:
             fh.write(json.dumps(full) + "\n")

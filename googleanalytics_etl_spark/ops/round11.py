@@ -46,7 +46,7 @@ round-10 module's relational construction.
 
 from __future__ import annotations
 
-import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -206,6 +206,19 @@ def x_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _union_spans(spark: SparkSession, slices: list[DataFrame]) -> DataFrame:
+    """Union per-batch span slices, seeded with the typed empty frame so
+    a stream that delivered zero micro-batches (stale checkpoint, empty
+    staged dir) returns the same empty result as the durable twin's
+    empty-store branch instead of raising on an unseeded reduce."""
+    from functools import reduce
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, span_start long, span_end long, span_len long"
+    )
+    return reduce(lambda a, b: a.unionByName(b), slices, empty)
+
+
 @register("s_decon_gate", oracle=_DECON_SPANS_ORACLE)
 def s_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination AT INGEST: the benchmark gram set is built once
@@ -264,9 +277,7 @@ def s_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    from functools import reduce
-
-    return reduce(lambda a, b: a.unionByName(b), span_slices)
+    return _union_spans(spark, span_slices)
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +285,233 @@ def s_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DUR_BUCKETS = 8  # fixture-sized; at 100 TB: grams / target_partition_rows
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so the check
+    holds on whatever store the session writes to (HDFS/S3A/local) —
+    a driver-local ``os.path`` probe would always say "absent" for a
+    remote store and silently skip the stat partials."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _fs_data_file_count(spark: SparkSession, path: str) -> int:
+    """Recursive count of data files under ``path`` (Hadoop FS API;
+    `_SUCCESS`/hidden files excluded) — the small-file metric the
+    compactor reports."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
+
+
+# Sentinel epoch holding compacted data. Real foreachBatch epochs are
+# non-negative, so the partition can never collide with a live batch.
+_COMPACT_EPOCH = -1
+
+
+def compact_durable_store(
+    spark: SparkSession, occ_dir: str, stat_dir: str
+) -> dict:
+    """OPTIMIZE for the durable fold's store — the bin-packing step
+    ``x_compaction_plan`` plans, executed on the (epoch, bucket) layout
+    ``s_exact_substring_durable`` accumulates: every micro-batch writes
+    one file per touched bucket, so E epochs leave E×B small files and
+    E stat partials per gram. Compaction folds all epochs into the
+    sentinel ``epoch=-1`` partition — postings concatenated (one file
+    per bucket), stat partials collapsed through the same (SUM, MIN)
+    monoid the final merge uses — so the span emission reads B files
+    instead of E×B and folds 1 partial per gram instead of E. Because
+    the fold is the merge's own monoid, the emitted spans are
+    bit-identical before and after (pinned by
+    tests/test_round12_ops.py's replay test).
+
+    Epochs folded away are recorded in a ``compacted_epochs`` manifest
+    beside the store; the ingest loop consults it so a REPLAYED
+    micro-batch (foreachBatch is at-least-once) cannot re-create an
+    epoch directory the compactor already folded — the same role the
+    transaction log plays for Delta's OPTIMIZE. Run it at a write
+    barrier (stream stopped or between triggers), as Delta does.
+
+    Scale shape: one read + one bucket-partitioned write of the store,
+    all metadata ops through the Hadoop FS API (works on HDFS/S3A, not
+    just local disk). The rewrite shuffles postings once on the bucket
+    key; stat folding is a map-side-combinable aggregate.
+    """
+    manifest = str(Path(occ_dir).parent / "compacted_epochs")
+    if not _fs_exists(spark, occ_dir):  # empty store: nothing to fold
+        return {"epochs_folded": 0, "files_before": 0, "files_after": 0}
+    before = _fs_data_file_count(spark, occ_dir) + _fs_data_file_count(
+        spark, stat_dir
+    )
+    occ_all = spark.read.schema(
+        "doc_id long, pos int, h long, fk long, epoch int, bucket int"
+    ).parquet(occ_dir)
+    epochs = sorted(
+        r["epoch"]
+        for r in occ_all.select("epoch").distinct().collect()
+        if r["epoch"] != _COMPACT_EPOCH
+    )
+    tmp_occ = occ_dir + ".compact_tmp"
+    tmp_stat = stat_dir + ".compact_tmp"
+    (
+        occ_all.drop("epoch")
+        .withColumn("epoch", F.lit(_COMPACT_EPOCH))
+        .repartition(_DUR_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "bucket")
+        .parquet(tmp_occ)
+    )
+    if _fs_exists(spark, stat_dir):
+        stat_all = spark.read.schema(
+            "h long, cnt long, first_fk long, epoch int, bucket int"
+        ).parquet(stat_dir)
+        (
+            stat_all.groupBy("bucket", "h")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.min("first_fk").alias("first_fk"),
+            )
+            .select(
+                "h", "cnt", "first_fk",
+                F.lit(_COMPACT_EPOCH).alias("epoch"), "bucket",
+            )
+            .repartition(_DUR_BUCKETS, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("epoch", "bucket")
+            .parquet(tmp_stat)
+        )
+    # swap: delete the fragmented store, move the compacted one in
+    for src, dst in ((tmp_occ, occ_dir), (tmp_stat, stat_dir)):
+        if not _fs_exists(spark, src):
+            continue
+        fs, dst_p = _hadoop_fs(spark, dst)
+        if fs.exists(dst_p):
+            fs.delete(dst_p, True)
+        _, src_p = _hadoop_fs(spark, src)
+        fs.rename(src_p, dst_p)
+    if epochs:
+        spark.createDataFrame(
+            [(int(e),) for e in epochs], "epoch int"
+        ).coalesce(1).write.mode("append").parquet(manifest)
+    after = _fs_data_file_count(spark, occ_dir) + _fs_data_file_count(
+        spark, stat_dir
+    )
+    return {
+        "epochs_folded": len(epochs),
+        "files_before": before,
+        "files_after": after,
+    }
+
+
+def _durable_fold_batch(
+    spark: SparkSession,
+    occ_dir: str,
+    stat_dir: str,
+    manifest: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+) -> None:
+    """One micro-batch of the durable fold: land the batch's gram
+    postings and (count, first-occurrence) partials in the
+    (epoch, bucket)-partitioned store via DYNAMIC partition overwrite —
+    a replayed epoch overwrites its own directories, so the sink is
+    idempotent under foreachBatch's at-least-once contract."""
+    # Replay-after-OPTIMIZE guard: an epoch the compactor already
+    # folded into the sentinel partition must NOT re-create its
+    # directory (dynamic overwrite would otherwise double its rows —
+    # once compacted, once live). One tiny metadata read per batch,
+    # the same role Delta's log plays for its OPTIMIZE.
+    if _fs_exists(spark, manifest):
+        done = {r["epoch"] for r in spark.read.parquet(manifest).collect()}
+        if int(epoch_id) in done:
+            return
+    occ = _occ(batch_df.select("doc_id", "text")).withColumn(
+        "bucket", F.pmod(F.xxhash64("h"), F.lit(_DUR_BUCKETS)).cast("int")
+    )
+    (
+        occ.withColumn("epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "bucket")
+        .parquet(occ_dir)
+    )
+    # Derive the stat partials from the postings JUST WRITTEN —
+    # re-reading the epoch's columnar files costs far less than a
+    # second featurization pass (split + posexplode + md5 over the
+    # whole batch), and keeps the nothing-resident-between-batches
+    # contract without any cache. A batch with zero grams (every
+    # doc < L tokens) writes no epoch directory — nothing to stat.
+    epoch_path = f"{occ_dir}/epoch={int(epoch_id)}"
+    if not _fs_exists(spark, epoch_path):
+        return
+    epoch_occ = spark.read.schema(
+        "doc_id long, pos int, h long, fk long, bucket int"
+    ).parquet(epoch_path)
+    stats = _gram_stats(epoch_occ.drop("bucket")).withColumn(
+        "bucket", F.pmod(F.xxhash64("h"), F.lit(_DUR_BUCKETS)).cast("int")
+    )
+    (
+        stats.withColumn("epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "bucket")
+        .parquet(stat_dir)
+    )
+
+
+def merge_durable_store(
+    spark: SparkSession, occ_dir: str, stat_dir: str
+) -> DataFrame:
+    """Final span emission over the durable store, bucket by bucket:
+    the epoch partials for bucket b fold to the global statistic for
+    every gram hashing there (SUM/MIN monoid); the aligned occ
+    directory holds exactly those grams' postings. Lazily unioned,
+    Spark runs the ``_DUR_BUCKETS`` branches as one job, each branch
+    reading one directory pair (partition-pruned scan). Explicit
+    schemas: a corpus with no ≥L-token document leaves the stores
+    empty — or, when EVERY batch had zero grams, never creates the
+    stats directory at all — where schema inference would fail; the
+    in-memory twin returns an empty spans frame on that corpus and
+    this form must match it. Reads compacted (``epoch=-1``) and live
+    epoch partitions alike — the merge is the same monoid the
+    compactor pre-folds."""
+    if not _fs_exists(spark, stat_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, span_start long, span_end long, span_len long"
+        )
+    occ_all = spark.read.schema(
+        "doc_id long, pos int, h long, fk long, epoch int, bucket int"
+    ).parquet(occ_dir)
+    stat_all = spark.read.schema(
+        "h long, cnt long, first_fk long, epoch int, bucket int"
+    ).parquet(stat_dir)
+    dup = None
+    for b in range(_DUR_BUCKETS):
+        stats_b = (
+            stat_all.where(F.col("bucket") == b)
+            .groupBy("h")
+            .agg(F.sum("cnt").alias("cnt"), F.min("first_fk").alias("first_fk"))
+        )
+        occ_b = occ_all.where(F.col("bucket") == b).select(
+            "doc_id", "pos", "h", "fk"
+        )
+        dup_b = _dup_starts(occ_b, stats_b)
+        dup = dup_b if dup is None else dup.unionByName(dup_b)
+    return _merged_spans(dup)
 
 # Spans oracle shared with the batch key: the durable fold must equal
 # the whole-corpus pass exactly (same certification as the in-memory
@@ -309,44 +547,15 @@ def s_exact_substring_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = run / "ckpt"
     occ_dir = str(run / "occ")
     stat_dir = str(run / "stats")
-
-    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        occ = _occ(batch_df.select("doc_id", "text")).withColumn(
-            "bucket", F.pmod(F.xxhash64("h"), F.lit(_DUR_BUCKETS)).cast("int")
-        )
-        (
-            occ.withColumn("epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch", "bucket")
-            .parquet(occ_dir)
-        )
-        # Derive the stat partials from the postings JUST WRITTEN —
-        # re-reading the epoch's columnar files costs far less than a
-        # second featurization pass (split + posexplode + md5 over the
-        # whole batch), and keeps the nothing-resident-between-batches
-        # contract without any cache. A batch with zero grams (every
-        # doc < L tokens) writes no epoch directory — nothing to stat.
-        epoch_path = f"{occ_dir}/epoch={int(epoch_id)}"
-        if not os.path.isdir(epoch_path):
-            return
-        epoch_occ = spark.read.schema(
-            "doc_id long, pos int, h long, fk long, bucket int"
-        ).parquet(epoch_path)
-        stats = _gram_stats(epoch_occ.drop("bucket")).withColumn(
-            "bucket", F.pmod(F.xxhash64("h"), F.lit(_DUR_BUCKETS)).cast("int")
-        )
-        (
-            stats.withColumn("epoch", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch", "bucket")
-            .parquet(stat_dir)
-        )
+    manifest = str(run / "compacted_epochs")
 
     q = (
         documents_stream(spark, staged)
-        .writeStream.foreachBatch(fold_batch)
+        .writeStream.foreachBatch(
+            lambda batch_df, epoch_id: _durable_fold_batch(
+                spark, occ_dir, stat_dir, manifest, batch_df, epoch_id
+            )
+        )
         .option("checkpointLocation", str(ckpt))
         .start()
     )
@@ -355,36 +564,4 @@ def s_exact_substring_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    # Per-bucket merge: the epoch partials for bucket b fold to the
-    # global statistic for every gram hashing there (SUM/MIN monoid);
-    # the aligned occ directory holds exactly those grams' postings.
-    # Lazily unioned, Spark runs the _DUR_BUCKETS branches as one job,
-    # each branch reading one directory pair (partition-pruned scan).
-    # Explicit schemas: a corpus with no ≥L-token document leaves the
-    # stores empty — or, when EVERY batch had zero grams, never creates
-    # the stats directory at all — where schema inference would fail;
-    # the in-memory twin returns an empty spans frame on that corpus
-    # and this form must match it.
-    if not os.path.isdir(stat_dir):
-        return spark.createDataFrame(
-            [], "doc_id long, span_start long, span_end long, span_len long"
-        )
-    occ_all = spark.read.schema(
-        "doc_id long, pos int, h long, fk long, epoch int, bucket int"
-    ).parquet(occ_dir)
-    stat_all = spark.read.schema(
-        "h long, cnt long, first_fk long, epoch int, bucket int"
-    ).parquet(stat_dir)
-    dup = None
-    for b in range(_DUR_BUCKETS):
-        stats_b = (
-            stat_all.where(F.col("bucket") == b)
-            .groupBy("h")
-            .agg(F.sum("cnt").alias("cnt"), F.min("first_fk").alias("first_fk"))
-        )
-        occ_b = occ_all.where(F.col("bucket") == b).select(
-            "doc_id", "pos", "h", "fk"
-        )
-        dup_b = _dup_starts(occ_b, stats_b)
-        dup = dup_b if dup is None else dup.unionByName(dup_b)
-    return _merged_spans(dup)
+    return merge_durable_store(spark, occ_dir, stat_dir)

@@ -706,7 +706,7 @@ def seed_assign(
         ).alias("cand"),
     )
     best = scored.groupBy("vec_id").agg(F.max("cand").alias("b"))
-    return (
+    out = (
         best.select(
             "vec_id",
             (-F.col("b.ns")).alias("cluster"),
@@ -716,6 +716,47 @@ def seed_assign(
         )
         .localCheckpoint(eager=True)
     )
+    _enforce_cell_cap(out, seeds)
+    return out
+
+
+# Tolerated skew multiple of ⌈√n⌉ — the cell size the Σ|cell|² ≈ n^1.5
+# pair-space bound every consumer's scale claim rests on. The cap keys
+# on √n, NOT on n/seed-count: a degenerate corpus (near-identical
+# embeddings) collapses the Lloyd refinement toward ONE surviving
+# centroid, so an n/k cap would loosen itself exactly when the pair
+# join goes quadratic. The check fails that case loudly at assignment
+# time — before the pair join runs — naming the cluster and sizes.
+# (Measured fixture skew: max cell ≈ 1.4×√n, so 8× is generous.)
+_CELL_CAP_FACTOR = 8
+_CELL_CAP_FLOOR = 64  # fixture-scale grace: tiny n has lumpy cells
+
+
+def _enforce_cell_cap(assign: DataFrame, seeds: DataFrame) -> None:
+    """Fail loudly when any IVF cell exceeds ``_CELL_CAP_FACTOR`` ×
+    ⌈√n⌉ (with a small-n floor). Two O(n)→O(k) aggregates over the
+    already-checkpointed assignment — trivial next to the Σ|cell|²
+    pair join the cap protects."""
+    import math as _math
+
+    n = assign.count()
+    k = max(1, seeds.count())
+    cap = max(_CELL_CAP_FLOOR, _CELL_CAP_FACTOR * _math.ceil(_math.sqrt(n)))
+    worst = (
+        assign.groupBy("cluster")
+        .count()
+        .orderBy(F.desc("count"), "cluster")
+        .first()
+    )
+    if worst is not None and worst["count"] > cap:
+        raise ValueError(
+            f"IVF cell {worst['cluster']} holds {worst['count']} of {n} "
+            f"vectors (cap {cap} = max({_CELL_CAP_FLOOR}, "
+            f"{_CELL_CAP_FACTOR}x ceil(sqrt(n))), {k} live seeds): the "
+            "intra-cell pair space is no longer ~n^1.5. Re-seed with "
+            "more/better-spread centroids (raise n_seeds) or dedup the "
+            "degenerate embeddings before the pair-space operator."
+        )
 
 
 def semdedup_counts(em: DataFrame, n_seeds: int | None = None) -> DataFrame:

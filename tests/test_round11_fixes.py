@@ -42,7 +42,8 @@ def test_host_phase_sample_and_delta():
     b["steal"] = a["steal"] + 100
     b["iowait"] = a["iowait"] + 50
     d = bench._host_phase_delta(a, b)
-    assert d == {"steal_pct": 10.0, "iowait_pct": 5.0, "busy_pct": 50.0}
+    # busy excludes idle AND iowait (round-11 advice): 100 - 50 - 5
+    assert d == {"steal_pct": 10.0, "iowait_pct": 5.0, "busy_pct": 45.0}
     assert bench._host_phase_delta(None, b) is None
     assert bench._host_phase_delta(a, a) is None  # zero-width window
 
@@ -51,3 +52,38 @@ def test_phase_controls_are_headline_keys():
     import bench
 
     assert set(bench.PHASE_CONTROLS) <= set(bench.HEADLINE)
+
+
+def test_fs_exists_probes_hadoop_filesystem(spark, tmp_path):
+    from googleanalytics_etl_spark.ops.round11 import _fs_exists
+
+    present = tmp_path / "present"
+    present.mkdir()
+    assert _fs_exists(spark, str(present)) is True
+    assert _fs_exists(spark, str(tmp_path / "absent")) is False
+
+
+def test_union_spans_empty_slice_list_returns_typed_empty(spark):
+    from googleanalytics_etl_spark.ops.round11 import _union_spans
+
+    out = _union_spans(spark, [])
+    assert out.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("doc_id", "bigint"),
+        ("span_start", "bigint"),
+        ("span_end", "bigint"),
+        ("span_len", "bigint"),
+    ]
+
+
+def test_union_spans_folds_slices(spark):
+    from googleanalytics_etl_spark.ops.round11 import _union_spans
+
+    a = spark.createDataFrame(
+        [(1, 0, 7, 8)], "doc_id long, span_start long, span_end long, span_len long"
+    )
+    b = spark.createDataFrame(
+        [(2, 3, 10, 8)], "doc_id long, span_start long, span_end long, span_len long"
+    )
+    out = _union_spans(spark, [a, b]).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2]
