@@ -457,6 +457,34 @@ _ROUND12_HEAD: list[str] = [
     "x_sim_knn_lsh",
 ]
 
+# Round 13 head start (pre-staged per the standing rotation
+# discipline, generated from LEDGER.md's oldest-evidence ordering):
+# round-12 additions lead (first official driver rows), then the
+# round-4-era sketch/zonemap tail, then the round-5 long tail in
+# alphabetical order (49 of the ~50 round-5 keys fit; the remainder
+# spills to round 14). Flip with
+# `_WINDOW_OVERRIDE = _ROUND13_HEAD` as round 13's first commit.
+_ROUND13_HEAD: list[str] = [
+    "q_join_range_banded",
+    "x_sketch_hll_wau", "x_sketch_kll_quantiles", "x_sketch_theta_overlap",
+    "x_zonemap_skip", "x_zorder",
+    "q_arrow_map", "q_fn_timezone", "q_interval_merge",
+    "q_join_asof_forward", "q_join_asof_tolerance", "q_join_null_safe",
+    "q_pivot_dynamic", "q_scan_binaryfile", "q_scan_evolving",
+    "q_scan_malformed", "q_time_weighted_avg", "q_union_evolving",
+    "s_session_dynamic", "s_topk_complete", "x_approx_topk",
+    "x_bigram_heldout", "x_bigram_logprob", "x_bpe_apply",
+    "x_bpe_merge", "x_containment", "x_curation_e2e",
+    "x_dedup_incremental", "x_dedup_normalized", "x_dedup_threshold_curve",
+    "x_diverse_sample", "x_dp_groupby", "x_dpp_join",
+    "x_equidepth_hist", "x_filter_attribution", "x_graph_degree_dist",
+    "x_hilbert", "x_mixture_sample", "x_neighbor_jaccard",
+    "x_ngram_novelty", "x_pack_audit", "x_psi_drift",
+    "x_rfm_features", "x_rrf_fusion", "x_shard_balance",
+    "x_source_overlap", "x_time_decay", "x_token_entropy",
+    "x_top_movers", "x_train_val_test",
+]
+
 _WINDOW_OVERRIDE: list[str] | None = _ROUND12_HEAD
 
 
