@@ -413,7 +413,12 @@ def s_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-scale sink is bucketBy(h) parquet appends — a sink change, not a
     plan change (the x_semdedup_incremental shape).
     """
-    from .streaming import _sweep_runs, documents_stream, stage_documents
+    from .streaming import (
+        _sweep_runs,
+        bounded_stream_parts,
+        documents_stream,
+        stage_documents,
+    )
 
     staged = stage_documents(spark, sf_dir, "xsub")
     ckpt = _sweep_runs("exact_substring") / "ckpt"
@@ -441,16 +446,17 @@ def s_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ_slices.append(occ)
         stat_slices.append(_gram_stats(occ).localCheckpoint(eager=True))
 
-    q = (
-        documents_stream(spark, staged)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_stream_parts(spark):
+        q = (
+            documents_stream(spark, staged)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     stats = (
         reduce(lambda a, b: a.unionByName(b), stat_slices)

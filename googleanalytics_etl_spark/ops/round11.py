@@ -235,7 +235,12 @@ def s_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     into every micro-batch plan (the round-11 probe fix), so the
     training stream never shuffles for the flag at any batch size.
     """
-    from .streaming import _sweep_runs, documents_stream, stage_documents
+    from .streaming import (
+        _sweep_runs,
+        bounded_stream_parts,
+        documents_stream,
+        stage_documents,
+    )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     bench_h = (
@@ -266,16 +271,17 @@ def s_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is complete per arrival — emit, nothing retained
         span_slices.append(_merged_spans(dup).localCheckpoint(eager=True))
 
-    q = (
-        documents_stream(spark, staged)
-        .writeStream.foreachBatch(gate_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_stream_parts(spark):
+        q = (
+            documents_stream(spark, staged)
+            .writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     return _union_spans(spark, span_slices)
 
@@ -540,7 +546,12 @@ def s_exact_substring_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted spans hash-match the batch span finder (shared
     oracle).
     """
-    from .streaming import _sweep_runs, documents_stream, stage_documents
+    from .streaming import (
+        _sweep_runs,
+        bounded_stream_parts,
+        documents_stream,
+        stage_documents,
+    )
 
     staged = stage_documents(spark, sf_dir, "xsubd")
     run = _sweep_runs("exact_substring_durable")
@@ -549,19 +560,20 @@ def s_exact_substring_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat_dir = str(run / "stats")
     manifest = str(run / "compacted_epochs")
 
-    q = (
-        documents_stream(spark, staged)
-        .writeStream.foreachBatch(
-            lambda batch_df, epoch_id: _durable_fold_batch(
-                spark, occ_dir, stat_dir, manifest, batch_df, epoch_id
+    with bounded_stream_parts(spark):
+        q = (
+            documents_stream(spark, staged)
+            .writeStream.foreachBatch(
+                lambda batch_df, epoch_id: _durable_fold_batch(
+                    spark, occ_dir, stat_dir, manifest, batch_df, epoch_id
+                )
             )
+            .option("checkpointLocation", str(ckpt))
+            .start()
         )
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     return merge_durable_store(spark, occ_dir, stat_dir)

@@ -692,6 +692,7 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import (
         SCRATCH,
         _sweep_runs,
+        bounded_stream_parts,
         stage_atomic,
         write_chunks_pinned,
     )
@@ -801,21 +802,22 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         acc["bands"], acc["hsets"] = old_bands, old_hsets
 
-    q = (
-        spark.readStream.schema(
-            "doc_id bigint, lang string, source string, "
-            "n_chars bigint, text string"
+    with bounded_stream_parts(spark):
+        q = (
+            spark.readStream.schema(
+                "doc_id bigint, lang string, source string, "
+                "n_chars bigint, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks))
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(chunks))
-        .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     if not survivors:  # staging raced/empty: fail loudly, not IndexError
         raise RuntimeError("s_dedup_near: no micro-batches fired")
@@ -1101,7 +1103,12 @@ def s_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; at 100 TB the append-then-sum state store is the same
     pattern as a Delta metrics table with periodic compaction.
     """
-    from .streaming import _events_stream, _stage_events, _sweep_runs
+    from .streaming import (
+        _events_stream,
+        _stage_events,
+        _sweep_runs,
+        bounded_stream_parts,
+    )
 
     stage = _stage_events(spark, sf_dir)
     run = _sweep_runs("psi_monitor")
@@ -1137,16 +1144,17 @@ def s_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(str(state))
         )
 
-    q = (
-        _events_stream(spark, stage)
-        .writeStream.foreachBatch(monitor_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_stream_parts(spark):
+        q = (
+            _events_stream(spark, stage)
+            .writeStream.foreachBatch(monitor_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     from .round5m import psi_from_counts
 

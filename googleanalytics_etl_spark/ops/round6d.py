@@ -144,7 +144,7 @@ def s_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     from datetime import datetime
 
-    from .streaming import _events_stream, _sweep_runs
+    from .streaming import _events_stream, _sweep_runs, bounded_stream_parts
 
     stage = _stage_with_replay(spark, sf_dir)
     run = _sweep_runs("late_audit")
@@ -191,16 +191,17 @@ def s_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp_f.write_text(json.dumps({"max_ts": new_max.isoformat()}))
         os.replace(tmp_f, state_f)
 
-    q = (
-        _events_stream(spark, stage)
-        .writeStream.foreachBatch(audit_batch)
-        .option("checkpointLocation", str(run / "ckpt"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_stream_parts(spark):
+        q = (
+            _events_stream(spark, stage)
+            .writeStream.foreachBatch(audit_batch)
+            .option("checkpointLocation", str(run / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     totals = (
         spark.read.parquet(str(partials))

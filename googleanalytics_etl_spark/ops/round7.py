@@ -168,7 +168,7 @@ def s_jdbc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from ..sources.paged import read_paged_stream
-    from .streaming import _sweep_runs
+    from .streaming import _sweep_runs, bounded_stream_parts
 
     name = f"sync_{_uuid.uuid4().hex[:12]}"
     url = _derby_url(name)
@@ -235,16 +235,17 @@ def s_jdbc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             inc.unpersist()
 
-    q = (
-        read_paged_stream(spark, sf_dir, chunks=5, parallel=True)
-        .writeStream.foreachBatch(sync_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_stream_parts(spark):
+        q = (
+            read_paged_stream(spark, sf_dir, chunks=5, parallel=True)
+            .writeStream.foreachBatch(sync_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     # read back as the q_jdbc_roundtrip partitioned range scan (8
     # executor-side range queries — the only viable shape for a big

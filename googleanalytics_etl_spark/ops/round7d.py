@@ -234,7 +234,12 @@ def s_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded metadata, the bloom-manifest contract); per batch the
     register aggregate itself is distributed.
     """
-    from .streaming import _events_stream, _stage_events, _sweep_runs
+    from .streaming import (
+        _events_stream,
+        _stage_events,
+        _sweep_runs,
+        bounded_stream_parts,
+    )
 
     stage = _stage_events(spark, sf_dir)
     # checkpoint must be per-RUN, never inside the (content-cached,
@@ -289,16 +294,21 @@ def s_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             reg, m_j = int(row["reg"]), int(row["m_j"])
             state[reg] = max(state.get(reg, 0), m_j)
 
-    q = (
-        _events_stream(spark, stage)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # The per-batch fold aggregates to bounded metadata (<= sketch-size
+    # rows) but runs under the streaming conf, where AQE is disabled and
+    # shuffle partitions are taken literally: bound them for the run
+    # (state here is sketch-grain, nowhere near core-count partitions).
+    with bounded_stream_parts(spark):
+        q = (
+            _events_stream(spark, stage)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     from decimal import Decimal
 

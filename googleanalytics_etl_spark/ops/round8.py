@@ -107,7 +107,12 @@ def s_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     event scan. At 100 TB the same fold runs per partition with no
     driver involvement (groupBy(bin) is already the merge).
     """
-    from .streaming import _events_stream, _stage_events, _sweep_runs
+    from .streaming import (
+        _events_stream,
+        _stage_events,
+        _sweep_runs,
+        bounded_stream_parts,
+    )
 
     stage = _stage_events(spark, sf_dir)
     ckpt = _sweep_runs("kll_merge") / "ckpt"
@@ -128,16 +133,21 @@ def s_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = int(row["b"])
             state[b] = state.get(b, 0) + int(row["c"])
 
-    q = (
-        _events_stream(spark, stage)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # The per-batch fold aggregates to bounded metadata (<= sketch-size
+    # rows) but runs under the streaming conf, where AQE is disabled and
+    # shuffle partitions are taken literally: bound them for the run
+    # (state here is sketch-grain, nowhere near core-count partitions).
+    with bounded_stream_parts(spark):
+        q = (
+            _events_stream(spark, stage)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     import math
 
@@ -230,7 +240,12 @@ def s_theta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     states also intersect, enabling sketch-space audience overlap
     (sketches.py theta_intersection_estimate).
     """
-    from .streaming import _events_stream, _stage_events, _sweep_runs
+    from .streaming import (
+        _events_stream,
+        _stage_events,
+        _sweep_runs,
+        bounded_stream_parts,
+    )
 
     stage = _stage_events(spark, sf_dir)
     ckpt = _sweep_runs("theta_merge") / "ckpt"
@@ -263,16 +278,21 @@ def s_theta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in sorted(state)[_KMV_K:]:
                 state.discard(h)
 
-    q = (
-        _events_stream(spark, stage)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # The per-batch fold aggregates to bounded metadata (<= sketch-size
+    # rows) but runs under the streaming conf, where AQE is disabled and
+    # shuffle partitions are taken literally: bound them for the run
+    # (state here is sketch-grain, nowhere near core-count partitions).
+    with bounded_stream_parts(spark):
+        q = (
+            _events_stream(spark, stage)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     bot = sorted(state)[:_KMV_K]
     seen = len(bot)
@@ -491,7 +511,12 @@ def s_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold.
     """
     from .extensions import _CM_D, _CM_W
-    from .streaming import _events_stream, _stage_events, _sweep_runs
+    from .streaming import (
+        _events_stream,
+        _stage_events,
+        _sweep_runs,
+        bounded_stream_parts,
+    )
 
     stage = _stage_events(spark, sf_dir)
     ckpt = _sweep_runs("cm_merge") / "ckpt"
@@ -528,16 +553,21 @@ def s_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (int(r["i"]), int(r["bucket"]))
             state[key] = state.get(key, 0) + int(r["n"])
 
-    q = (
-        _events_stream(spark, stage)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # The per-batch fold aggregates to bounded metadata (<= sketch-size
+    # rows) but runs under the streaming conf, where AQE is disabled and
+    # shuffle partitions are taken literally: bound them for the run
+    # (state here is sketch-grain, nowhere near core-count partitions).
+    with bounded_stream_parts(spark):
+        q = (
+            _events_stream(spark, stage)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     counters = spark.createDataFrame(
         [(ik, bk, n) for (ik, bk), n in state.items()],
@@ -731,6 +761,7 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import (
         SCRATCH,
         _sweep_runs,
+        bounded_stream_parts,
         stage_atomic,
         write_chunks_pinned,
     )
@@ -845,18 +876,19 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         acc["bands"], acc["vecs"] = old_bands, old_vecs
 
-    q = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(chunks))
-        .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_stream_parts(spark):
+        q = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks))
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     if not survivors:  # staging raced/empty: fail loudly, not IndexError
         raise RuntimeError("s_semdedup: no micro-batches fired")

@@ -481,7 +481,12 @@ def s_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT sufficient statistic, so the certification is equality of the
     final scores, not a bound.
     """
-    from .streaming import _sweep_runs, documents_stream, stage_documents
+    from .streaming import (
+        _sweep_runs,
+        bounded_stream_parts,
+        documents_stream,
+        stage_documents,
+    )
 
     staged = stage_documents(spark, sf_dir, "dsir")
     ckpt = _sweep_runs("dsir_score") / "ckpt"
@@ -494,16 +499,20 @@ def s_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # <= _N_BUCKETS rows — bounded metadata, never data-scale
         _fold_bucket_counts(state, folded_epochs, epoch_id, rows)
 
-    q = (
-        documents_stream(spark, staged)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # Per-batch work folds to bounded metadata (or batch-grain slices)
+    # under the streaming conf (AQE off, shuffle partitions literal):
+    # bound the partitions for the run.
+    with bounded_stream_parts(spark):
+        q = (
+            documents_stream(spark, staged)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     counts = spark.createDataFrame(
         [(b, ct, cr) for b, (ct, cr) in state.items()],
@@ -556,7 +565,12 @@ def s_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-k — this key emits the sampled ROWS, that one estimates
     cardinality from the same statistic.
     """
-    from .streaming import _sweep_runs, documents_stream, stage_documents
+    from .streaming import (
+        _sweep_runs,
+        bounded_stream_parts,
+        documents_stream,
+        stage_documents,
+    )
 
     staged = stage_documents(spark, sf_dir, "rsv")
     ckpt = _sweep_runs("reservoir") / "ckpt"
@@ -583,16 +597,20 @@ def s_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         reservoir.sort()
         del reservoir[_RSV_K:]
 
-    q = (
-        documents_stream(spark, staged)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # Per-batch work folds to bounded metadata (or batch-grain slices)
+    # under the streaming conf (AQE off, shuffle partitions literal):
+    # bound the partitions for the run.
+    with bounded_stream_parts(spark):
+        q = (
+            documents_stream(spark, staged)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     return spark.createDataFrame(
         [

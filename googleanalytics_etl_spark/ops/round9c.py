@@ -265,7 +265,12 @@ def s_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-scale sink is bucketBy(gram_hash) parquet appends, a sink change
     not a plan change.
     """
-    from .streaming import _sweep_runs, documents_stream, stage_documents
+    from .streaming import (
+        _sweep_runs,
+        bounded_stream_parts,
+        documents_stream,
+        stage_documents,
+    )
 
     staged = stage_documents(spark, sf_dir, "winnow")
     ckpt = _sweep_runs("winnow_matches") / "ckpt"
@@ -308,16 +313,20 @@ def s_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         index_slices.append(fp)
 
-    q = (
-        documents_stream(spark, staged)
-        .writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", str(ckpt))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # Per-batch work folds to bounded metadata (or batch-grain slices)
+    # under the streaming conf (AQE off, shuffle partitions literal):
+    # bound the partitions for the run.
+    with bounded_stream_parts(spark):
+        q = (
+            documents_stream(spark, staged)
+            .writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     from functools import reduce
 
