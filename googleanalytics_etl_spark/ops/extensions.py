@@ -1111,16 +1111,26 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable id per node — feasible because the sf0.01 pair graph is
     small; the Spark loop is the form that scales.
     """
-    pairs = _minhash_pairs(spark, sf_dir).persist()
+    # Eager RDD checkpoints, not persist(): an iterative loop over
+    # CACHED frames is pathological here — caching pins the plan with
+    # AQE disabled below the InMemoryRelation
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning), and
+    # every round's action re-planned/re-ran multi-second work on
+    # metadata-grain frames (measured at sf0.1: 4.2–6.8 s PER ROUND and
+    # 3.0 s for a bare re-aggregate of the cached labels; the same loop
+    # over localCheckpoints runs 0.4–0.7 s per round with a 0.6 s
+    # census). The checkpoint also truncates lineage, so round r never
+    # re-executes rounds < r — same discipline as x_power_iteration.
+    pairs = _minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # Convergence check: min-propagation is monotone non-increasing, so
     # the label SUM strictly decreases until the fixpoint — comparing
@@ -1135,10 +1145,9 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(nbr_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             break
@@ -1147,14 +1156,11 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    out = labels.join(F.broadcast(sizes), "label").select(
+    return labels.join(F.broadcast(sizes), "label").select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         "cluster_size",
     )
-    pairs.unpersist()
-    und.unpersist()
-    return out
 
 
 _CDC_ORACLE = """

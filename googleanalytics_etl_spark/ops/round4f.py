@@ -82,8 +82,12 @@ def x_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(
             (
+                # long multiply (product ≤ (scale·max|x|)² ≈ 3e14 ≪ 2⁶³,
+                # exact), decimal only for the exact cross-row sum — the
+                # per-term BigDecimal multiply measured ~2.7× slower on
+                # the n·d² product rows (x_power_iteration's G stage)
                 F.sum(
-                    (F.col("sa").cast("decimal(38,0)") * F.col("sb"))
+                    (F.col("sa") * F.col("sb")).cast("decimal(38,0)")
                 ).cast("double")
                 / _GRAM_SCALE
                 / _GRAM_SCALE

@@ -155,7 +155,7 @@ def x_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.sum("s").cast("double") / F.count(F.lit(1)) / 10_000_000
     ex2 = (
-        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).cast("double")
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).cast("double")
         / F.count(F.lit(1))
         / F.lit(1e14)
     )

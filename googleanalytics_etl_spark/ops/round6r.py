@@ -5,9 +5,10 @@ panel: 5 selection rounds, each picking the candidate maximizing
 λ·sim(query, c) − (1−λ)·max_{s∈S} sim(c, s) over the not-yet-selected
 pool. The standard diversification step between retrieval and a
 context window — near-duplicate hits waste prompt tokens, and MMR is
-the greedy trade between relevance and novelty. The 5 rounds are
-UNROLLED into one lazy DataFrame DAG (no driver loop — each pick is a
-TakeOrdered(1) frame feeding the next round's joins), and the oracle
+the greedy trade between relevance and novelty. Each pick is a
+TakeOrdered(1) frame feeding the next round's joins (selection stays
+in-engine — no driver-side argmax), eagerly materialized so round t's
+plan does not re-expand every earlier round's subtree; the oracle
 unrolls the identical recursion into chained CTEs.
 
 Reference parity: no analogue [REF-UNVERIFIED — /root/reference is
@@ -109,6 +110,9 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cands.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
     b = cands.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
+    # Eager {pool}²-row materialization: pair feeds every selection
+    # round, and each unmaterialized reference re-plans the whole
+    # corpus-scan subtree below it (see the picks note).
     pair = (
         a.crossJoin(F.broadcast(b))
         .where(F.col("ida") != F.col("idb"))
@@ -117,8 +121,16 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idb",
             F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
         )
+        .localCheckpoint(eager=True)
     )
     lam = _MMR_LAMBDA
+    # Each pick is a 1-row frame; eager-checkpoint it. Round t's plan
+    # references every earlier pick (the selected-set union) twice, so
+    # the unmaterialized recursion multiplies subtrees ~3^t-fold — the
+    # audited before-plan reached 40 exchanges / 161 broadcast
+    # relations for a 10-row pool (12.7 s at sf0.1, almost all
+    # planning). With pool/pair/picks materialized the DAG is k tiny
+    # TakeOrdered jobs over checkpointed metadata frames.
     s1 = (
         cands.orderBy(F.col("simq").desc(), "vec_id")
         .limit(1)
@@ -127,6 +139,7 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(F.lit(lam) * F.col("simq"), 6).alias("score"),
         )
+        .localCheckpoint(eager=True)
     )
     picks = [s1]
     for t in range(2, _MMR_K + 1):
@@ -151,6 +164,7 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), "vec_id")
             .limit(1)
             .select(F.lit(t).cast("long").alias("rank"), "vec_id", "score")
+            .localCheckpoint(eager=True)
         )
         picks.append(step)
     out = picks[0]

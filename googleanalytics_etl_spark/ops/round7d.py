@@ -136,12 +136,20 @@ def x_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv").alias("sb"),
     )
     descale = float(_PI_SCALE) * float(_PI_SCALE)
+    # Multiply in LONG, widen to decimal only for the exact SUM: the
+    # per-term product is bounded by (scale·max|x|)² ≈ 3e14 ≪ 2⁶³, so
+    # the long multiply is exact and overflow-free at any corpus size —
+    # only the cross-row sum can outgrow long, and that is where the
+    # decimal goes. A per-term decimal MULTIPLY (the previous form)
+    # pays BigDecimal arithmetic on every one of the n·d² product rows:
+    # measured 8.3 s → 3.0 s warm for the G stage at sf0.1, identical
+    # values (integer grid either way).
     g = (
         a.join(b, "vec_id")
         .groupBy("i", "j")
         .agg(
             (
-                F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sb")).cast(
+                F.sum((F.col("sa") * F.col("sb")).cast("decimal(38,0)")).cast(
                     "double"
                 )
                 / descale

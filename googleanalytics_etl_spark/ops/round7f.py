@@ -116,18 +116,23 @@ def x_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def stats(e: DataFrame, rnd: int) -> DataFrame:
-        nodes = (
-            e.select(F.col("p1").alias("node"))
-            .union(e.select(F.col("p2").alias("node")))
-            .distinct()
-            .count()
+    def stats(e: DataFrame) -> tuple[int, int]:
+        # ONE aggregate job per census: explode each edge into its two
+        # endpoints, then edges = rows/2 and nodes = distinct endpoints
+        # in the same pass (was two separate actions per round — a
+        # union+distinct+count plus a count — pure job-count overhead
+        # on a loop whose frames are edge-grain).
+        row = (
+            e.select(F.explode(F.array("p1", "p2")).alias("node"))
+            .agg(
+                (F.count(F.lit(1)) / 2).cast("long").alias("edges"),
+                F.countDistinct("node").alias("nodes"),
+            )
+            .first()
         )
-        return spark.createDataFrame(
-            [(rnd, nodes, e.count())], "round bigint, nodes bigint, edges bigint"
-        )
+        return int(row["nodes"]), int(row["edges"])
 
-    out = stats(edges, 0)
+    census = [(0, *stats(edges))]
     e = edges
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = (
@@ -143,8 +148,11 @@ def x_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p1", "p2")
             .localCheckpoint(eager=True)
         )
-        out = out.unionByName(stats(e, r))
-    return out
+        census.append((r, *stats(e)))
+    return spark.createDataFrame(
+        [(r, n, m) for r, n, m in census],
+        "round bigint, nodes bigint, edges bigint",
+    )
 
 
 x_kcore_peel.__doc__ = x_kcore_peel.__doc__.format(
