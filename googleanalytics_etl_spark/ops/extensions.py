@@ -235,11 +235,15 @@ def _minhash_parts(spark: SparkSession, sf_dir: str) -> dict:
         "doc_id",
         F.transform("shingles", lambda s: F.md5(s.cast("binary"))).alias("md5s"),
     )
-    # persist: three plan branches consume this stage (band signatures +
-    # both sides of the verification join), and Spark does not share
-    # subplans across DAG branches — without the cache the shingle+md5
-    # pipeline would execute three times. The cached form is compact:
-    # (doc_id, two long arrays), no text.
+    # Materialized ONCE (eager localCheckpoint): three plan branches
+    # consume this stage (band signatures + both sides of the
+    # verification join), and Spark does not share subplans across DAG
+    # branches — without it the shingle+md5 pipeline would execute
+    # three times. localCheckpoint, not persist: a cached frame pins
+    # AQE off below the InMemoryRelation and re-planned scans of it
+    # measured multi-second on the x_dedup_clusters loop (same
+    # pathology, same fix), while the checkpointed form is compact
+    # (doc_id, two long arrays — no text) and ContextCleaner-released.
     hashed = md5d.select(
         "doc_id",
         F.transform(
@@ -248,7 +252,7 @@ def _minhash_parts(spark: SparkSession, sf_dir: str) -> dict:
         F.transform(
             "md5s", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
         ).alias("h2s"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     # NB: the loop variable must be captured via a factory, not a default
     # arg — PySpark counts lambda params, and a 2-param transform lambda
     # binds the second to the ELEMENT INDEX (and zip_with rejects 3).

@@ -158,6 +158,11 @@ def x_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
     ).cast("long")
+    # NOT checkpointed (tried in round 12, measured neutral-to-worse):
+    # the second consumer is the src0-filtered benchmark branch, whose
+    # predicate pushes to the scan — re-running ~1/|sources| of the
+    # shingle pipeline costs less than materializing the full
+    # corpus-gram frame.
     hashed = sh.select("doc_id", "source", h.alias("h"))
     bench = (
         hashed.where(F.col("source") == "src0")

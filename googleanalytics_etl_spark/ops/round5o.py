@@ -158,10 +158,14 @@ def x_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
     assign = kmeans_assignments(e.select("vec_id", "embedding"))
+    # k·|labels|-row eager checkpoint: both the totals and the majority
+    # pick consume this frame, and each unmaterialized reference would
+    # re-run the full 3-iteration Lloyd assignment chain below it.
     lab = (
         assign.join(e.select("vec_id", "label"), "vec_id")
         .groupBy("cluster", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
     tot = lab.groupBy("cluster").agg(
         F.sum("n").cast("bigint").alias("n_members")

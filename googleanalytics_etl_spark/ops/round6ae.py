@@ -174,11 +174,16 @@ def copurchase_edges(li_raw: DataFrame) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
     )
+    # Eager checkpoint: every consumer reads the edge list from at
+    # least two plan branches (degrees + annotation joins, wedge
+    # self-joins), and each unmaterialized reference re-runs the
+    # basket build from the fact scan. Slim (src, dst) longs.
     return (
         baskets.select(F.explode("parts").alias("src"), "parts")
         .select("src", F.explode("parts").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -194,8 +199,12 @@ def graph_2hop_frame(li_raw: DataFrame) -> DataFrame:
     """
     edges = copurchase_edges(li_raw)
     rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
-    capped = edges.withColumn("rn", rn).where(F.col("rn") <= _HOP_CAP).drop(
-        "rn"
+    # capped feeds both hop legs — materialize the window result once
+    capped = (
+        edges.withColumn("rn", rn)
+        .where(F.col("rn") <= _HOP_CAP)
+        .drop("rn")
+        .localCheckpoint(eager=True)
     )
     h2 = capped.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
     two_hop = (

@@ -105,6 +105,9 @@ def _support_edges(li_raw: DataFrame) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
     )
+    # Eager checkpoint (support-filtered list is ~7k rows at sf0.1):
+    # consumers read it from 2+ branches and would otherwise re-run
+    # the basket build per reference.
     return (
         baskets.select(F.explode("parts").alias("src"), "parts")
         .select("src", F.explode("parts").alias("dst"))
@@ -113,6 +116,7 @@ def _support_edges(li_raw: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= _CC_SUPPORT)
         .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -155,6 +159,8 @@ def x_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        # three wedge-join branches read this — materialize once
+        .localCheckpoint(eager=True)
     )
     w2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
     w3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("v3"))

@@ -106,7 +106,7 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("simq").desc(), "vec_id")
         .limit(_MMR_POOL)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     a = cands.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
     b = cands.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))

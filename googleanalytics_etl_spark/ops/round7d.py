@@ -155,7 +155,10 @@ def x_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / descale
             ).alias("gv")
         )
-        .persist()
+        # d²-row eager checkpoint, not persist: every iteration scans
+        # this frame, and scans of a cached relation re-plan with AQE
+        # pinned off (the x_dedup_clusters pathology)
+        .localCheckpoint(eager=True)
     )
     d = 64
     v = spark.range(d).select(
@@ -217,7 +220,6 @@ def x_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    g.unpersist()
     return out
 
 

@@ -225,6 +225,11 @@ def banded_buckets(em: DataFrame) -> DataFrame:
             .alias("bit")
         )
     )
+    # Eager checkpoint: every consumer reads this frame at least twice
+    # (candidate self-joins; the incremental key reads it four times),
+    # and each unmaterialized reference re-runs the n·P·d banding
+    # join+aggregate. The materialized form is slim — (vec_id, band,
+    # bkey), 3 longs × n·bands rows.
     return (
         bits.withColumn("band", F.expr(f"CAST(plane DIV {XSD_BITS} AS INT)"))
         .withColumn(
@@ -236,6 +241,7 @@ def banded_buckets(em: DataFrame) -> DataFrame:
         )
         .groupBy("vec_id", "band")
         .agg(F.sum("addend").cast("long").alias("bkey"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -884,7 +890,12 @@ def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _xsi_stage(spark, sf_dir)
     batch = _xsi_batch(spark, sf_dir)
 
-    bkeys = banded_buckets(batch)
+    # bkeys is consumed four times (pruning manifest, corpus candidate
+    # join, both sides of the batch self-join) and each unmaterialized
+    # reference would re-run the 256-plane banding projection over the
+    # batch; batch-grain eager checkpoint — bounded by the arriving
+    # batch, never the corpus.
+    bkeys = banded_buckets(batch)  # eagerly checkpointed inside
     # ≤ n_buckets ints of driver metadata — the pruning manifest
     touched = sorted(
         r["bucket"]
@@ -928,7 +939,7 @@ def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x.cast("double") * x.cast("double"),
             )
         ).alias("nrm"),
-    )
+    ).localCheckpoint(eager=True)
     # old side: corpus partners from the PRUNED vector store + batch
     # partners from the in-memory batch frame
     vtouched = sorted(

@@ -115,21 +115,16 @@ def _occ_from(d: DataFrame) -> DataFrame:
     )
 
 
-# x_dsir_weights caches the occurrence frame (used twice: bucket model
-# + per-doc scoring). The cache is scoped here so repeated invocations
-# (tests, verify loops, x_dsir_resample re-invoking the weights key)
-# hold at most ONE persisted frame: each call unpersists the previous
-# one before persisting its own. Unpersisting only degrades a stale
-# returned plan to recompute — never a correctness change.
-_OCC_CACHE: list[DataFrame] = []
+# x_dsir_weights materializes the occurrence frame once (used twice:
+# bucket model + per-doc scoring). Eager localCheckpoint, not persist:
+# cached-relation scans re-plan with AQE pinned off (the
+# x_dedup_clusters pathology), and the checkpoint blocks are released
+# by the ContextCleaner when the frame is collected — no module-level
+# cache bookkeeping needed.
 
 
 def _cached_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
-    while _OCC_CACHE:
-        _OCC_CACHE.pop().unpersist()
-    occ = _doc_buckets(spark, sf_dir).persist()
-    _OCC_CACHE.append(occ)
-    return occ
+    return _doc_buckets(spark, sf_dir).localCheckpoint(eager=True)
 
 
 def _doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

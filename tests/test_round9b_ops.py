@@ -260,17 +260,19 @@ def test_fold_bucket_counts_epoch_idempotent():
     assert state == {1: [6, 10], 2: [2, 0]}
 
 
-def test_dsir_occ_cache_bounded(spark):
-    """x_dsir_weights' persisted occurrence frame must not accumulate
-    across invocations: each call unpersists the previous one, so at
-    most ONE cached frame is alive at any time."""
+def test_dsir_occ_materialized_not_cached(spark):
+    """x_dsir_weights' shared occurrence frame is an eager
+    localCheckpoint (round-12 optimization): NOT a session-pinned cache
+    (cached-relation scans re-plan with AQE pinned off — the
+    x_dedup_clusters pathology), already materialized at return (RDD
+    checkpointed), and with no module-level bookkeeping to leak."""
     from googleanalytics_etl_spark.ops import round9b
 
-    occ1 = round9b._cached_occ(spark, SF_SMALL)
-    assert occ1.is_cached
-    occ2 = round9b._cached_occ(spark, SF_SMALL)
-    assert not occ1.is_cached
-    assert occ2.is_cached
-    assert len(round9b._OCC_CACHE) == 1
-    # results unaffected by the cache turnover
+    occ = round9b._cached_occ(spark, SF_SMALL)
+    assert not occ.is_cached  # no InMemoryRelation pinned to the session
+    # the returned plan is the materialized RDD scan, not the pipeline
+    plan = occ._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert not hasattr(round9b, "_OCC_CACHE")  # bookkeeping gone
+    # results unaffected by the materialization strategy
     assert round9b.x_dsir_weights(spark, SF_SMALL).count() > 0
