@@ -296,6 +296,10 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _minhash_parts(spark, sf_dir)
     scored, hsig = parts["scored"], parts["hsig"]
 
+    # NOT checkpointed (tried in round 12, measured within noise): the
+    # three consumers re-derive this explode from the already-
+    # checkpointed signature stage, which is cheap relative to the
+    # truth join it feeds.
     e = hsig.select("doc_id", F.explode("hsig").alias("h"))
     blockable = (
         e.groupBy("h")

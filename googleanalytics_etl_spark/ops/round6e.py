@@ -87,7 +87,8 @@ FROM stats s, denom d
 @register("x_lsh_tuning", oracle=_lsh_tuning_oracle())
 def x_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding sweep: the shared 16-signature frame
-    (``_minhash_parts`` — computed ONCE, persisted) re-banded at
+    (``_minhash_parts`` — computed ONCE, eagerly checkpointed)
+    re-banded at
     {shapes}; per shape, candidate volume, verified-pair yield
     (hash-set Jaccard ≥ 0.5), precision, and recall against the
     (16 × 1) superset shape. Reads as the measured LSH S-curve: more
@@ -96,7 +97,7 @@ def x_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate (full recall at this threshold, worst candidate bill).
 
     Scale shape: the signature stage is the exact x_dedup_near plan
-    (the persisted (doc_id, arrays) frame feeds all three shapes — the
+    (the materialized (doc_id, arrays) frame feeds all three shapes — the
     shingle/md5 pipeline runs once); each shape's band join carries
     only (band, bucket, doc_id); verification joins the slim hash-set
     frame onto candidates only. The three shapes share every scan. At

@@ -80,7 +80,8 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus-wide stage is exactly ``x_sim_knn``
     (broadcast 1-row query, one scan, TakeOrdered — no global sort);
     everything after operates on the {pool}-row candidate frame
-    (persisted — it feeds both pair sides and every round): the
+    (eagerly materialized — it feeds both pair sides and every round):
+    the
     {pool}×{pool} pair-sim construction and each round's joins are
     bounded-metadata broadcasts, and the {k} rounds build ONE lazy DAG
     of TakeOrdered(1) frames — no driver-side selection loop, no
