@@ -169,3 +169,55 @@ def test_durable_store_compaction_preserves_spans_and_blocks_replay(spark):
     # a genuinely NEW epoch still lands beside the compacted partition
     _durable_fold_batch(spark, occ, stats, manifest, docs, 99)
     assert _fs_exists(spark, occ + "/epoch=99")
+
+
+def test_bounded_stream_parts_bounds_and_restores(spark):
+    """Round-12 optimization helper: bounded_stream_parts must set the
+    session's shuffle partitions for the run (streaming plans take the
+    value literally — AQE is disabled there) and restore the previous
+    value on exit, including on error."""
+    import pytest
+
+    from googleanalytics_etl_spark.ops.streaming import (
+        STREAM_STATE_PARTS,
+        bounded_stream_parts,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with bounded_stream_parts(spark):
+        assert spark.conf.get(key) == str(STREAM_STATE_PARTS)
+    assert spark.conf.get(key) == prev
+    with bounded_stream_parts(spark, parts=3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == prev
+    with pytest.raises(RuntimeError, match="boom"):
+        with bounded_stream_parts(spark, parts=5):
+            assert spark.conf.get(key) == "5"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prev
+
+
+def test_durable_fold_writes_one_file_per_bucket(spark, tmp_path):
+    """The round-12 write-sizing fix: each (epoch, bucket) partition of
+    the durable store must hold ONE data file (repartition by bucket
+    before the write), not one shard per compute task."""
+    from pathlib import Path
+
+    from googleanalytics_etl_spark.ops.round11 import _durable_fold_batch
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(60))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    occ_dir = str(tmp_path / "occ")
+    stat_dir = str(tmp_path / "stats")
+    _durable_fold_batch(
+        spark, occ_dir, stat_dir, str(tmp_path / "manifest"), docs, 0
+    )
+    for store in (occ_dir, stat_dir):
+        buckets = [p for p in Path(store, "epoch=0").glob("bucket=*")]
+        assert buckets, f"no bucket dirs under {store}"
+        for b in buckets:
+            files = [f for f in b.glob("*.parquet")]
+            assert len(files) == 1, f"{b} holds {len(files)} files"
