@@ -296,32 +296,35 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _minhash_parts(spark, sf_dir)
     scored, hsig = parts["scored"], parts["hsig"]
 
-    # NOT checkpointed (tried in round 12, measured within noise): the
-    # three consumers re-derive this explode from the already-
-    # checkpointed signature stage, which is cheap relative to the
-    # truth join it feeds.
+    # Bucket discipline (guide §2.3/§3, the x_semdedup_incremental
+    # pattern): aggregate the inverted index to (h, [doc ids]) ONCE and
+    # generate candidate pairs INSIDE each df-capped bucket row. The
+    # pair space is identical — every unordered pair sharing a hash
+    # with 2 <= df <= 20 (size(ids) == the old COUNT(*) df because
+    # collect_list keeps multiplicity) — but the exploded index is
+    # shuffled once (this groupBy) instead of three times (the old df
+    # aggregate plus BOTH sides of the e1 ⋈ e2 join); per-bucket pair
+    # fan-out is bounded by the same df cap (<= 20·19/2 rows).
     e = hsig.select("doc_id", F.explode("hsig").alias("h"))
-    blockable = (
+    bucket = (
         e.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= 20))
-        .select("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= 20))
     )
-    e1 = e.join(blockable, "h").withColumnRenamed("doc_id", "doc_a")
-    e2 = e.withColumnRenamed("doc_id", "doc_b")
     tcand = (
-        e1.join(e2, "h")
+        bucket.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
     s1 = hsig.select(F.col("doc_id").alias("doc_a"), F.col("hsig").alias("sh_a"))
     s2 = hsig.select(F.col("doc_id").alias("doc_b"), F.col("hsig").alias("sh_b"))
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
-    )
+    # |A∪B| = |A| + |B| − |A∩B| exactly (hsig is array_distinct output),
+    # so the verification pays ONE per-row set op instead of two —
+    # measured 2× on this filter, which is the truth side's hot loop.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
     truth = (
         tcand.join(s1, "doc_a")
         .join(s2, "doc_b")
@@ -334,7 +337,7 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cand = scored.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_pos = lsh_pos.agg(F.count(F.lit(1)).alias("n_positive"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_hit = lsh_pos.join(truth, ["doc_a", "doc_b"]).agg(
+    n_hit = lsh_pos.join(F.broadcast(truth), ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )
     return (
