@@ -223,40 +223,61 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", h.alias("shingle"))
         .localCheckpoint(eager=True)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= 10)
-        .select("shingle")
+    # One doc-grain aggregate replaces FOUR passes over the shingle
+    # index (the old sizes aggregate, both sides of the intersection
+    # join, and the sa/sb size joins): per-doc hash list + its size.
+    # n_common as size(array_intersect) equals the old join-count row
+    # for row because the per-doc hash multiset is duplicate-free —
+    # word_shingles emits array_distinct strings and no two of them
+    # collide in the 60-bit hash on any fixture (asserted by
+    # tests/test_round5c_internals.py against all three SFs; a fixture
+    # that ever violated it would fail the test, not corrupt output).
+    sets_ = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs"),
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
     )
-    blocked = sh.join(rare, "shingle")
+    # Rare-shingle candidates via the bucket discipline (guide §2.3/§3):
+    # aggregate the inverted index ONCE to df-capped member lists and
+    # generate pairs inside the row — the old blocked ⋈ blocked form
+    # shuffled the exploded index twice more. size(ids) == the old
+    # COUNT(*) df; only buckets with >= 2 docs can produce pairs.
     cand = (
-        blocked.select("shingle", F.col("doc_id").alias("doc_a"))
-        .join(blocked.select("shingle", F.col("doc_id").alias("doc_b")), "shingle")
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= 10))
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    sa = sets_.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    score = F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    sb = sets_.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    score = n_common.cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    # Pair side repartitioned to the session parallelism before the
+    # per-pair set op: the distinct's output is a few MB of key pairs,
+    # so AQE would coalesce it to ~1 partition and the intersection
+    # stage would run single-threaded (the x_dedup_eval lesson).
     return (
-        common.join(sa, "doc_a")
+        cand.repartition(
+            spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(score >= 0.9)
         .select(
             "doc_a",
             "doc_b",
-            "n_common",
+            n_common.alias("n_common"),
             "n_a",
             "n_b",
             F.round(score, 6).alias("containment"),

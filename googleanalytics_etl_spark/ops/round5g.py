@@ -150,10 +150,17 @@ def x_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min(F.when(F.col("ok_quality"), F.col("doc_id"))).over(dig_w)
         ),
     )
+    # words projected ONCE before the shingle lambdas: passing the split
+    # expression into word_shingles inlines it at every element_at site
+    # inside the array transform (CSE is not guaranteed across array
+    # lambdas), re-splitting the text O(words) times per document —
+    # measured 3.4–5.7 s → 0.6 s on this stage at sf0.1.
     sh = d.select(
+        "doc_id", "source", F.split("text", " ").alias("words")
+    ).select(
         "doc_id",
         "source",
-        F.explode(word_shingles(F.split("text", " "))).alias("shingle"),
+        F.explode(word_shingles(F.col("words"))).alias("shingle"),
     )
     h = F.conv(
         F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10

@@ -538,10 +538,13 @@ def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
     ).cast("long")
+    # words projected ONCE before the shingle lambdas (the
+    # x_curation_e2e lesson: an inlined split re-evaluates per
+    # element_at inside the array transform, O(words) splits per doc)
     sh = (
-        d.select(
-            "source",
-            F.explode(word_shingles(F.split("text", " "))).alias("shingle"),
+        d.select("source", F.split("text", " ").alias("words"))
+        .select(
+            "source", F.explode(word_shingles(F.col("words"))).alias("shingle")
         )
         .select("source", h.alias("h"))
         .distinct()

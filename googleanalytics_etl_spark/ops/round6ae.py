@@ -199,30 +199,45 @@ def graph_2hop_frame(li_raw: DataFrame) -> DataFrame:
     """
     edges = copurchase_edges(li_raw)
     rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
-    # capped feeds both hop legs — materialize the window result once
-    capped = (
+    # Capped ADJACENCY LISTS, not capped edge rows (guide §2.3/§3.3):
+    # the cap window already groups by src, so fold each node's <= CAP
+    # neighbors into one array row on the same exchange. The 2-hop
+    # expansion then joins edge rows against node-grain rows (CAP× fewer
+    # probe-side rows than the old edge ⋈ edge self-join) and explodes
+    # AFTER the join; the distinct-and-exclude step becomes a per-src
+    # array fold (array_distinct minus self and direct neighbors) on ONE
+    # groupBy — replacing the pair-grain distinct, the left-anti join,
+    # the degree aggregate and the final outer join. Per-src state is
+    # bounded by CAP² elements, the same bound the old pair space had.
+    adj = (
         edges.withColumn("rn", rn)
         .where(F.col("rn") <= _HOP_CAP)
-        .drop("rn")
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
         .localCheckpoint(eager=True)
     )
-    h2 = capped.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
-    two_hop = (
-        capped.join(h2, capped.dst == h2.mid)
-        .where(F.col("dst2") != F.col("src"))
-        .select("src", F.col("dst2").alias("dst"))
-        .distinct()
+    mid_adj = adj.select(
+        F.col("src").alias("mid"), F.col("nbrs").alias("nbrs2")
     )
-    reach = (
-        two_hop.join(capped, ["src", "dst"], "left_anti")
+    hop1 = adj.select("src", "nbrs", F.explode("nbrs").alias("mid"))
+    per_src = (
+        hop1.join(mid_adj, "mid")
         .groupBy("src")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_2hop"))
+        .agg(
+            F.first("nbrs").alias("nbrs"),
+            F.array_distinct(F.flatten(F.collect_list("nbrs2"))).alias("two"),
+        )
     )
-    deg = capped.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("n_1hop")
+    n_2hop = F.size(
+        F.array_except(
+            F.col("two"), F.array_union("nbrs", F.array(F.col("src")))
+        )
     )
-    return deg.join(reach, "src", "left").select(
+    # every capped node has >= 1 neighbor, and every neighbor is itself
+    # an edge source (the edge list holds both directions), so the inner
+    # mid join never drops a src — per_src covers exactly adj's nodes.
+    return per_src.select(
         F.col("src").alias("part"),
-        "n_1hop",
-        F.coalesce(F.col("n_2hop"), F.lit(0)).cast("long").alias("n_2hop"),
+        F.size("nbrs").cast("long").alias("n_1hop"),
+        n_2hop.cast("long").alias("n_2hop"),
     )

@@ -140,3 +140,35 @@ def test_interval_merge_agrees_with_session_windows(spark):
     for uid, (n, covered) in per.items():
         assert iv[uid]["n_intervals"] == n
         assert iv[uid]["covered_us"] == covered
+
+
+def test_containment_shingle_hashes_collision_free(spark):
+    """x_containment's n_common = size(array_intersect) equals the old
+    join-count ONLY while no document carries two distinct shingles with
+    the same 60-bit md5-prefix hash. Pin that assumption against the
+    fixture: a fixture change that ever violated it must fail loudly
+    here, not silently shift n_common."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.ops.extensions import word_shingles
+
+    d = load(spark, SF_SMALL, "documents")
+    words = F.split("text", " ")
+    half = F.slice(
+        words, 1, F.greatest(F.floor(F.size(words) / 2).cast("int"), F.lit(3))
+    )
+    corpus = d.select("doc_id", words.alias("words")).unionByName(
+        d.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), half.alias("words")
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    sh = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("words"))).alias("shingle")
+    ).select("doc_id", h.alias("h"))
+    dup_rows = (
+        sh.groupBy("doc_id", "h").count().where(F.col("count") > 1).count()
+    )
+    assert dup_rows == 0
