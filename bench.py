@@ -472,6 +472,22 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(record))
+    # Driver-side per-key visibility (round-12 verdict item 2): the full
+    # per-key map above outgrows the driver's ~2000-char archived tail,
+    # so per-key regression detection was impossible driver-side. Emit
+    # the SLOWEST keys as their own compact line, budgeted to fit the
+    # tail alongside the final summary line (<= 1200 chars: top-20 keys
+    # at ~35 chars each plus framing; trimmed further if a pathological
+    # run produces very long entries).
+    slow = sorted(times.items(), key=lambda kv: -kv[1])[:20]
+    while slow:
+        top_line = json.dumps(
+            {"metric": "headline_slowest", "top": dict(slow)}
+        )
+        if len(top_line) <= 1200:
+            break
+        slow = slow[:-2]
+    print(top_line)
     # The grading driver archives only a bounded TAIL of stdout (~2000
     # chars) and parses the last complete JSON line it finds. The full
     # record above outgrew that bound at ~60 headline keys, so rounds

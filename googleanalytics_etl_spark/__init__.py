@@ -21,6 +21,7 @@ Design rules (SURVEY.md §1.2, §4):
 """
 
 from .io import TABLES, load, ensure_session_confs
+from .materialize import materialize  # installs DataFrame.materialize
 from .registry import REGISTRY, register, queries, oracle_sql
 from .session import get_spark
 

@@ -90,13 +90,13 @@ def connected_components_star(
     # every round plans against a flat scan — the same reason GraphX and
     # ALS checkpoint periodically; blocks are freed by the
     # ContextCleaner as `cur` is rebound each round.
-    cur = _canon(edges).localCheckpoint(eager=True)
+    cur = _canon(edges).materialize(eager=True)
     prev_sig = None
     rounds = 0
     converged = False
     for _ in range(max_rounds):
         rounds += 1
-        nxt = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
+        nxt = _canon(_small_star(_large_star(cur))).materialize(eager=True)
         sig = tuple(
             nxt.agg(
                 F.count(F.lit(1)), F.sum("a"), F.sum("b")
@@ -152,7 +152,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> tuple[DataFrame, i
     k-core (possibly empty), and the number of peel rounds executed
     including the one that observed the fixpoint.
     """
-    cur = _canon(edges).localCheckpoint(eager=True)
+    cur = _canon(edges).materialize(eager=True)
     n_cur = cur.count()
     rounds = 0
     for _ in range(max_rounds):
@@ -169,7 +169,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> tuple[DataFrame, i
             cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .materialize(eager=True)
         )
         rounds += 1
         n_nxt = nxt.count()

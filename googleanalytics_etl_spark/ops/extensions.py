@@ -252,7 +252,7 @@ def _minhash_parts(spark: SparkSession, sf_dir: str) -> dict:
         F.transform(
             "md5s", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
         ).alias("h2s"),
-    ).localCheckpoint(eager=True)
+    ).materialize(eager=True)
     # NB: the loop variable must be captured via a factory, not a default
     # arg — PySpark counts lambda params, and a 2-param transform lambda
     # binds the second to the ELEMENT INDEX (and zip_with rejects 3).
@@ -1138,12 +1138,12 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).materialize(eager=True)
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     # Convergence check: min-propagation is monotone non-increasing, so
     # the label SUM strictly decreases until the fixpoint — comparing
@@ -1158,7 +1158,7 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(nbr_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .materialize(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels

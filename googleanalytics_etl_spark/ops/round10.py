@@ -440,11 +440,11 @@ def s_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if epoch_id in seen_epochs:
             return
         seen_epochs.add(epoch_id)
-        occ = _occ(batch_df.select("doc_id", "text")).localCheckpoint(
+        occ = _occ(batch_df.select("doc_id", "text")).materialize(
             eager=True
         )
         occ_slices.append(occ)
-        stat_slices.append(_gram_stats(occ).localCheckpoint(eager=True))
+        stat_slices.append(_gram_stats(occ).materialize(eager=True))
 
     with bounded_stream_parts(spark):
         q = (

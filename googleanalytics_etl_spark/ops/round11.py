@@ -247,7 +247,7 @@ def s_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _occ(d.where(F.col("source") == "src0").select("doc_id", "text"))
         .select("h")
         .distinct()
-        .localCheckpoint(eager=True)  # built once, reused every batch
+        .materialize(eager=True)  # built once, reused every batch
     )
 
     staged = stage_documents(spark, sf_dir, "decon_gate")
@@ -269,7 +269,7 @@ def s_decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # docs are whole within a batch, so the per-doc interval merge
         # is complete per arrival — emit, nothing retained
-        span_slices.append(_merged_spans(dup).localCheckpoint(eager=True))
+        span_slices.append(_merged_spans(dup).materialize(eager=True))
 
     with bounded_stream_parts(spark):
         q = (

@@ -122,7 +122,7 @@ def triangle_stats(li: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
         .select("p1", "p2")
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     deg = (
         edges.select(F.col("p1").alias("p"))
@@ -142,7 +142,7 @@ def triangle_stats(li: DataFrame) -> DataFrame:
             F.when(forward, F.col("p1")).otherwise(F.col("p2")).alias("src"),
             F.when(forward, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     o1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
     o2 = oriented.select(F.col("src"), F.col("dst").alias("y"))

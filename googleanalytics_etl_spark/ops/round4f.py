@@ -330,9 +330,9 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "doc_b")
         .where(jac >= 0.5)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
-    scored = scored.localCheckpoint(eager=True)
+    scored = scored.materialize(eager=True)
     lsh_pos = scored.where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
     n_cand = scored.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_pos = lsh_pos.agg(F.count(F.lit(1)).alias("n_positive"))

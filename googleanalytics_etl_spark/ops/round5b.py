@@ -652,7 +652,7 @@ def ivf_seeds(em: DataFrame, n_seeds: int | None = None) -> DataFrame:
         )
         .select("seed_id", "semb", _l2("semb").alias("snrm"))
     )
-    return seeds.localCheckpoint(eager=True)
+    return seeds.materialize(eager=True)
 
 
 def seed_assign(
@@ -714,7 +714,7 @@ def seed_assign(
             *[F.col(f"b.{c}").alias(c) for c in passthrough],
             F.col("b.nrm").alias("nrm"),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     _enforce_cell_cap(out, seeds)
     return out

@@ -221,7 +221,7 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(word_shingles(F.col("words"))).alias("shingle")
         )
         .select("doc_id", h.alias("shingle"))
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     # One doc-grain aggregate replaces FOUR passes over the shingle
     # index (the old sizes aggregate, both sides of the intersection

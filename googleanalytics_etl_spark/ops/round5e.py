@@ -241,7 +241,7 @@ def _km_sigs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.transform(
             "md5s", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
         ).alias("h2s"),
-    ).localCheckpoint(eager=True)
+    ).materialize(eager=True)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(15)),
         lambda i: F.array_min(

@@ -143,7 +143,7 @@ def q_scan_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(stage + "/feed.csv")
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     return parsed.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1))

@@ -144,7 +144,7 @@ def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("tok") >= 2)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("wc"))
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     pair_expr = F.expr(
         "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"

@@ -175,7 +175,7 @@ def x_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.col("n_tok") > 9.0).alias(
             "f_longwords"
         ),
-    ).localCheckpoint(eager=True)
+    ).materialize(eager=True)
 
     rules = ["f_short", "f_long", "f_repetitive", "f_longwords"]
     names = {"f_short": "short", "f_long": "long", "f_repetitive": "repetitive",
@@ -548,7 +548,7 @@ def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", h.alias("h"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = sh.select(F.col("source").alias("src_a"), "h")

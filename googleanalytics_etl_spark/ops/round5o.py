@@ -165,7 +165,7 @@ def x_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.join(e.select("vec_id", "label"), "vec_id")
         .groupBy("cluster", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     tot = lab.groupBy("cluster").agg(
         F.sum("n").cast("bigint").alias("n_members")

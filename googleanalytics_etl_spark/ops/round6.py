@@ -688,7 +688,7 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    from .round5e import _km_sigs
+    from .extensions import word_shingles
     from .streaming import (
         SCRATCH,
         _sweep_runs,
@@ -745,18 +745,60 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc: dict[str, DataFrame | None] = {"bands": None, "hsets": None}
     survivors: list[DataFrame] = []
 
+    # signature EXPRESSIONS built once (not per trigger): identical to
+    # _km_sigs' chain, but landing sig + hsig + the output attrs in ONE
+    # frame so each batch pays ONE eager materialization (was five:
+    # batch, _km_sigs' hashed, banded, hset, survivors).
+    _words = F.split("text", " ")
+    _md5s = F.transform(
+        word_shingles(F.col("words")), lambda s: F.md5(s.cast("binary"))
+    )
+    _h1s = F.transform(
+        "md5s", lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    )
+    _h2s = F.transform(
+        "md5s", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    )
+    _sig = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.array_min(
+            F.zip_with(F.col("h1s"), F.col("h2s"), lambda h1, h2: h1 + i * h2)
+        ),
+    )
+    _bands = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.concat_ws(
+                ":",
+                F.element_at("sig", b * 4 + 1),
+                F.element_at("sig", b * 4 + 2),
+                F.element_at("sig", b * 4 + 3),
+                F.element_at("sig", b * 4 + 4),
+            ).alias("bucket"),
+        ),
+    )
+
     def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
-        batch = bdf.localCheckpoint(eager=True)
-        banded, hset = _km_sigs(
-            batch.select("doc_id", F.lit("n").alias("side"), "text")
+        aug = (
+            bdf.select("doc_id", "lang", "source", "n_chars", _words.alias("words"))
+            .select("doc_id", "lang", "source", "n_chars", _md5s.alias("md5s"))
+            .select("doc_id", "lang", "source", "n_chars", _h1s.alias("h1s"), _h2s.alias("h2s"))
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                "n_chars",
+                _sig.alias("sig"),
+                F.array_distinct("h1s").alias("hsig"),
+            )
+            .materialize(eager=True)
         )
-        # materialize this batch's index slices ONCE — the candidate
-        # join, the verify join, and every later batch reuse them
-        banded = (
-            banded.select("doc_id", "band", "bucket")
-            .localCheckpoint(eager=True)
-        )
-        hset = hset.localCheckpoint(eager=True)
+        banded = aug.select(
+            "doc_id",
+            F.explode(_bands).alias("bb"),
+        ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        hset = aug.select("doc_id", "hsig")
         nb = banded.select(
             F.col("doc_id").alias("new_id"), "band", "bucket"
         )
@@ -768,8 +810,14 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             if acc["bands"] is not None
             else self_bands
         )
+        # NEW side broadcast: batch-bounded, so the accumulated index is
+        # streamed, never shuffled (guide §3.1); the joins themselves
+        # stay LAZY — they derive only from the per-batch checkpoints,
+        # so the final union evaluates every batch's dedup in one query
+        # at full session parallelism, outside the stream's bounded
+        # shuffle-partition conf.
         cand = (
-            nb.join(old_bands, ["band", "bucket"])
+            old_bands.join(F.broadcast(nb), ["band", "bucket"])
             .where(F.col("old_id") < F.col("new_id"))
             .select("new_id", "old_id")
             .distinct()
@@ -785,20 +833,22 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2 = old_hsets.select(
             F.col("doc_id").alias("old_id"), F.col("hsig").alias("h_old")
         )
-        jac = F.size(F.array_intersect("h_new", "h_old")) / F.size(
-            F.array_union("h_new", "h_old")
-        )
+        # |A∪B| = |A| + |B| − |A∩B| exactly (hsig is array_distinct
+        # output): one per-row set op instead of two (the shared
+        # _minhash_parts rewrite; same IEEE value, int division both ways)
+        _inter = F.size(F.array_intersect("h_new", "h_old"))
+        jac = _inter / (F.size("h_new") + F.size("h_old") - _inter)
         dropped = (
-            cand.join(s1, "new_id")
-            .join(s2, "old_id")
+            s2.join(
+                F.broadcast(s1.join(F.broadcast(cand), "new_id")), "old_id"
+            )
             .where(F.round(jac, 6) >= 0.5)
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
         )
         survivors.append(
-            batch.join(dropped, "doc_id", "left_anti")
+            aug.join(F.broadcast(dropped), "doc_id", "left_anti")
             .select("doc_id", "lang", "source", "n_chars")
-            .localCheckpoint(eager=True)
         )
         acc["bands"], acc["hsets"] = old_bands, old_hsets
 
@@ -1165,7 +1215,7 @@ def s_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_early").cast("long").alias("n_early"),
             F.sum("n_late").cast("long").alias("n_late"),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     # the SAME smoothing/quantization/aggregate as the batch key — one
     # definition, so streaming == batch is structural

@@ -183,7 +183,7 @@ def copurchase_edges(li_raw: DataFrame) -> DataFrame:
         .select("src", F.explode("parts").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
 
 
@@ -214,7 +214,7 @@ def graph_2hop_frame(li_raw: DataFrame) -> DataFrame:
         .where(F.col("rn") <= _HOP_CAP)
         .groupBy("src")
         .agg(F.collect_list("dst").alias("nbrs"))
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     mid_adj = adj.select(
         F.col("src").alias("mid"), F.col("nbrs").alias("nbrs2")

@@ -116,7 +116,7 @@ def _support_edges(li_raw: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= _CC_SUPPORT)
         .select("src", "dst")
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
 
 
@@ -160,7 +160,7 @@ def x_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         # three wedge-join branches read this — materialize once
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     w2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
     w3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("v3"))

@@ -118,5 +118,5 @@ def s_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_final",
             F.when(F.col("n_events") == final_n, 1).otherwise(0),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )

@@ -168,7 +168,7 @@ def s_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             if prior_max is not None
             else F.lit(None).cast("timestamp")
         )
-        bdf = bdf.localCheckpoint(eager=True)  # two consumers below
+        bdf = bdf.materialize(eager=True)  # two consumers below
         (
             bdf.groupBy("event_type")
             .agg(
@@ -218,7 +218,7 @@ def s_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_late").cast("double") / F.col("n_rows"), 6
             ).alias("late_share"),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     return totals
 

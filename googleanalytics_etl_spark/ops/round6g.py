@@ -98,7 +98,7 @@ def s_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("long").alias("n"),
             F.count(F.lit(1)).cast("long").alias("n_updates"),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
 
 

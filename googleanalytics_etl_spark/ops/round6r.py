@@ -107,7 +107,7 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("simq").desc(), "vec_id")
         .limit(_MMR_POOL)
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     a = cands.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("ea"))
     b = cands.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("eb"))
@@ -122,7 +122,7 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idb",
             F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     lam = _MMR_LAMBDA
     # Each pick is a 1-row frame; eager-checkpoint it. Round t's plan
@@ -140,7 +140,7 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(F.lit(lam) * F.col("simq"), 6).alias("score"),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     picks = [s1]
     for t in range(2, _MMR_K + 1):
@@ -165,7 +165,7 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("score").desc(), "vec_id")
             .limit(1)
             .select(F.lit(t).cast("long").alias("rank"), "vec_id", "score")
-            .localCheckpoint(eager=True)
+            .materialize(eager=True)
         )
         picks.append(step)
     out = picks[0]

@@ -142,7 +142,7 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     # eager: the memory DB is dropped below; materialize first
-    out = _restore_ts(back).localCheckpoint(eager=True)
+    out = _restore_ts(back).materialize(eager=True)
     _derby_drop(spark, name)
     return out
 
@@ -276,7 +276,7 @@ def s_jdbc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .load()
     )
-    out = _restore_ts(back).localCheckpoint(eager=True)
+    out = _restore_ts(back).materialize(eager=True)
     _derby_drop(spark, name)
     return out
 

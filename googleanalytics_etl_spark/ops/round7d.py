@@ -158,7 +158,7 @@ def x_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # d²-row eager checkpoint, not persist: every iteration scans
         # this frame, and scans of a cached relation re-plan with AQE
         # pinned off (the x_dedup_clusters pathology)
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     d = 64
     v = spark.range(d).select(
@@ -192,7 +192,7 @@ def x_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("i").alias("j"),
                 (F.col("yv") / F.col("nrm")).alias("vv"),
             )
-            .localCheckpoint(eager=True)
+            .materialize(eager=True)
         )
     va = v.select(F.col("j").alias("i"), F.col("vv").alias("va"))
     lam = (
@@ -218,7 +218,7 @@ def x_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l"), 4).alias("eigenvalue"),
             F.round(F.col("l") / F.col("t"), 6).alias("explained_ratio"),
         )
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     return out
 

@@ -113,7 +113,7 @@ def x_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
         .select("p1", "p2")
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
 
     def stats(e: DataFrame) -> tuple[int, int]:
@@ -146,7 +146,7 @@ def x_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep.withColumnRenamed("node", "p1"), "p1")
             .join(keep.withColumnRenamed("node", "p2"), "p2")
             .select("p1", "p2")
-            .localCheckpoint(eager=True)
+            .materialize(eager=True)
         )
         census.append((r, *stats(e)))
     return spark.createDataFrame(

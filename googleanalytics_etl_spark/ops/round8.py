@@ -800,30 +800,39 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc: dict[str, DataFrame | None] = {"bands": None, "vecs": None}
     survivors: list[DataFrame] = []
 
+    # Band-key and norm EXPRESSIONS built once: _lsh_band_keys
+    # constructs a 16×64-literal hyperplane array through py4j, which
+    # measured a large fraction of each batch's wall when rebuilt per
+    # trigger.
+    bands_expr = _lsh_band_keys(F.col("embedding")).alias("bands")
+    # norm hoisted to vector grain at arrival (the x_semdedup
+    # hoisted-norm recipe): the verify join then pays one dot fold
+    # per candidate pair instead of dot + two norms
+    nrm_expr = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc_, x: acc_ + x.cast("double") * x.cast("double"),
+        )
+    ).alias("nrm")
+
     def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
-        batch = bdf.localCheckpoint(eager=True)
-        banded = (
-            batch.select(
-                "vec_id",
-                F.posexplode(_lsh_band_keys(F.col("embedding"))).alias(
-                    "band", "key"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        # ONE eager materialization per batch (was three: batch, banded,
+        # vecs): the augmented frame pins the streaming source's rows
+        # plus every derived column the later joins need; band/vector
+        # views below are lazy projections of this checkpoint, and the
+        # candidate/verify joins themselves are DEFERRED to the final
+        # action — the per-trigger loop does arrival-state work only,
+        # and the join work runs once, outside the stream's bounded
+        # shuffle-partition conf, at full session parallelism.
+        aug = bdf.select(
+            "vec_id", "embedding", "label", nrm_expr, bands_expr
+        ).materialize(eager=True)
+        banded = aug.select(
+            "vec_id", F.posexplode("bands").alias("band", "key")
         )
-        # norm hoisted to vector grain at arrival (the x_semdedup
-        # hoisted-norm recipe): the verify join then pays one dot fold
-        # per candidate pair instead of dot + two norms
-        nrm = F.sqrt(
-            F.aggregate(
-                F.col("embedding"),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        )
-        vecs = batch.select(
-            "vec_id", "embedding", nrm.alias("nrm")
-        ).localCheckpoint(eager=True)
+        vecs = aug.select("vec_id", "embedding", "nrm")
+        batch = aug
         nb = banded.select(F.col("vec_id").alias("new_id"), "band", "key")
         self_bands = banded.select(F.col("vec_id").alias("old_id"), "band", "key")
         old_bands = (
@@ -831,8 +840,11 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if acc["bands"] is not None
             else self_bands
         )
+        # the NEW side is batch-bounded — broadcast it so the standing
+        # index is streamed, never shuffled (guide §3.1; at scale the
+        # accumulated index dwarfs a micro-batch).
         cand = (
-            nb.join(old_bands, ["band", "key"])
+            old_bands.join(F.broadcast(nb), ["band", "key"])
             .where(F.col("old_id") < F.col("new_id"))
             .select("new_id", "old_id")
             .distinct()
@@ -859,9 +871,14 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        # candidate pairs and the batch's vectors are both batch-bounded
+        # (collision pairs of one micro-batch): broadcast them so the
+        # only streamed side is the standing vector store.
         dropped = (
-            cand.join(s_new, "new_id")
-            .join(s_old, "old_id")
+            s_old.join(
+                F.broadcast(s_new.join(F.broadcast(cand), "new_id")),
+                "old_id",
+            )
             .where(
                 F.round(dot / (F.col("n_old") * F.col("n_new")), 6)
                 >= _SSD_THRESH
@@ -869,10 +886,13 @@ def s_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("new_id").alias("vec_id"))
             .distinct()
         )
+        # lazy: every input of this anti-join derives from checkpointed
+        # per-batch slices, so deferring costs no recomputation — the
+        # final union evaluates all batches' dedup joins in one query.
         survivors.append(
-            batch.join(dropped, "vec_id", "left_anti")
-            .select("vec_id", "label")
-            .localCheckpoint(eager=True)
+            batch.join(F.broadcast(dropped), "vec_id", "left_anti").select(
+                "vec_id", "label"
+            )
         )
         acc["bands"], acc["vecs"] = old_bands, old_vecs
 

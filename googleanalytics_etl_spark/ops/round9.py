@@ -241,7 +241,7 @@ def banded_buckets(em: DataFrame) -> DataFrame:
         )
         .groupBy("vec_id", "band")
         .agg(F.sum("addend").cast("long").alias("bkey"))
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
 
 
@@ -939,7 +939,7 @@ def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x.cast("double") * x.cast("double"),
             )
         ).alias("nrm"),
-    ).localCheckpoint(eager=True)
+    ).materialize(eager=True)
     # old side: corpus partners from the PRUNED vector store + batch
     # partners from the in-memory batch frame
     vtouched = sorted(

@@ -124,7 +124,7 @@ def _occ_from(d: DataFrame) -> DataFrame:
 
 
 def _cached_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _doc_buckets(spark, sf_dir).localCheckpoint(eager=True)
+    return _doc_buckets(spark, sf_dir).materialize(eager=True)
 
 
 def _doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -282,14 +282,21 @@ def s_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp = (
             _fingerprints(batch_df)
             .select("doc_id", "gram_hash")
-            .localCheckpoint(eager=True)
+            .materialize(eager=True)
         )
+        # Pair slices stay LAZY (they derive only from the checkpointed
+        # per-batch fingerprint slices, so deferral recomputes nothing):
+        # the per-trigger loop does arrival-state work only, and every
+        # batch's match join runs once in the final aggregate's query,
+        # outside the stream's bounded shuffle-partition conf. The NEW
+        # batch side is broadcast — batch-bounded by construction — so
+        # the standing index is streamed, never shuffled (guide §3.1).
         if index_slices:
             from functools import reduce
 
             older = reduce(lambda a, b: a.unionByName(b), index_slices)
-            cross = fp.alias("n").join(
-                older.alias("o"),
+            cross = older.alias("o").join(
+                F.broadcast(fp.alias("n")),
                 F.col("o.gram_hash") == F.col("n.gram_hash"),
             )
             pair_slices.append(
@@ -297,10 +304,10 @@ def s_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o.doc_id").alias("doc_a"),
                     F.col("n.doc_id").alias("doc_b"),
                     F.col("n.gram_hash").alias("gram_hash"),
-                ).localCheckpoint(eager=True)
+                )
             )
         within = fp.alias("a").join(
-            fp.alias("b"),
+            F.broadcast(fp.alias("b")),
             (F.col("a.gram_hash") == F.col("b.gram_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -309,7 +316,7 @@ def s_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 F.col("a.gram_hash").alias("gram_hash"),
-            ).localCheckpoint(eager=True)
+            )
         )
         index_slices.append(fp)
 

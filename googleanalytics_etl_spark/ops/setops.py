@@ -234,7 +234,7 @@ def global_rank(df: DataFrame, *order_cols) -> DataFrame:
     o = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     in_part = Window.partitionBy("pid").orderBy(*order_cols)
     ranked = o.withColumn("pr", F.row_number().over(in_part).cast("bigint"))

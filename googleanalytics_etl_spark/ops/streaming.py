@@ -484,7 +484,7 @@ def s_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     synced = (
         spark.read.parquet(str(target))
         .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     return synced.select(cols)
 
@@ -563,7 +563,7 @@ def s_paged_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     synced = (
         spark.read.parquet(str(target))
         .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-        .localCheckpoint(eager=True)
+        .materialize(eager=True)
     )
     return synced.select(cols)
 
@@ -916,7 +916,7 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager checkpoint: the next call sweeps this run's bucket files;
     # state is dimension-scale (one row per key), so materializing is
     # cheap and makes the returned frame safe to hold lazily
-    final = spark.read.parquet(*manifest.values()).localCheckpoint(eager=True)
+    final = spark.read.parquet(*manifest.values()).materialize(eager=True)
     return final.where(F.col("event_type") != "error").select(
         "user_id",
         F.col("event_id").alias("last_seq"),
