@@ -220,6 +220,11 @@ def _minhash_parts(spark: SparkSession, sf_dir: str) -> dict:
     docs = (
         d.unionByName(dup)
         .select("doc_id", F.split("text", " ").alias("words"))
+        # Rebalance BEFORE the shingle+md5 expansion (the _occ /
+        # round9.py:207 pitfall): the fixture corpus arrives as 1-2
+        # input splits, so the whole featurization would run on 1-2
+        # cores; the shuffle moves only the slim pre-explosion rows.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", word_shingles(F.col("words")).alias("shingles"))
     )
 

@@ -444,7 +444,11 @@ def s_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
         occ_slices.append(occ)
-        stat_slices.append(_gram_stats(occ).materialize(eager=True))
+        # lazy: the partial derives only from the occ checkpoint, so the
+        # (SUM, MIN) monoid fold below evaluates every batch's partial
+        # once, in the final query, at full session parallelism instead
+        # of under the stream's bounded shuffle conf (round-13 pattern).
+        stat_slices.append(_gram_stats(occ))
 
     with bounded_stream_parts(spark):
         q = (

@@ -107,17 +107,19 @@ def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_stats(li: DataFrame) -> DataFrame:
     """Core of :func:`x_graph_triangles` over any (l_orderkey,
     l_partkey) incidence frame (stress tests feed scaled copies)."""
-    a = li.alias("a")
-    b = li.alias("b")
+    # Edge build via per-order baskets + in-row pairing (the
+    # copurchase_edges recipe, guide §2.3): ONE orderkey shuffle
+    # instead of both exchanges of the fact self-join; TPC-H baskets
+    # are ≤ 7 lines, so the in-row pair fan-out is bounded. Each
+    # (order, p1 < p2) pair appears exactly once either way, so the
+    # support counts are identical.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
+        baskets.select(F.explode("parts").alias("p1"), "parts")
+        .select("p1", F.explode("parts").alias("p2"))
+        .where(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
@@ -144,9 +146,16 @@ def triangle_stats(li: DataFrame) -> DataFrame:
         )
         .materialize(eager=True)
     )
-    o1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
-    o2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
-    wedge_pairs = o1.join(o2, "src").where(F.col("x") < F.col("y"))
+    # Wedge generation from per-src OUT-neighbor arrays (bounded O(√m)
+    # by the orientation) instead of the oriented ⋈ oriented self-join:
+    # one src shuffle, pairs generated inside the row — the same
+    # (src, x < y) multiset the self-join produced.
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("ds"))
+    wedge_pairs = (
+        adj.select(F.explode("ds").alias("x"), "ds")
+        .select("x", F.explode("ds").alias("y"))
+        .where(F.col("x") < F.col("y"))
+    )
     tri = wedge_pairs.join(
         edges,
         (F.col("x") == F.col("p1")) & (F.col("y") == F.col("p2")),

@@ -224,9 +224,16 @@ def _km_sigs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     (the extensions.py:201 construction, parameterized by input instead
     of fixture-coupled): returns (banded, hset) — 4 band-bucket rows per
     doc and the per-doc distinct 32-bit shingle-hash set."""
-    sh = docs.select(
-        "doc_id", "side", F.split("text", " ").alias("words")
-    ).select("doc_id", "side", word_shingles(F.col("words")).alias("shingles"))
+    sh = (
+        docs.select("doc_id", "side", F.split("text", " ").alias("words"))
+        # Rebalance BEFORE the shingle+md5 expansion (the _occ pitfall):
+        # the input often arrives as 1-2 splits (fixture scan, stream
+        # micro-batch file), which would serialize the featurization.
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", "side", word_shingles(F.col("words")).alias("shingles"))
+    )
     md5d = sh.select(
         "doc_id",
         "side",

@@ -155,12 +155,16 @@ def x_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the array transform (CSE is not guaranteed across array
     # lambdas), re-splitting the text O(words) times per document —
     # measured 3.4–5.7 s → 0.6 s on this stage at sf0.1.
-    sh = d.select(
-        "doc_id", "source", F.split("text", " ").alias("words")
-    ).select(
-        "doc_id",
-        "source",
-        F.explode(word_shingles(F.col("words"))).alias("shingle"),
+    sh = (
+        d.select("doc_id", "source", F.split("text", " ").alias("words"))
+        # Rebalance BEFORE the shingle+md5 explode (the _occ pitfall:
+        # 1-2 input splits would serialize the featurization)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("words"))).alias("shingle"),
+        )
     )
     h = F.conv(
         F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10

@@ -782,6 +782,11 @@ def s_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dedup_batch(bdf: DataFrame, epoch_id: int) -> None:
         aug = (
             bdf.select("doc_id", "lang", "source", "n_chars", _words.alias("words"))
+            # one stream file = one input partition: rebalance so the
+            # shingle+md5 featurization uses the batch plan's partitions
+            .repartition(
+                bdf.sparkSession.sparkContext.defaultParallelism, "doc_id"
+            )
             .select("doc_id", "lang", "source", "n_chars", _md5s.alias("md5s"))
             .select("doc_id", "lang", "source", "n_chars", _h1s.alias("h1s"), _h2s.alias("h2s"))
             .select(

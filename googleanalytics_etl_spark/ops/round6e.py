@@ -116,10 +116,11 @@ def x_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = hsig.select(
         F.col("doc_id").alias("doc_b"), F.col("hsig").alias("sh_b")
     )
+    # one set op per pair (|A∪B| = |A|+|B|−|A∩B|, exact on the distinct
+    # hash sets) — the shared _minhash_parts rewrite
+    _inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jaccard = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
+        _inter / (F.size("sh_a") + F.size("sh_b") - _inter), 6
     )
 
     def stat(b: int, r: int) -> DataFrame:
@@ -138,6 +139,13 @@ def x_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets = signed.select(
             "doc_id", F.posexplode(bands).alias("band", "bucket")
         )
+        # NOT the bucket-aggregate pair generation used elsewhere
+        # (probed in round 13: 3.2 s → 6.7 s): the (16 × 1) shape has
+        # HOT single-signature buckets (common shingles pull many docs
+        # to one min value), and the in-row double explode copies the
+        # k-member array per generated row — O(k³) bytes on a hot
+        # bucket. The self-join streams the probe side instead, which
+        # is the right shape when buckets can be large.
         pa = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
         pb = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
         pairs = (

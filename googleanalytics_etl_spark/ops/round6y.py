@@ -113,10 +113,16 @@ def x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(wlag).alias("u"),
         F.col("event_type").alias("v"),
     ).where(F.col("u").isNotNull())
+    # |types|²-bounded edge table, materialized ONCE: it feeds FIVE plan
+    # branches (in_w, out_w, three _step iterations) and each
+    # unmaterialized reference re-ran the events-scale sessionize window
+    # behind it; nodes likewise feeds every iteration's outer join.
     edges = hops.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("decimal(18,0)").alias("n")
+    ).materialize(eager=True)
+    nodes = e.select(F.col("event_type").alias("node")).distinct().materialize(
+        eager=True
     )
-    nodes = e.select(F.col("event_type").alias("node")).distinct()
 
     def _step(prev: DataFrame, val: str, src: str, dst: str, out: str
               ) -> DataFrame:

@@ -174,11 +174,15 @@ def rademacher_band_keys(emb, dim: int):
 XSD_SCALE = 10_000_000
 
 
-def banded_buckets(em: DataFrame) -> DataFrame:
+def banded_buckets(em: DataFrame, materialize: bool = True) -> DataFrame:
     """``(vec_id, band, bkey)`` sign-LSH band keys for every vector —
     the shared candidate-generation front end of the banded family
     (x_semdedup counts/survivors/incremental, the S-curve probe, the
-    threshold curve).
+    threshold curve). ``materialize=False`` for single-consumer callers
+    (e.g. the incremental index _build, which writes the frame to
+    parquet exactly once) — the eager checkpoint only pays off when
+    several plan branches would re-run the n·P·d banding (round-12
+    advice item).
 
     Signature plan, deliberately join+aggregate instead of a
     higher-order-function fold: HOF lambdas (`aggregate`/`zip_with`)
@@ -225,12 +229,12 @@ def banded_buckets(em: DataFrame) -> DataFrame:
             .alias("bit")
         )
     )
-    # Eager checkpoint: every consumer reads this frame at least twice
-    # (candidate self-joins; the incremental key reads it four times),
-    # and each unmaterialized reference re-runs the n·P·d banding
-    # join+aggregate. The materialized form is slim — (vec_id, band,
-    # bkey), 3 longs × n·bands rows.
-    return (
+    # Eager checkpoint (default): every multi-branch consumer reads this
+    # frame at least twice (candidate self-joins; the incremental key
+    # reads it four times), and each unmaterialized reference re-runs
+    # the n·P·d banding join+aggregate. The materialized form is slim —
+    # (vec_id, band, bkey), 3 longs × n·bands rows.
+    out = (
         bits.withColumn("band", F.expr(f"CAST(plane DIV {XSD_BITS} AS INT)"))
         .withColumn(
             "addend",
@@ -241,8 +245,8 @@ def banded_buckets(em: DataFrame) -> DataFrame:
         )
         .groupBy("vec_id", "band")
         .agg(F.sum("addend").cast("long").alias("bkey"))
-        .materialize(eager=True)
     )
+    return out.materialize(eager=True) if materialize else out
 
 
 def banded_dup(em: DataFrame, threshold: float = XSD_THRESH) -> DataFrame:
@@ -719,7 +723,9 @@ def _xsi_stage(spark: SparkSession, sf_dir: str):
             ).alias("nrm"),
         )
         (
-            banded_buckets(corpus)
+            # single consumer: written to parquet exactly once below —
+            # skip the eager checkpoint (round-12 advice item)
+            banded_buckets(corpus, materialize=False)
             .withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("band", "bkey"), F.lit(_XSI_IDX_BUCKETS)),

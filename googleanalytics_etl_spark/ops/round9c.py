@@ -86,8 +86,15 @@ SELECT doc_id, gram_hash, pos FROM ({_SQL_SELECTED})
 
 def _grams(d: DataFrame) -> DataFrame:
     """(doc_id, pos, h): positioned 5-gram 32-bit hashes, row-local."""
-    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
-        F.size("t") >= _WIN_K
+    spark = d.sparkSession
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= _WIN_K)
+        # Rebalance BEFORE the ~|t|× gram explode + md5 (the _occ
+        # pitfall): a fixture corpus arrives as 1-2 input splits, so the
+        # hashing would run on 1-2 cores; the shuffle moves only the
+        # slim pre-explosion rows.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     grams = toks.select(
         "doc_id",

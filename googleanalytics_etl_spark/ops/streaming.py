@@ -360,7 +360,18 @@ STREAM_STATE_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
 @contextmanager
 def bounded_stream_parts(spark: SparkSession, parts: int | None = None):
     """Bound shuffle (= state-store) partitions for one streaming run,
-    restoring the session's setting afterwards."""
+    restoring the session's setting afterwards.
+
+    Assumes a SINGLE-THREADED session: the conf is session-global, so a
+    concurrent batch query (or a second stream) launched while this
+    context is open would also plan at ``parts`` shuffle partitions —
+    the engine never does that (keys run strictly sequentially), but a
+    host application embedding these ops must not. Keys whose foreach-
+    batch side does data-scale (not state-grain) joins should pass an
+    explicit ``parts`` override — or, as the round-13 dedup family does,
+    keep the per-batch plans to arrival-state work and defer the heavy
+    joins past the stream, where the session's normal AQE conf applies.
+    """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(parts or STREAM_STATE_PARTS)

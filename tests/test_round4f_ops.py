@@ -190,3 +190,26 @@ def test_time_weighted_avg_matches_python(spark):
         # TWA lies inside the observed value range
         vals = [r["value"] for r in seq[:-1]]
         assert min(vals) - 1e-9 <= rows[uid]["twa_value"] <= max(vals) + 1e-9
+
+
+def test_scaled_long_multiply_stays_in_long_range(spark):
+    """The x_gram_matrix / x_power_iteration / x_embed_dim_stats rewrite
+    multiplies scaled embedding values in LONG before the decimal widen
+    ((sa*sb).cast(decimal)). That is exact only while max|sv|² < 2⁶³ —
+    in non-ANSI Spark a long overflow WRAPS SILENTLY, so a fixture or
+    quantization change that grew the grid would corrupt results with no
+    error. Pin the bound (round-12 advice item): assert the worst-case
+    per-term product keeps a 16× safety margin below 2⁶³."""
+    from pyspark.sql import functions as F
+
+    from googleanalytics_etl_spark.io import load
+
+    em = load(spark, SF_SMALL, "embeddings")
+    sv = F.round(F.col("v").cast("double") * 10_000_000).cast("long")
+    mx = (
+        em.select(F.posexplode("embedding").alias("dim", "v"))
+        .select(F.abs(sv).alias("a"))
+        .agg(F.max("a").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mx * mx < 2**63 / 16, f"max|sv|={mx} leaves <16x headroom"
